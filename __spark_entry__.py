@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query smoke check at sf0.001.
+queries()      — every implemented operator from SURVEY.md §2 as a
+                 named (spark, sf_dir) -> DataFrame callable.
+oracle_sql()   — DuckDB twins for the SQL-expressible ones.
 """
 
 from __future__ import annotations
@@ -15,24 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's dashboard brain in one plan — the
+    current_rates snapshot (newest-wins per pair key) joined with the
+    trailing-24h delta (diff / pct / direction). SURVEY.md §7 Phase 0.
+    """
+    from currency_etl_pipeline_spark.session import tune_for_local
+    from currency_etl_pipeline_spark.operators.delta import window_delta
+    from currency_etl_pipeline_spark.operators.upsert import latest_per_key
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+    from currency_etl_pipeline_spark.queries.registry import ANCHOR
+    from currency_etl_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    tune_for_local(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    snap = latest_per_key(ev, keys, "ts", tie_breakers=["event_id"]).select(
+        "user_id", "event_type", F.col("value").alias("rate"), ts_str("ts").alias("ts_utc")
+    )
+    delta = window_delta(ev, keys, "ts", "value", anchor=ANCHOR, lookback_hours=24)
+    return snap.join(delta, keys, "left")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from currency_etl_pipeline_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from currency_etl_pipeline_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is fully materialized via the noop sink (no driver collect,
+no disk write — pure engine throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "latest_rate_per_key",
+    "current_snapshot_upsert",
+    "top1000_newest_events",
+    "trailing_24h_delta",
+    "pct_change_per_event",
+    "tpch_q1_pricing_summary",
+    "revenue_by_region",
+    "customer_order_stats",
+    "asof_last_purchase_before_click",
+    "exact_dedup_documents",
+    "near_dup_jaccard_pairs",
+    "token_stats",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from currency_etl_pipeline_spark.session import get_spark
+    from currency_etl_pipeline_spark.queries import all_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm: JIT + parquet footer cache
+        t0 = time.perf_counter()
+        df = specs[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,421 @@
+"""Relational breadth: aggregation / join / window / set-op surface.
+
+The reference's only real query engine was BigQuery SQL (SURVEY.md §2.F:
+"full hash-agg ... come free from Spark; we expose them because 'same
+query capabilities' at 100 TB demands them"). These queries exercise
+that surface on the TPC-H-ish driver tables.
+
+Scale notes recur per query; the common ones:
+- double sums go through DECIMAL (exact ⇒ partition-order independent —
+  correctness AND reproducibility at 1000 executors);
+- dim joins broadcast (region/nation/supplier are KB-sized even at
+  100 TB fact scale);
+- aggregations are partial+final hash aggs (map-side combine) —
+  Catalyst does this for every groupBy here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.functions.scalars import dec, ts_str
+from currency_etl_pipeline_spark.operators.asof import asof_join
+from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3))) * (1 + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (the implied agg surface, SURVEY.md §2.F): scan →
+    pushed filter → partial/final hash agg on 2 low-cardinality keys.
+    DECIMAL accumulation makes the sums exact and partition-order-free."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    disc, tax = dec("l_discount", 4, 3), dec("l_tax", 4, 3)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "pricing_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.F 'come free from Spark' surface).
+    grouping() flags disambiguate NULL key rows from subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n_rows")
+
+
+@query(
+    "events_cube",
+    oracle="""
+    SELECT event_type, user_id,
+           CAST(grouping(event_type) AS INT) AS g_et,
+           CAST(grouping(user_id) AS INT) AS g_uid,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id)
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the pair-key dimensions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("event_type", "user_id").agg(
+        F.grouping("event_type").cast("int").alias("g_et"),
+        F.grouping("user_id").cast("int").alias("g_uid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    ).select("event_type", "user_id", "g_et", "g_uid", "n_events", "sum_value")
+
+
+@query(
+    "lineitem_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (same Catalyst plan as the DataFrame
+    form; SQL surface parity with the reference's BigQuery usage)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r.r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ dims with explicit broadcast of the dim
+    chain (J4 — the reference's symbols lookup, app.py:62-85). At 100 TB
+    only lineitem⋈orders shuffles; customer/nation/region ship to every
+    executor once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(dims, orders.o_custkey == dims.c_custkey)
+    return joined.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 3))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS (the MERGE's matched set, SURVEY.md §2.D J3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS (the MERGE's not-matched insert set)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "top3_lineitems_per_returnflag",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(l_extendedprice, 6) AS price
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) <= 3
+    """,
+)
+def top3_lineitems_per_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (T1 generalized): one shuffle on the group key,
+    rank within partitions — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = top_k_per_group(
+        li, ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        k=3, descending=False,  # explicit Column ordering above
+    )
+    return top.select("l_returnflag", "l_orderkey", "l_linenumber", F.round("l_extendedprice", 6).alias("price"))
+
+
+@query(
+    "distinct_parts_per_status",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def distinct_parts_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "pivot_qty_by_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (explicit list avoids the extra
+    distinct-values job — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(F.sum(dec("l_quantity")))
+    return p.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_o"),
+        F.col("F").cast("double").alias("qty_f"),
+    )
+
+
+@query(
+    "nationkeys_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nationkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set-op surface, SURVEY.md §2.H)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "nationkeys_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nationkeys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set-op surface). subtract() is SQL EXCEPT [DISTINCT];
+    exceptAll() would be the multiset variant."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_brand, 7) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           regexp_split_to_array(p_name, ' ')[-1] AS last_word,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (F11/F12: formatting, split, concat,
+    filename-style parsing — fetch.py:64, transform.py:75-79)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.expr("substr(p_brand, 7)").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.element_at(words, -1).alias("last_word"),
+        F.element_at(words, 1).alias("first_word"),
+    )
+
+
+@query(
+    "daily_event_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation ("historical trends", README.md:104-110):
+    date_trunc day × type. At scale this is the partition-pruned query —
+    historical_rates partitioned by date(ts) serves it without a full scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+        F.round(F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+
+
+@query(
+    "asof_last_purchase_before_click",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc,
+           p."value" AS last_purchase_value
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id <= c.event_id))
+    WHERE c.event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) = 1
+    """,
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each click matched to the user's most
+    recent purchase value at-or-before it — the reference's implied
+    'rate at time t' self-as-of (SURVEY.md §2.D, fetch_transform_load_dag.py:111-148).
+
+    Spark-first: union-tag + last(ignorenulls) over an ordered window —
+    ONE shuffle on user_id, no range-join explosion (the oracle's
+    inequality join is O(clicks × purchases) per user; this is O(n log n))."""
+    ev = load_table(spark, sf_dir, "events")
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("__asof_value")
+    )
+    probes = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(probes, quotes, on="user_id", ts_col="ts", value_col="__asof_value", tie_breaker="event_id")
+    return joined.select(
+        "event_id", "user_id", ts_str("ts").alias("ts_utc"),
+        F.col("__asof_value").alias("last_purchase_value"),
+    )
+
+
+@query(
+    "customer_order_stats",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim → agg (EP2's dashboard summary generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )

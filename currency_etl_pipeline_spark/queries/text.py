@@ -1,0 +1,250 @@
+"""Text-analysis / deduplication queries over `documents` — the
+LLM-data-pipeline extensions (north-star additions; SURVEY.md §7
+Phase 6). All JVM built-ins (split/transform/filter/md5 higher-order
+functions) — no Python in the hot path.
+
+Scale notes:
+- exact dedup = hash + one shuffle on the 32-char digest (not the
+  full text) — at 100 TB you shuffle 32 bytes/row, not documents;
+- near-dup = shingle inverted index + equi-join on shingle, i.e. the
+  candidate-pair generation step of MinHash-LSH done exactly; bucket
+  sizes bound the blow-up (see operators/dedup.py for the MinHash
+  variant whose cost is independent of shingle frequency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct n-gram word shingles; empty array for docs shorter than n."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of shingles(): 1-based inclusive list slice.
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents
+    ), hashed AS (
+        SELECT doc_id, md5(text) AS text_hash FROM corpus
+    )
+    SELECT text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM hashed GROUP BY text_hash
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash + hash-groupBy. The corpus is the
+    documents table unioned with a re-keyed copy of itself so every text
+    has ≥2 copies and the keep-lowest-id rule is actually exercised
+    (the base table has no exact dups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text"))
+    hashed = corpus.select("doc_id", F.md5("text").alias("text_hash"))
+    return hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "near_dup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.6
+    """,
+)
+def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.6
+    (the planted near-dups sit at ≥ 0.89; the background is ≤ 0.1).
+    Inverted-index join: explode distinct shingles → self-equi-join on
+    shingle → count common → Jaccard from set sizes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
+    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           n_chars,
+           round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6) AS avg_token_len,
+           len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stopwords,
+           round(len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (whitespace tokenizer): token
+    count, average token length, stopword ratio — per document, all
+    higher-order array functions (no UDF, no shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+        F.round(F.length(F.array_join(toks, "")) * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars, {_TOKS_DUCK} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks))
+                   + 0.3 * least(n_chars / 500.0, 1.0), 6) AS quality_score
+        FROM t
+    )
+    SELECT doc_id, lang, source, n_chars, quality_score
+    FROM scored
+    WHERE lang IN ('en', 'de') AND quality_score >= 0.5
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language/length filtering — the
+    training-data-pipeline gate (length, stopword ratio, char budget
+    blended into one score; filter on lang ∈ {en,de} ∧ score ≥ 0.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    score = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", score.alias("quality_score"))
+        .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercased
+    text — the canonical-form hash used for fuzzy-exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> x IN {_STOP_SQL})) AS s_en,
+               len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es', 'de'))) AS s_es
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS guessed_lang,
+           s_en, s_de, s_es
+    FROM scores
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile scores per candidate
+    language, argmax with a deterministic tie order (en > de > es).
+    (The synthetic corpus is English-ish for every `lang` label, so the
+    guess column demonstrates the operator rather than the labels.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    s_en = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    s_de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und", "ist")))
+    s_es = F.size(F.filter(toks, lambda x: x.isin("el", "la", "los", "es", "de")))
+    t = docs.select("doc_id", F.col("lang").alias("labeled_lang"), s_en.alias("s_en"), s_de.alias("s_de"), s_es.alias("s_es"))
+    return t.select(
+        "doc_id",
+        "labeled_lang",
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+        .alias("guessed_lang"),
+        "s_en", "s_de", "s_es",
+    )

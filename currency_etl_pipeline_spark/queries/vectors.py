@@ -1,0 +1,196 @@
+"""Similarity search over the `embeddings` table (array<float> column)
+— the ANN extensions (SURVEY.md §7 Phase 6).
+
+Two paths:
+- brute-force cosine top-k: the correctness baseline; crossJoin against
+  a broadcast handful of query vectors (the probe side is small by
+  construction — this is NOT an O(n²) self-join);
+- LSH-bucketed ANN: random-hyperplane signatures (hyperplanes drawn
+  deterministically from the data itself so the oracle can replay
+  them), candidates = same-bucket pairs → cosine only within buckets.
+  At 100 TB the bucket join replaces the full crossJoin; recall is
+  tunable by bands/bits.
+
+All vector math is JVM higher-order functions (zip_with/aggregate) on
+array<double> — Arrow/pandas never enters the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+
+QUERY_IDS = (0, 1, 2)
+PLANE_IDS = tuple(range(10, 18))  # 8 deterministic "random" hyperplanes
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — deterministic, matches the
+    oracle's list_inner_product evaluation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+
+
+_COS_DUCK = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.query_id, v.vec_id, v.label,
+               round({_COS_DUCK.format(a="v.dv", b="q.qv")}, 6) AS cos_sim
+        FROM v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (brute force baseline).
+    Broadcast the 3 probe vectors; one pass over the corpus; per-query
+    top-k via row_number on (rounded score, vec_id) — rounding before
+    ranking makes the ordering engine-independent."""
+    v = _vecs(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+    )
+    from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=10, descending=False
+    ).select("query_id", "vec_id", "label", "cos_sim")
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings),
+    planes AS (SELECT vec_id - 10 AS plane_idx, dv AS pv FROM v WHERE vec_id BETWEEN 10 AND 17),
+    sigs AS (
+        SELECT v.vec_id, v.label, any_value(v.dv) AS dv,
+               CAST(sum(CASE WHEN list_inner_product(v.dv, p.pv) >= 0
+                             THEN CAST(pow(2, p.plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.label
+    ),
+    q AS (SELECT vec_id AS query_id, dv AS qv, bucket FROM sigs WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.query_id, s.vec_id, s.label,
+               round({_COS_DUCK.format(a="s.dv", b="q.qv")}, 6) AS cos_sim
+        FROM sigs s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 sign bits → 256
+    buckets; candidates share the full signature; exact cosine only
+    within buckets. Hyperplanes are data vectors 10..17 (deterministic,
+    oracle-replayable). The scale path: the bucket equi-join replaces
+    the brute-force crossJoin."""
+    v = _vecs(spark, sf_dir)
+    planes = F.broadcast(
+        v.filter(F.col("vec_id").isin(*PLANE_IDS)).select(
+            (F.col("vec_id") - 10).alias("plane_idx"), F.col("v").alias("pv")
+        )
+    )
+    bit = F.when(dot(F.col("v"), F.col("pv")) >= 0, F.pow(F.lit(2.0), F.col("plane_idx")).cast("long")).otherwise(F.lit(0).cast("long"))
+    sigs = (
+        v.crossJoin(planes)
+        .groupBy("vec_id", "label")
+        .agg(F.any_value(F.col("v")).alias("dv"), F.sum(bit).cast("long").alias("bucket"))
+    )
+    q = F.broadcast(
+        sigs.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("dv").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    scored = (
+        sigs.join(q, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", "label", F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cos_sim"))
+    )
+    from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=5, descending=False
+    ).select("query_id", "vec_id", "label", "cos_sim")
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+    WITH v AS (
+        SELECT label, CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,9)) AS norm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(CAST(sum(norm) AS DOUBLE) / count(*), 6) AS avg_norm,
+           round(CAST(min(norm) AS DOUBLE), 6) AS min_norm,
+           round(CAST(max(norm) AS DOUBLE), 6) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats; the per-row norm is deterministic double
+    math, the cross-row mean goes through DECIMAL for order independence."""
+    v = _vecs(spark, sf_dir)
+    norm = F.sqrt(dot(F.col("v"), F.col("v"))).cast("decimal(18,9)")
+    t = v.select("label", norm.alias("norm"))
+    return t.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("norm").cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
+        F.round(F.min("norm").cast("double"), 6).alias("min_norm"),
+        F.round(F.max("norm").cast("double"), 6).alias("max_norm"),
+    )
+
+
+@query(
+    "near_dup_embeddings",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_DUCK.format(a="a.dv", b="b.dv")}, 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_COS_DUCK.format(a="a.dv", b="b.dv")} >= 0.4
+    """,
+)
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (fixed 300-vector slice so
+    the all-pairs check stays test-sized; the scale path is the LSH
+    bucket join in ann_lsh_topk / operators.dedup)."""
+    v = _vecs(spark, sf_dir).filter(F.col("vec_id") < 300).select("vec_id", "v")
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
