@@ -1,0 +1,160 @@
+"""Deduplication operators — the LLM-pipeline dedup family.
+
+- exact:    content-hash groupBy (32-byte digest shuffles, not documents)
+- MinHash:  shingle → k independent hashes → min per hash → band-bucket
+            join for candidate pairs (Broder '97; the cost is linear in
+            corpus size, unlike the exact shingle-join which is quadratic
+            in hot-shingle bucket sizes)
+- SimHash:  per-token hash bit votes → fingerprint; hamming-ball
+            candidates via block pigeonhole (Charikar '02 / Manku '07)
+
+Hash determinism: every hash is derived from md5 hex (parseable on any
+engine — the DuckDB oracles replay these pipelines bit-for-bit). At
+production scale you'd swap md5 for xxhash64 (same plan shape, faster);
+md5 keeps the oracle twin exact.
+
+Scale notes: all stages are explode → hash-partition groupBy/join —
+no driver collect, no crossJoin. MinHash signature build shuffles
+(doc, pos) pairs: k×|shingles| rows of 16 bytes. SimHash's bit-vote
+explode (32× token rows) is the one stage that would move to a single
+mapInPandas pass at 100 TB; the SQL form is kept here because it's
+whole-stage-codegen'd and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.operators.upsert import latest_per_key  # noqa: F401  (re-export convenience)
+
+
+def md5_long(col: Column, salt: Column | None = None) -> Column:
+    """Deterministic 60-bit integer hash from md5 hex (engine-portable)."""
+    base = col if salt is None else F.concat(col, F.lit("#"), salt.cast("string"))
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical content; adds n_copies."""
+    h = F.md5(F.concat_ws("\x00", *content_cols))
+    hashed = df.withColumn("__content_hash", h)
+    grp = hashed.groupBy("__content_hash").agg(
+        F.min(id_col).alias("__keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        hashed.join(grp, "__content_hash")
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .drop("__content_hash", "__keeper")
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """(id, pos, mh): MinHash component `pos` for each document.
+
+    `shingled` is (id, exploded shingle) — one row per (doc, distinct
+    shingle). One shuffle on (id, pos).
+    """
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashes = F.transform(idx, lambda i: md5_long(F.col(shingle_col), i))
+    per_hash = shingled.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+    return per_hash.groupBy(id_col, "pos").agg(F.min("h").alias("mh"))
+
+
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, band_size: int = 2
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Band key = ordered concat of the band's MinHash components; the
+    band equi-join replaces any all-pairs comparison.
+    """
+    bands = sig.withColumn("band", F.expr(f"pos div {band_size}")).groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"].cast("string")),
+            ",",
+        ).alias("band_key")
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    shingled: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Candidate pairs + estimated Jaccard (matching signature fraction)."""
+    sig = minhash_signatures(shingled, id_col, shingle_col, num_hashes)
+    sigarr = sig.groupBy(id_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"]).alias("sig")
+    )
+    cand = minhash_band_candidates(sig, id_col, band_size)
+    sa = sigarr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigarr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"))
+    )
+
+
+def simhash_signature(
+    tokenized: DataFrame, id_col: str, token_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash): bit-vote fingerprint over token multiset."""
+    h = tokenized.select(id_col, md5_long(F.col(token_col)).alias("th"))
+    jrows = h.select(id_col, "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
+    bit = F.expr("(th div CAST(pow(2, j) AS BIGINT)) % 2")
+    votes = jrows.groupBy(id_col, "j").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("contrib")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("contrib") >= 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    tokenized: DataFrame,
+    id_col: str,
+    token_col: str,
+    bits: int = 32,
+    max_hamming: int = 2,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Pairs within a hamming ball of max_hamming.
+
+    Pigeonhole: fingerprints within hamming d share at least one of
+    n_blocks blocks when d < n_blocks — the block equi-join generates
+    candidates, exact popcount(xor) filters.
+    """
+    assert max_hamming < n_blocks, "pigeonhole needs max_hamming < n_blocks"
+    block_bits = bits // n_blocks
+    sig = simhash_signature(tokenized, id_col, token_col, bits)
+    blk = sig.select(
+        F.col(id_col), "simhash", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("n")
+    ).withColumn("block", F.expr(f"(simhash div CAST(pow(2, n * {block_bits}) AS BIGINT)) % {2 ** block_bits}"))
+    a = blk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "n", "block")
+    b = blk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "n", "block")
+    cand = (
+        a.join(b, ["n", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return cand.filter(hamming <= max_hamming).select("id_a", "id_b", hamming.alias("hamming"))

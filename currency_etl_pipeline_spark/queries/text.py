@@ -210,6 +210,85 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_lsh_near_dup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sa ON sa.doc_id = c.id_a
+    JOIN sigarr sb ON sb.doc_id = c.id_b
+    """,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → 8 minhashes → 4 bands
+    of 2 → band-bucket join) with estimated Jaccard. The scale path for
+    near-dup dedup: cost linear in corpus size vs the exact shingle
+    join's hot-bucket quadratic blow-up. md5-derived hashes keep the
+    DuckDB oracle bit-exact (operators/dedup.py)."""
+    from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
+    shingled = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    return minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
+
+
+@query(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+    bits AS (
+      SELECT doc_id, s.j AS bit_pos,
+             sum(CASE WHEN (th // CAST(pow(2, s.j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS contrib
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) s
+      GROUP BY doc_id, s.j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN contrib >= 0 THEN CAST(pow(2, bit_pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    blk AS (
+      SELECT doc_id, simhash, s.n AS n, (simhash // CAST(pow(2, s.n * 8) AS BIGINT)) % 256 AS block
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS n) s
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a, b.doc_id AS id_b, b.simhash AS sim_b
+      FROM blk a JOIN blk b ON a.n = b.n AND a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit bit-vote fingerprint per doc,
+    candidates via 4-block hamming pigeonhole, exact popcount(xor) ≤ 2
+    filter (operators/dedup.py; Charikar/Manku scheme)."""
+    from currency_etl_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    return simhash_near_dup_pairs(tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4)
+
+
+@query(
     "lang_id_ngram",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),

@@ -1,0 +1,70 @@
+"""Streaming semantics: batch-equivalence (SURVEY.md §5 — streaming
+ops have no SQL oracle; the check is stream-vs-batch on the same data)
+and the incremental foreachBatch upsert vs the one-shot batch MERGE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.functions.scalars import dec
+from currency_etl_pipeline_spark.operators.upsert import latest_per_key
+from currency_etl_pipeline_spark.streaming.pipeline import (
+    events_stream,
+    run_stream_to_memory,
+    stream_upsert_snapshot,
+    windowed_rates,
+)
+from currency_etl_pipeline_spark.tables import load_table
+
+KEYS = ["user_id", "event_type"]
+SNAP_COLS = ["user_id", "event_type", "value", "ts", "event_id"]
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_stream_equals_batch(spark, sf_dir):
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_stream_to_memory(windowed_rates(stream), spark, "complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+    assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
+
+
+@pytest.fixture()
+def chunked_events_dir(spark, sf_dir, tmp_path):
+    """events re-chunked into 3 files so maxFilesPerTrigger=1 yields 3
+    micro-batches with out-of-order arrivals across batches."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "chunks")
+    # chunk by event_id % 3 — each chunk spans the full time range, so
+    # later batches contain timestamps older than already-merged ones
+    # (exercises the strict newest-wins rule on late data).
+    ev.withColumn("chunk", F.col("event_id") % 3).repartition(1).write.partitionBy("chunk").parquet(out)
+    return out
+
+
+def test_incremental_upsert_equals_batch_merge(spark, sf_dir, chunked_events_dir):
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_events_dir + "/chunk=*")
+    )
+    holder = {"df": None, "cols": SNAP_COLS}
+    q = stream_upsert_snapshot(spark, stream, KEYS, "ts", holder)
+    q.awaitTermination(120)
+
+    got = holder["df"]
+    assert got is not None
+    ev = load_table(spark, sf_dir, "events")
+    want = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(*SNAP_COLS)
+    assert _sorted_rows(got, SNAP_COLS) == _sorted_rows(want, SNAP_COLS)
