@@ -1,0 +1,41 @@
+"""Lake zones: schema-declared CSV/parquet IO + file-metadata queries.
+
+The reference's lake is timestamp-named CSV objects in GCS with
+newest-by-mtime discovery (S4/S5, fetch.py:63-78, transform.py:12-25).
+Spark reads whole zone directories (partition-pruned parquet in
+production), making the discovery dance unnecessary — but the
+capability is preserved via the binaryFile metadata source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_zone_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (S3/S4, fetch.py:63-66) — a zone directory,
+    not a single object; Spark writes one file per partition."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_zone_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-declared CSV source (S6). The reference used inferSchema
+    on every hop (transform.py:36) — explicit schema keeps types
+    deterministic and skips the extra inference scan."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def latest_file(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Newest-file discovery as a query (S5/T6, transform.py:12-25):
+    binaryFile metadata (no content read) → max-by modificationTime.
+    One row: (path, modificationTime, length)."""
+    meta = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", True)
+        .load(path)
+        .select("path", "modificationTime", "length")
+    )
+    return meta.orderBy(F.desc("modificationTime"), F.desc("path")).limit(1)

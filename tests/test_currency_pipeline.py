@@ -1,0 +1,117 @@
+"""End-to-end EP1: API payload → explode → clean → load → warehouse,
+pinning the reference semantics from SURVEY.md §5 / FIXTURES.md A1-A3:
+
+1. newest-wins upsert incl. equal-timestamp no-update and late-arrival
+   no-update (load_to_bigquery.py:102 strict `>`);
+2. null-on-coercion-failure then drop (transform.py:39-41);
+3. optional target filter + guards (fetch.py:33-56);
+4. map→rows explode + substring/regex pair split round-trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.sources.lake import latest_file, read_zone_csv, write_zone_csv
+from currency_etl_pipeline_spark.sources.rates_pipeline import (
+    RATES_SCHEMA,
+    prepare_for_load,
+    quotes_payload_to_rates,
+    transform_rates,
+)
+from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+PAYLOAD = {
+    "success": True,
+    "source": "GBP",
+    "quotes": {
+        "GBPUSD": "1.2645",
+        "GBPEGP": "61.4022",
+        "GBPEUR": "1.1702",
+        "GBPJPY": "189.93",
+        "GBPBAD": "not-a-number",  # malformed → coerce to NULL → dropped
+        "GBPNUL": None,  # null rate → dropped
+    },
+}
+
+T0 = "2024-03-01 10:00:00"
+T1 = "2024-03-01 11:00:00"
+
+
+def _batch(spark, fetched_at, quotes=None, retrieved_at=None):
+    payload = dict(PAYLOAD, quotes=quotes or PAYLOAD["quotes"])
+    raw = quotes_payload_to_rates(spark, payload, fetched_at=fetched_at)
+    clean = transform_rates(raw, processed_at=fetched_at)
+    return prepare_for_load(clean, retrieved_at=retrieved_at or fetched_at)
+
+
+def test_fetch_explode_and_pair_split(spark):
+    raw = quotes_payload_to_rates(spark, PAYLOAD, fetched_at=T0)
+    rows = {r["pair"]: r for r in raw.collect()}
+    assert len(rows) == 6
+    assert rows["GBPUSD"]["base_currency"] == "GBP"
+    assert rows["GBPUSD"]["target_currency"] == "USD"
+
+
+def test_fetch_optional_target_filter(spark):
+    raw = quotes_payload_to_rates(spark, PAYLOAD, fetched_at=T0, target_currency="EGP")
+    assert raw.count() == 1
+    with pytest.raises(ValueError, match="no rate found"):
+        quotes_payload_to_rates(spark, PAYLOAD, fetched_at=T0, target_currency="XXX")
+    with pytest.raises(ValueError, match="API error"):
+        quotes_payload_to_rates(spark, {"success": False, "error": {"code": 101}}, fetched_at=T0)
+
+
+def test_transform_coercion_drop(spark):
+    batch = _batch(spark, T0)
+    got = {r["target_currency"]: r["rate"] for r in batch.collect()}
+    # malformed + null rates dropped, the 4 good ones survive
+    assert got == {"USD": 1.2645, "EGP": 61.4022, "EUR": 1.1702, "JPY": 189.93}
+    assert [f.name for f in batch.schema.fields] == [f.name for f in RATES_SCHEMA.fields]
+
+
+def test_warehouse_newest_wins_merge(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.load_batch(_batch(spark, T0))
+
+    # batch 2: USD newer (updates), EUR equal-ts (must NOT update),
+    # JPY older/late (must NOT update), AUD new key (inserts)
+    b2 = _batch(
+        spark,
+        T1,
+        quotes={"GBPUSD": "1.3000", "GBPAUD": "1.9000"},
+    ).unionByName(
+        _batch(spark, T0, quotes={"GBPEUR": "9.9999"})  # equal timestamp
+    ).unionByName(
+        _batch(spark, "2024-03-01 09:00:00", quotes={"GBPJPY": "0.0001"})  # late
+    )
+    wh.upsert_current(b2)
+    wh.append_historical(b2)
+
+    cur = {r["target_currency"]: (r["rate"], r["timestamp"].isoformat()) for r in wh.current().collect()}
+    assert cur["USD"] == (1.3, "2024-03-01T11:00:00")  # strictly newer → updated
+    assert cur["EUR"] == (1.1702, "2024-03-01T10:00:00")  # equal ts → kept
+    assert cur["JPY"] == (189.93, "2024-03-01T10:00:00")  # late → kept
+    assert cur["AUD"] == (1.9, "2024-03-01T11:00:00")  # not matched → inserted
+    assert cur["EGP"] == (61.4022, "2024-03-01T10:00:00")  # untouched
+
+    # history keeps everything ever appended (append-only)
+    assert wh.historical().count() == 4 + 4
+
+    # idempotent re-upsert of the same batch changes nothing
+    before = sorted(map(tuple, wh.current().collect()))
+    wh.upsert_current(b2)
+    assert sorted(map(tuple, wh.current().collect())) == before
+
+
+def test_lake_csv_roundtrip_and_latest_file(spark, tmp_path):
+    batch = _batch(spark, T0)
+    zone = str(tmp_path / "clean_zone" / "b1")
+    write_zone_csv(batch, zone)
+    back = read_zone_csv(spark, zone, RATES_SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+    write_zone_csv(batch, str(tmp_path / "clean_zone" / "b2"))
+    newest = latest_file(spark, str(tmp_path / "clean_zone"), glob="*.csv").collect()
+    assert len(newest) == 1 and "/b" in newest[0]["path"]
