@@ -59,9 +59,14 @@ def minhash_signatures(
     `shingled` is (id, exploded shingle) — one row per (doc, distinct
     shingle). One shuffle on (id, pos).
     """
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashes = F.transform(idx, lambda i: md5_long(F.col(shingle_col), i))
-    per_hash = shingled.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+    # explode the salt space to rows FIRST, then hash in a flat
+    # projection — a transform() lambda computing md5 per element runs
+    # interpreted (no whole-stage codegen for higher-order fns); the
+    # row form keeps the k×|shingles| md5s inside codegen.
+    per_hash = shingled.select(
+        id_col, F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("pos"),
+        F.col(shingle_col),
+    ).select(id_col, "pos", md5_long(F.col(shingle_col), F.col("pos")).alias("h"))
     return per_hash.groupBy(id_col, "pos").agg(F.min("h").alias("mh"))
 
 

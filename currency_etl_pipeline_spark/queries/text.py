@@ -29,13 +29,23 @@ def tokens(col: str = "text") -> Column:
 
 
 def shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct n-gram word shingles; empty array for docs shorter than n."""
+    """Distinct n-gram word shingles; empty array for docs shorter than n.
+
+    Built with zip_with over shifted slices rather than
+    transform(sequence, i -> slice(toks, i, n)): a lambda body that
+    references the outer ``toks`` re-evaluates the tokenizer split for
+    EVERY element (interpreted higher-order fn, no codegen CSE) — ~40×
+    per doc. zip_with evaluates each array child once per row, so the
+    split runs n+1 times per doc regardless of length."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    # zip_with pads the shorter side with NULL → the last n-1 entries are
+    # NULL concats; drop them, then dedup.
+    sh = F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
 
 
 # DuckDB twin of shingles(): 1-based inclusive list slice.
@@ -102,7 +112,8 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → count common → Jaccard from set sizes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
     sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # set sizes straight off the array — no explode+count shuffle
+    sizes = docs.select("doc_id", F.size("sh").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
