@@ -1,0 +1,203 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The reference has no media path at all (its only payloads are currency
+CSV rows), but a 100 TB training-data pipeline needs one; this module
+supplies the Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — with two codec tiers:
+
+- **FAKE1 codec (default, fully implemented)**: the payload is the
+  document's UTF-8 text bytes; ``meta`` declares a raster geometry
+  (width × height × channels) and a frame count derived from the id.
+  Decode / resize / frame-sample are REAL numpy operations on those
+  bytes, so every stage is deterministic and oracle-checkable.
+- **Real codecs (stubbed)**: Pillow / libav decode behind an
+  import-try; this container ships neither, so those paths raise
+  ``NotImplementedError`` with the swap instructions. The mapInPandas
+  scaffolding is identical — only ``_decode_batch`` changes.
+
+Scale notes: payloads never hit the driver; every operator is
+``mapInPandas`` over whatever partitioning the upstream scan produced
+(media-heavy tables should set small ``spark.sql.files.maxPartitionBytes``
+so one Arrow batch of blobs fits comfortably in executor memory).
+Outputs are narrow (stats / sampled frames), so the wide binary column
+is pruned immediately after the map stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real image codec — not in this container; FAKE1 is the tested path
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents → media asset table (FAKE1 codec), entirely JVM-side.
+
+    ``media`` is the UTF-8 encoding of the text (a genuine opaque
+    binary column as far as every downstream operator is concerned);
+    geometry and frame count are deterministic functions of the id so
+    any engine can replay them.
+    """
+    did = F.col(id_col)
+    return docs.select(
+        did.alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.when(did % 3 == 0, "video/fake1").otherwise("image/fake1").alias("media_type"),
+        F.struct(
+            (did % 16 + 8).cast("int").alias("width"),
+            ((did / 16).cast("long") % 16 + 8).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            (did % 4 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("min_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_stats(assets: DataFrame, codec: str = "fake1") -> DataFrame:
+    """Decode + per-asset feature extraction (mapInPandas).
+
+    FAKE1: byte-level stats over the raw payload — the decode itself is
+    ``np.frombuffer``, i.e. zero-copy out of the Arrow batch. A real
+    deployment swaps ``_decode_batch`` for a Pillow/libav call with the
+    same signature; everything around it is unchanged.
+    """
+    if codec != "fake1":
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                f"codec {codec!r} needs Pillow/libav, absent in this environment; "
+                "use codec='fake1' or install the real decoder"
+            )
+        raise NotImplementedError("real-codec decode not wired yet; use codec='fake1'")
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(m, dtype=np.uint8) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(a) for a in arrs],
+                    "mean_byte": [float(a.mean()) if len(a) else 0.0 for a in arrs],
+                    "min_byte": [int(a.min()) if len(a) else 0 for a in arrs],
+                    "max_byte": [int(a.max()) if len(a) else 0 for a in arrs],
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(_decode_batch, IMAGE_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_mean", T.DoubleType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_nearest(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the FAKE1 raster (mapInPandas).
+
+    The payload is tiled/truncated to width×height×channels (the
+    declared geometry), resized on the (H, W) grid with the standard
+    ``floor(y_out * H / out_h)`` index map, channels preserved.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("asset_id", "out_width", "out_height", "resized_mean", "resized")}
+            for aid, m, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                raw = np.frombuffer(m, dtype=np.uint8)
+                img = np.resize(raw, (h, w, c))  # tile/truncate to declared geometry
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = img[np.ix_(ys, xs)]
+                out["asset_id"].append(aid)
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["resized_mean"].append(float(small.mean()))
+                out["resized"].append(small.tobytes())
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media", "meta").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for FAKE1 "video": the payload splits into
+    ``n_frames`` equal-length frames (tail remainder dropped, as a real
+    container would pad); emit every k-th frame's index + stats.
+    One input row → ≤ n_frames output rows (mapInPandas is the
+    flat-map shape a real frame extractor needs).
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("asset_id", "frame_idx", "frame_bytes", "frame_mean")}
+            for aid, m, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
+                nf = int(meta["n_frames"])
+                raw = np.frombuffer(m, dtype=np.uint8)
+                flen = len(raw) // nf
+                if flen == 0:
+                    continue
+                for i in range(0, nf, every_k):
+                    fr = raw[i * flen : (i + 1) * flen]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(flen)
+                    out["frame_mean"].append(float(fr.mean()))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media", "meta").mapInPandas(_sample, FRAME_SCHEMA)

@@ -1,0 +1,89 @@
+"""Multimodal queries: binary media columns + mapInPandas decode paths
+(multimodal/media.py) as driver-checkable queries.
+
+The FAKE1 payload is the document's UTF-8 text bytes, and the corpus is
+pure ASCII (checked: code points 32..121), so DuckDB replays the byte
+math exactly via per-char code points — the oracle checks the REAL
+Arrow→numpy decode output, not a simplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.multimodal import (
+    attach_media,
+    decode_image_stats,
+    resize_nearest,
+    sample_frames,
+)
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+
+_BYTES_DUCK = "list_transform(split(text, ''), x -> unicode(x))"
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_media(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "media_image_stats",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_BYTES_DUCK} AS bytes FROM documents)
+    SELECT doc_id AS asset_id,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           round(list_avg(bytes), 6) AS mean_byte,
+           CAST(list_min(bytes) AS INT) AS min_byte,
+           CAST(list_max(bytes) AS INT) AS max_byte
+    FROM b
+    """,
+)
+def media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode + feature extraction through mapInPandas
+    (multimodal/media.py decode_image_stats): Arrow batch → zero-copy
+    np.frombuffer → per-asset byte stats."""
+    stats = decode_image_stats(_assets(spark, sf_dir))
+    return stats.select(
+        "asset_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "min_byte", "max_byte"
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 4 + 1 AS INT) AS nf, length(text) AS L
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS frame_idx, L // nf AS flen, text
+      FROM d WHERE L // nf > 0
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(flen AS BIGINT) AS frame_bytes,
+           round(list_avg(list_transform(split(substr(text, frame_idx * flen + 1, flen), ''), x -> unicode(x))), 6) AS frame_mean
+    FROM fr
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame of the n_frames-sliced
+    payload) — the 1-row→N-rows flat-map shape of a real frame
+    extractor, via mapInPandas (multimodal/media.py sample_frames)."""
+    frames = sample_frames(_assets(spark, sf_dir), every_k=2)
+    return frames.select(
+        "asset_id", "frame_idx", "frame_bytes", F.round("frame_mean", 6).alias("frame_mean")
+    )
+
+
+@query("media_resize_stats", oracle=None)  # binary output → rows-only check; exact pixels pinned in tests
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every asset's declared raster to 8×8
+    (multimodal/media.py resize_nearest); emits geometry + mean, the
+    resized payload itself is dropped from the checked projection."""
+    resized = resize_nearest(_assets(spark, sf_dir), out_w=8, out_h=8)
+    return resized.select(
+        "asset_id", "out_width", "out_height", F.round("resized_mean", 6).alias("resized_mean")
+    )
