@@ -1,0 +1,70 @@
+"""Skew-mitigation operators: salted two-phase aggregation and a
+salted replicate-broadcast join.
+
+The reference never hits skew (single-machine pandas over ~170 rows,
+fetch.py:22-40), but the 100 TB design target does: a currency-rate
+event log is Zipf-distributed over pair keys (USD pairs dominate), and
+a plain ``groupBy(pair)`` or ``join(dim)`` puts the whole hot key in
+one reducer. Two standard remedies, both pure DataFrame ops:
+
+- ``salted_aggregate`` — phase 1 groups by (key, salt) so a hot key's
+  rows spread over ``salt_n`` reducers; phase 2 re-aggregates the
+  ``salt_n`` partials per key. Requires an algebraic (re-aggregable)
+  aggregate: count→sum, sum→sum, min→min, max→max.
+- ``salted_join`` — big side gets a deterministic salt from a unique
+  column; small side is replicated ``salt_n``× with an exploded salt
+  id, so each hot-key partition joins locally. (When the small side
+  fits in memory, prefer ``F.broadcast`` — no shuffle at all; salting
+  is for the mid-size dim that can't broadcast.)
+
+Both produce results identical to the unsalted plan, so their oracle
+twins are the plain GROUP BY / JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_col: Column,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial_aggs``: name -> aggregate over raw rows (phase 1, keyed
+    by keys+salt). ``final_aggs``: name -> aggregate over the phase-1
+    partial columns (phase 2, keyed by keys alone). ``salt_col`` must
+    be deterministic (e.g. ``pmod(xxhash64(unique_id), n)``) so reruns
+    and retried tasks agree.
+    """
+    salted = df.withColumn(_SALT, F.pmod(salt_col, F.lit(salt_n)))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[c.alias(name) for name, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(*[c.alias(name) for name, c in final_aggs.items()])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    big_salt_col: Column,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Inner equi-join with the big side salted and the small side
+    replicated ``salt_n``×, so one hot key spreads over ``salt_n``
+    shuffle partitions instead of one.
+    """
+    big_s = big.withColumn(_SALT, F.pmod(big_salt_col, F.lit(salt_n)).cast("int"))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    return big_s.join(small_s, keys + [_SALT], "inner").drop(_SALT)

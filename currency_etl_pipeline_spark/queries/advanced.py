@@ -1,0 +1,318 @@
+"""Advanced analytics: sessionization, exact percentiles, ranking
+functions, time-range joins, IVF-style ANN, and skew-salted plans.
+
+These extend the reference's degenerate query surface (top-1/LIMIT-N,
+SURVEY.md §2.E-§2.G) to the full window/aggregate/join families a
+100 TB training-data pipeline needs. Each query's plan note says why
+it survives scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.functions.scalars import dec, ts_str
+from currency_etl_pipeline_spark.operators.skew import salted_aggregate, salted_join
+from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine, _COS_DUCK
+
+TS_DUCK = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+@query(
+    "event_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, "value",
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, "value",
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, {TS_DUCK.format(c="min(ts)")} AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via the native
+    ``session_window`` aggregate — per-user sessions with event count
+    and value sum. The oracle is the classic lag/flag/cumsum rewrite
+    (new session when the gap is >= 30 min, matching session_window's
+    half-open [ts, ts+gap) merge rule).
+
+    Plan: ONE shuffle on user_id; session merging is in-partition
+    state, no self-join — the sessionization that scales to a 100 TB
+    event log (and runs unchanged under Structured Streaming with a
+    watermark, streaming/pipeline.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.min("ts").alias("start_ts"),
+        )
+        .select("user_id", ts_str("start_ts").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "lineitem_percentiles",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per return flag
+    — the distribution summary surface (no literal percentile exists in
+    the reference; implied by "historical trends", README.md:106).
+
+    Uses exact ``percentile`` (linear interpolation, same definition as
+    the oracle's quantile_cont). At 100 TB swap to
+    ``approx_percentile`` (t-digest, mergeable partial aggregation) —
+    same call shape, bounded memory; the exact form here is what makes
+    the oracle check possible.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "order_rank_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d,
+           nth_value(o_orderkey, 2) OVER w AS second_largest_key
+    FROM orders WHERE o_orderkey < 1000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family windows (ntile / percent_rank / cume_dist /
+    nth_value) over orders per priority — the full §2.G analytic
+    surface beyond row_number/lag. Order key (price DESC, orderkey)
+    is a total order, so RANGE-frame peer groups are singletons and
+    both engines agree bit-for-bit.
+
+    Plan: one shuffle on o_orderpriority; all four functions evaluate
+    in a single Window physical node (shared sort).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_largest_key"),
+    )
+
+
+@query(
+    "purchases_within_1h_before_click",
+    oracle=f"""
+    SELECT c.event_id AS click_id, c.user_id,
+           count(p.event_id) AS n_purchases,
+           CAST(coalesce(sum(CAST(p."value" AS DECIMAL(12,2))), 0) AS DOUBLE) AS purchase_value
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id
+    """,
+)
+def purchases_within_1h_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: for every click, purchases by the same user in
+    the trailing hour — the windowed generalization of the as-of join
+    (operators/asof.py) and of the reference's trailing-24h two-query
+    shape (fetch_transform_load_dag.py:128-136).
+
+    Plan: equi-join on user_id carries the shuffle; the two time bounds
+    are non-equi post-join predicates evaluated inside the sort-merge
+    join — NOT a cross join. At 100 TB add a coarse time-bucket key
+    (date_trunc hour, join on bucket ∈ {t, t-1}) so the per-key match
+    set stays bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+        "left",
+    )
+    return joined.groupBy("click_id", "user_id").agg(
+        F.count("p_id").alias("n_purchases"),
+        F.coalesce(F.sum(dec("p_value")), F.lit(0).cast("decimal(12,2)")).cast("double").alias("purchase_value"),
+    )
+
+
+CENTROID_IDS = tuple(range(20, 28))  # 8 deterministic coarse centroids
+_IVF_QUERY_IDS = (0, 1, 2)
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings),
+    cents AS (SELECT vec_id - 20 AS cid, dv AS cv FROM v WHERE vec_id BETWEEN 20 AND 27),
+    scored AS (
+        SELECT v.vec_id, v.label, v.dv, c.cid,
+               round({_COS_DUCK.format(a="v.dv", b="c.cv")}, 6) AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, label, dv, cid FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, dv AS qv, cid FROM scored WHERE vec_id IN (0, 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) <= 2
+    )
+    SELECT p.query_id, a.vec_id, a.label,
+           round({_COS_DUCK.format(a="a.dv", b="p.qv")}, 6) AS cos_sim
+    FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+    QUALIFY row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY cos_sim DESC, a.vec_id ASC) <= 5
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    deterministic centroids (vectors 20..27 — oracle-replayable), then
+    search only the query's 2 nearest inverted lists (nprobe=2) with
+    exact cosine. Complements ann_lsh_topk: IVF prunes by Voronoi cell,
+    LSH by hyperplane signature.
+
+    Plan: assignment is a map-side crossJoin against 8 broadcast
+    centroids (O(8n), no shuffle); the candidate search is an equi-join
+    on cid — at 100 TB the corpus is written partitioned BY cid, so
+    probing nprobe cells is partition pruning, not a join. Real IVF
+    trains centroids with k-means (pyspark.ml KMeans fits here
+    unchanged); fixed seed vectors keep the oracle exact.
+    """
+    v = _vecs(spark, sf_dir)
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
+            (F.col("vec_id") - 20).alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    scored = v.crossJoin(cents).select(
+        "vec_id", "label", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "label", F.col("v").alias("dv"), "cid")
+    probes = F.broadcast(
+        ranked.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS) & (F.col("rn") <= 2)).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cid").alias("pcid")
+        )
+    )
+    cand = assigned.join(
+        probes, (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id"))
+    ).select("query_id", "vec_id", "label", F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cos_sim"))
+    return top_k_per_group(
+        cand, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=5, descending=False
+    ).select("query_id", "vec_id", "label", "cos_sim")
+
+
+@query(
+    "skew_salted_event_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           max("value") AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5-value event_type key —
+    the skew remedy for hot grouping keys (operators/skew.py). Results
+    are identical to the plain GROUP BY (the oracle), which is the
+    point: salting changes the plan, never the answer.
+
+    Plan: phase 1 shuffles on (event_type, salt%16) — a hot key's rows
+    land on 16 reducers; phase 2 re-aggregates 16 partials per key.
+    count re-aggregates as sum, DECIMAL sum as sum, max as max.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "pn": F.count(F.lit(1)),
+            "psum": F.sum(dec("value")),
+            "pmax": F.max("value"),
+        },
+        final_aggs={
+            "n_events": F.sum("pn"),
+            "sum_value": F.sum("psum").cast("double"),
+            "max_value": F.max("pmax"),
+        },
+        salt_col=F.xxhash64("event_id"),
+        salt_n=16,
+    )
+
+
+@query(
+    "skew_salted_supplier_revenue",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_items,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def skew_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate join (lineitem × supplier on suppkey, supplier
+    replicated 8×) then revenue per supplier nation — the mid-size-dim
+    skew remedy when the dim is too big to broadcast and a few hot
+    keys would stall one reducer (operators/skew.py). Same answer as
+    the plain join (the oracle).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)").alias("rev"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, ["l_suppkey"], big_salt_col=F.xxhash64("l_orderkey"), salt_n=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+    )
