@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from currency_etl_pipeline_spark.queries.registry import query
-from currency_etl_pipeline_spark.tables import load_table
+from currency_etl_pipeline_spark.tables import load_table, spread
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
@@ -46,6 +46,21 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     # NULL concats; drop them, then dedup.
     sh = F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
     return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def exploded(df: DataFrame, keep: list, arr: Column, out: str) -> DataFrame:
+    """Explode an expensive computed array without the
+    InferFiltersFromGenerate trap.
+
+    A non-outer explode makes Catalyst infer ``size(arr)>0 AND
+    isnotnull(arr)`` and predicate-pushdown shoves that below any
+    repartition exchange — re-evaluating the full array expression
+    twice per row in the narrow pre-shuffle stage (single-threaded when
+    the input is one small file, exactly what spread() exists to fix).
+    ``explode_outer`` infers no filter; dropping the null rows on the
+    *generated* column is equivalent for non-null array elements and
+    cannot be pushed below the Generate."""
+    return df.select(*keep, F.explode_outer(arr).alias(out)).filter(F.col(out).isNotNull())
 
 
 # DuckDB twin of shingles(): 1-based inclusive list slice.
@@ -110,8 +125,8 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the planted near-dups sit at ≥ 0.89; the background is ≤ 0.1).
     Inverted-index join: explode distinct shingles → self-equi-join on
     shingle → count common → Jaccard from set sizes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
-    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    sh = exploded(docs, ["doc_id"], F.col("sh"), "shingle")
     # set sizes straight off the array — no explode+count shuffle
     sizes = docs.select("doc_id", F.size("sh").alias("n_shingles"))
     a = sh.alias("a")
@@ -255,8 +270,8 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle bit-exact (operators/dedup.py)."""
     from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
-    shingled = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    shingled = exploded(docs, ["doc_id"], F.col("sh"), "shingle")
     return minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
 
 
@@ -294,8 +309,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (operators/dedup.py; Charikar/Manku scheme)."""
     from currency_etl_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    tokenized = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokenized = exploded(docs, ["doc_id"], tokens(), "tok")
     return simhash_near_dup_pairs(tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4)
 
 

@@ -52,6 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    — never down.
+
+    Scan parallelism follows input splits
+    (``spark.sql.files.maxPartitionBytes``); a small file holding
+    compute-heavy rows (documents: ~300 chars in, ~50 shingle strings
+    out) otherwise pins the whole expression pipeline to one core. At
+    100 TB the input has more splits than cores and this is a no-op;
+    the shuffle it adds at small scale moves raw text only (cheap,
+    before the expansion).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every lake table as a temp view for spark.sql use."""
     for name in TABLES:
