@@ -53,10 +53,13 @@ def main() -> None:
     for name in HEADLINE:
         df = specs[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: JIT + parquet footer cache
-        t0 = time.perf_counter()
-        df = specs[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: measure the engine, not host noise
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -126,22 +126,27 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index join: explode distinct shingles → self-equi-join on
     shingle → count common → Jaccard from set sizes."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
-    sh = exploded(docs, ["doc_id"], F.col("sh"), "shingle")
-    # set sizes straight off the array — no explode+count shuffle
-    sizes = docs.select("doc_id", F.size("sh").alias("n_shingles"))
+    # One linear pipeline: size rides along with each exploded row, so the
+    # expensive shingle expression is evaluated in exactly ONE subtree (the
+    # self-join sides are identical plans → ReuseExchange shares the shuffle).
+    # n is functionally dependent on doc_id, so folding it into the groupBy
+    # keys is free — no size-lookup joins at all.
+    sh = exploded(docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")), ["doc_id", "n"], F.col("sh"), "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= 0.6)
+        pairs.filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

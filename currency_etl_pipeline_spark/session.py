@@ -28,6 +28,11 @@ def get_spark(app_name: str = "currency_etl_pipeline_spark", shuffle_partitions:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Our generated expressions (shingling, minhash banks, vector math)
+        # produce very large whole-stage-codegen classes; the JVM default
+        # 240 MB code cache fills over a multi-query session, silently
+        # disabling JIT → 5-30× slowdowns late in a run.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # Testdata parquet stores TIMESTAMP(NANOS); Spark has no nanos
