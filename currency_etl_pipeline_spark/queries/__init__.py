@@ -15,3 +15,4 @@ from currency_etl_pipeline_spark.queries import vectors  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import streaming_queries  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import multimodal_queries  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import advanced  # noqa: F401, E402
+from currency_etl_pipeline_spark.queries import stats  # noqa: F401, E402

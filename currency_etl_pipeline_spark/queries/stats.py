@@ -1,0 +1,182 @@
+"""Statistical aggregates, TPC-H Q3 join shape, unpivot, and sketches.
+
+Extends the implied aggregation surface (SURVEY.md §2.F — the reference
+computes only count/top-1; "historical trends", README.md:104-110,
+implies the full stats family) with co-moment statistics, the classic
+filter→join→agg→top-k query shape, wide→long reshaping (the inverse of
+pivot_qty_by_linestatus), and cardinality sketches for 100 TB profiling.
+
+Oracle-parity: co-moments route through exact DECIMAL sums (see
+functions.scalars.dec) and only the final closed-form formula runs in
+double — a fixed-order scalar expression both engines evaluate
+identically. Spark's native corr()/covar_samp() stream doubles in
+partition order (non-deterministic at scale); the moment form is the
+deterministic, mergeable equivalent and is exactly how a distributed
+engine computes them anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.functions.scalars import dec, ts_str
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "lineitem_corr_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+    FROM m
+    """,
+)
+def lineitem_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance and stddev of
+    (quantity, extendedprice) per return flag — computed from exact
+    DECIMAL co-moments (n, Σx, Σy, Σx², Σy², Σxy) with the closed-form
+    formulas applied at the output edge.
+
+    Plan: ONE partial+final hash aggregation (moments are mergeable —
+    this IS the distributed algorithm for corr at 100 TB); the double
+    math happens on 3 grouped rows. Spark's built-in corr() streams
+    doubles in partition order and is run-to-run nondeterministic at
+    scale; the moment form is deterministic and oracle-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x, 18, 2)).cast("double").alias("sx"),
+        F.sum(dec(y, 20, 2)).cast("double").alias("sy"),
+        F.sum(dec(x * x, 20, 4)).cast("double").alias("sxx"),
+        F.sum(dec(y * y, 28, 4)).cast("double").alias("syy"),
+        F.sum(dec(x * y, 24, 4)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+    )
+
+
+Q3_CUTOFF = "1998-06-15 00:00:00"
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the testdata schema: o_orderpriority
+    for the missing o_shippriority): unshipped high-value BUILDING
+    orders — selective filters on three tables, two equi-joins,
+    revenue aggregation, global top-10.
+
+    Plan: both filters reach the parquet scans (PushedFilters); the
+    customer side reduces to one segment (broadcast below threshold);
+    orders⋈lineitem shuffles on orderkey; the final ORDER BY..LIMIT is
+    TakeOrderedAndProject (top-k heap per partition + driver merge of
+    10-row heaps — no global sort), which is what survives 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", ts_str("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "lineitem_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 300
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 300
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey < 300
+    )
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures via the
+    ``stack`` generator — the inverse of pivot_qty_by_linestatus and
+    the relational form of the reference's one "unnest"
+    (fetch.py:39-40, quotes map → rows).
+
+    Plan: Generate(stack) is a narrow map-side 3× row expansion — no
+    shuffle, streams at scan speed at any scale (contrast UNION ALL of
+    3 self-scans, which reads the table 3 times — the oracle does that
+    because DuckDB lacks stack).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, 'discount', l_discount)"
+        ).alias("measure", "val"),
+    )
+
+
+@query("hll_user_cardinality")  # no oracle: HLL++ sketch values are engine-specific
+def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event type: exact count(distinct)
+    side-by-side with the HyperLogLog++ sketch estimate (rsd 2%).
+
+    At 100 TB exact distinct is a full shuffle of every distinct key;
+    the HLL sketch is a fixed ~1.5 KB per group, mergeable in the
+    partial aggregate — the only viable form. No oracle twin: sketch
+    estimates are implementation-specific (driver does the rows-only
+    check; tests/test_stats.py asserts <5% relative error vs exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )

@@ -15,6 +15,98 @@ from currency_etl_pipeline_spark.streaming.pipeline import (
 
 
 @query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+        SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type, "value"
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (2 h windows, 1 h slide):
+    every event contributes to two overlapping windows. Driven to
+    completion against the file source; complete-mode result must equal
+    the batch rewrite where each row is duplicated into its two window
+    start buckets (the oracle's unnest form).
+
+    Plan: Structured Streaming expands each row to its window set
+    map-side, then one stateful shuffle on (window, event_type);
+    watermark bounds state: expired windows are evicted, so state is
+    O(active windows × types), independent of stream length.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import dec
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_stateful_first_seen",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           "value" AS first_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def streaming_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: streaming
+    first-occurrence dedup per (user_id, event_type), state = the
+    running (ts, event_id) minimum (streaming/stateful.py). The update
+    stream's net effect must equal the batch row_number()=1 oracle.
+
+    The final min-dedup over the memory sink collapses superseded
+    emissions when the source delivers multiple micro-batches (one
+    parquet file here → one batch, but the operator does not assume
+    that)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+    from currency_etl_pipeline_spark.streaming.stateful import first_seen_per_key
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_memory(first_seen_per_key(stream), spark, output_mode="update")
+    w = Window.partitionBy("user_id", "event_type").orderBy("first_ts", "first_event_id")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "first_event_id",
+            ts_str("first_ts").alias("first_ts"),
+            "first_value",
+        )
+    )
+
+
+@query(
     "streaming_hourly_rates",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1,0 +1,61 @@
+"""Sketch accuracy + stateful-streaming multi-batch behavior.
+
+The HLL sketch has no cross-engine oracle (driver does rows-only), so
+its accuracy contract lives here. The applyInPandasWithState operator
+is oracle-checked on a single micro-batch by the driver; the multi-batch
+test here is what proves the state actually carries across batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.queries.stats import hll_user_cardinality
+from currency_etl_pipeline_spark.streaming.pipeline import run_stream_to_memory
+from currency_etl_pipeline_spark.streaming.stateful import first_seen_per_key
+from currency_etl_pipeline_spark.tables import load_table
+
+
+def test_hll_within_relative_error(spark, sf_dir):
+    rows = hll_user_cardinality(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err < 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"
+
+
+def test_first_seen_state_spans_micro_batches(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    # Write events as several files ordered so later batches contain
+    # earlier timestamps for some keys (repartition round-robins rows),
+    # then stream 1 file per trigger -> multiple micro-batches.
+    src = str(tmp_path / "events_stream")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_to_memory(first_seen_per_key(stream), spark, output_mode="update")
+
+    # Net effect (min emission per key) must equal the batch argmin.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("first_ts", "first_event_id")
+    got = {
+        (r.user_id, r.event_type): r.first_event_id
+        for r in out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    wb = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_type): r.event_id
+        for r in ev.withColumn("rn", F.row_number().over(wb)).filter("rn = 1").collect()
+    }
+    assert got == want
+
+    # State must have suppressed re-emission for keys already at their
+    # minimum: total emitted rows is bounded by batches x keys but must
+    # be >= number of keys and < total events (i.e., real suppression).
+    assert len(want) <= out.count() < ev.count()
