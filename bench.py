@@ -31,9 +31,16 @@ HEADLINE = [
     "asof_last_purchase_before_click",
     "exact_dedup_documents",
     "near_dup_jaccard_pairs",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
     "token_stats",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
+    "ivf_ann_topk",
+    "tpch_q3_shipping_priority",
+    "lineitem_corr_moments",
+    "event_sessionization",
+    "lineitem_percentiles",
 ]
 
 
