@@ -107,6 +107,44 @@ def streaming_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_enrich_static_dim",
+    oracle="""
+    SELECT r.r_name, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(e."value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN region r ON e.user_id % 5 = r.r_regionkey
+    GROUP BY r.r_name, e.event_type
+    """,
+)
+def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    broadcast dimension (region, via the deterministic user→region
+    assignment), then aggregated — the streaming form of the
+    reference's symbols-dim lookup (app.py:62-85, SURVEY §2.A S12/§2.D
+    J4). Complete-mode result must equal the batch join+agg oracle.
+
+    Plan: the static side is read once per micro-batch and broadcast —
+    no state for the join itself; only the downstream agg is stateful.
+    At 100 TB the dim stays broadcast-size by definition (dims grow
+    with entities, not events), so this shape is scale-stable.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import dec
+    from currency_etl_pipeline_spark.tables import load_table
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    region = F.broadcast(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    joined = stream.join(region, F.pmod("user_id", F.lit(5)) == F.col("r_regionkey"))
+    agg = joined.groupBy("r_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
     "streaming_hourly_rates",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
