@@ -358,3 +358,71 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("guessed_lang"),
         "s_en", "s_de", "s_es",
     )
+
+
+@query(
+    "dedup_consensus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    mh AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN sigarr sa ON sa.doc_id = c.id_a
+      JOIN sigarr sb ON sb.doc_id = c.id_b
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+    SELECT m.id_a, m.id_b, m.est_jaccard,
+           round(list_inner_product(a.dv, b.dv) /
+                 (sqrt(list_inner_product(a.dv, a.dv)) * sqrt(list_inner_product(b.dv, b.dv))), 6) AS cos_sim
+    FROM mh m
+    JOIN v a ON a.vec_id = m.id_a
+    JOIN v b ON b.vec_id = m.id_b
+    WHERE m.est_jaccard >= 0.5
+    """,
+)
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consensus dedup: a pair is a duplicate only when the
+    LEXICAL signal (MinHash-LSH estimated Jaccard >= 0.5 over 3-gram
+    shingles) and the SEMANTIC signal (embedding cosine >= 0.4, doc_id
+    aligned with vec_id) agree — the standard precision move in
+    training-data dedup, where either signal alone over-fires.
+
+    Plan: the MinHash band join generates candidates linear in corpus
+    size; only those few pairs ever touch embeddings (two broadcast-able
+    lookups by id), so the vector math runs on candidate pairs, never
+    all pairs. At 100 TB this is the whole point: LSH prunes, vectors
+    verify.
+    """
+    from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    shingled = exploded(docs, ["doc_id"], F.col("sh"), "shingle")
+    mh = minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    v = _vecs(spark, sf_dir).select("vec_id", "v")
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        mh.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", "est_jaccard", F.round(cos, 6).alias("cos_sim"))
+    )
