@@ -426,3 +426,40 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", "est_jaccard", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# BPE-ish pre-tokenizer classes (ASCII form so both engines' regex
+# engines agree): letter runs, digit runs, punctuation runs.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"
+
+
+@query(
+    "bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) AS bpe_ish_tokens,
+           round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]+')) * 1.0
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS fertility
+    FROM documents
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation two ways: whitespace tokens vs a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / punctuation runs —
+    the class split GPT-style BPE applies before merges), plus their
+    ratio ("fertility"). The budget arithmetic every training-data
+    pipeline runs before mixing corpora.
+
+    Plan: pure per-row regex in whole-stage codegen — no shuffle, no
+    UDF; at 100 TB this runs at scan speed with full column pruning
+    (only doc_id + text read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens())
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(bpe * 1.0 / ws, 6).alias("fertility"),
+    )
