@@ -110,3 +110,25 @@ def test_historical_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "rate_date" in m.group(1), "date filter did not become a partition filter"
     assert pruned.count() == 1
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A dim-side filter must prune fact partitions at RUNTIME (DPP):
+    the fact scan's PartitionFilters carries a dynamicpruning subquery
+    fed by the dim. At 100 TB this is the difference between scanning
+    one day and scanning the whole history when the cut is only known
+    via a join."""
+    ev = load_table(spark, sf_dir, "events")
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy("event_date").parquet(fact_path)
+    (
+        ev.select(F.to_date("ts").alias("event_date")).distinct()
+        .withColumn("flag", F.dayofmonth("event_date"))
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == 5)
+    joined = fact.join(dim, "event_date")
+    plan = plan_of(joined)
+    assert "dynamicpruningexpression" in plan, "no runtime partition pruning in fact scan"
+    assert joined.count() > 0
