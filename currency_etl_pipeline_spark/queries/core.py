@@ -258,3 +258,44 @@ def pair_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_sub.alias("target_sub"),
         ((base_re == F.col("base_code")) & (target_sub == F.col("target_code"))).cast("int").alias("roundtrip_ok"),
     )
+
+
+@query(
+    "scd2_rate_history",
+    oracle="""
+    SELECT user_id, event_type,
+           "value" AS rate,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def scd2_rate_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history reconstruction: each observation becomes a
+    [valid_from, valid_to) interval per key via ``lead``, open-ended on
+    the current row — the full-history complement of the newest-wins
+    snapshot (J1-J3); together they are the reference's
+    historical_rates + current_rates pair (SURVEY §1.1) derived from
+    one event log in one pass.
+
+    Plan: one shuffle on the key, one window sort — the interval build
+    is embarrassingly parallel per key at any scale.
+    """
+    from pyspark.sql import Window
+
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("rate"),
+        ts_str("ts").alias("valid_from"),
+        ts_str(nxt).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
