@@ -42,9 +42,58 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _driver_coverage(root=None) -> dict[str, int]:
+    """Map query name -> newest round whose CORRECTNESS_r*.json has a row.
+
+    The per-round correctness sweep adjudicates a bounded prefix of
+    ``queries()`` (round 1 recorded exactly the first 50 of 59 registered
+    queries, in registration order, and stopped). Queries past the cutoff
+    never receive the driver's hard correctness signal, no matter how many
+    rounds run, unless the ordering changes.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    seen: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def ordered_names(root=None) -> list[str]:
+    """Registry names, never-driver-checked first, then least-recently-checked.
+
+    Stable by registration order within each tier, so the order is fully
+    deterministic. This rotates the driver's bounded sweep across rounds:
+    new and previously-skipped queries always land inside the checked
+    prefix, and long-green queries cycle back for re-validation on later
+    rounds. Cumulatively every query gets a driver CORRECTNESS row.
+    """
+    coverage = _driver_coverage(root)
+    names = list(_REGISTRY)
+    return sorted(names, key=lambda n: (coverage.get(n, 0), names.index(n)))
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+    return {
+        n: _REGISTRY[n].oracle
+        for n in ordered_names()
+        if _REGISTRY[n].oracle is not None
+    }

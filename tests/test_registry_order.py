@@ -1,0 +1,56 @@
+"""Adaptive catalog ordering for the driver's bounded correctness sweep.
+
+The per-round sweep adjudicates a bounded prefix of ``queries()`` (round 1:
+exactly the first 50 of 59, in registration order). ``ordered_names()``
+therefore front-loads queries that have never received a driver row, then
+least-recently-checked ones, so coverage rotates across rounds and every
+query cumulatively gets the hard signal.
+"""
+
+import json
+
+from currency_etl_pipeline_spark.queries import all_queries, all_oracles
+from currency_etl_pipeline_spark.queries.registry import (
+    _REGISTRY,
+    _driver_coverage,
+    ordered_names,
+)
+
+
+def test_never_checked_come_first(tmp_path):
+    names = list(_REGISTRY)
+    assert len(names) >= 10
+    # Pretend the driver checked everything except three queries, in round 1,
+    # and two others more recently in round 2.
+    unchecked = {names[3], names[7], names[9]}
+    recent = {names[0], names[5]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in names if n not in unchecked})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in recent})
+    )
+
+    order = ordered_names(root=tmp_path)
+    assert set(order) == set(names)
+    # Tier 0: never checked, in registration order.
+    assert order[:3] == [n for n in names if n in unchecked]
+    # Tier 2 (checked again in r02) sorts after tier 1 (last checked in r01).
+    tail = order[-2:]
+    assert tail == [n for n in names if n in recent]
+
+
+def test_ordering_is_deterministic_and_complete(tmp_path):
+    # No correctness files at all -> pure registration order.
+    assert ordered_names(root=tmp_path) == list(_REGISTRY)
+    # Corrupt file is ignored, not fatal.
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    assert ordered_names(root=tmp_path) == list(_REGISTRY)
+
+
+def test_all_queries_and_oracles_share_the_order():
+    q = list(all_queries())
+    o = list(all_oracles())
+    assert q == ordered_names()
+    # Oracles are the same sequence with non-SQL queries removed.
+    assert o == [n for n in q if _REGISTRY[n].oracle is not None]
