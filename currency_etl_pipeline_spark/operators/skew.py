@@ -62,8 +62,15 @@ def salted_join(
     """Inner equi-join with the big side salted and the small side
     replicated ``salt_n``×, so one hot key spreads over ``salt_n``
     shuffle partitions instead of one.
+
+    ``big_salt_col`` may be nullable: a NULL salt would never equi-match
+    the exploded 0..salt_n-1 ids and would silently drop the row, so it
+    is coalesced to bucket 0 (rows whose JOIN KEYS are null are dropped
+    by the inner join either way, same as the unsalted plan).
     """
-    big_s = big.withColumn(_SALT, F.pmod(big_salt_col, F.lit(salt_n)).cast("int"))
+    big_s = big.withColumn(
+        _SALT, F.pmod(F.coalesce(big_salt_col, F.lit(0)), F.lit(salt_n)).cast("int")
+    )
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )

@@ -29,12 +29,13 @@ TS_DUCK = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
         SELECT user_id, ts, "value",
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts, "value",
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )

@@ -37,8 +37,11 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     start buckets (the oracle's unnest form).
 
     Plan: Structured Streaming expands each row to its window set
-    map-side, then one stateful shuffle on (window, event_type);
-    watermark bounds state: expired windows are evicted, so state is
+    map-side, then one stateful shuffle on (window, event_type). NOTE
+    on state: this harness run uses complete mode (for oracle parity),
+    where ALL window state is retained and the watermark evicts
+    nothing. In production the same plan runs in append/update mode,
+    where the 30-min watermark does evict expired windows and state is
     O(active windows × types), independent of stream length.
     """
     from pyspark.sql import functions as F

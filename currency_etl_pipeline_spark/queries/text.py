@@ -387,14 +387,18 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sigarr sa ON sa.doc_id = c.id_a
       JOIN sigarr sb ON sb.doc_id = c.id_b
     ),
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
-    SELECT m.id_a, m.id_b, m.est_jaccard,
-           round(list_inner_product(a.dv, b.dv) /
-                 (sqrt(list_inner_product(a.dv, a.dv)) * sqrt(list_inner_product(b.dv, b.dv))), 6) AS cos_sim
-    FROM mh m
-    JOIN v a ON a.vec_id = m.id_a
-    JOIN v b ON b.vec_id = m.id_b
-    WHERE m.est_jaccard >= 0.5
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    scored AS (
+      SELECT m.id_a, m.id_b, m.est_jaccard,
+             list_inner_product(a.dv, b.dv) /
+               (sqrt(list_inner_product(a.dv, a.dv)) * sqrt(list_inner_product(b.dv, b.dv))) AS cos_raw
+      FROM mh m
+      JOIN v a ON a.vec_id = m.id_a
+      JOIN v b ON b.vec_id = m.id_b
+      WHERE m.est_jaccard >= 0.5
+    )
+    SELECT id_a, id_b, est_jaccard, round(cos_raw, 6) AS cos_sim
+    FROM scored WHERE cos_raw >= 0.4
     """,
 )
 def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,7 +428,12 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         mh.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", "est_jaccard", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("cos_raw", cos)
+        # Consensus gate: the semantic signal must agree. Filter on the
+        # RAW cosine (per-row double math is IEEE-identical across
+        # engines; rounding first would reintroduce the tie trap).
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", "est_jaccard", F.round("cos_raw", 6).alias("cos_sim"))
     )
 
 

@@ -7,20 +7,24 @@ Here: path-based parquet tables —
 
 - historical: append-mode parquet partitioned by rate_date
   (partition pruning serves the time-range queries, SURVEY.md §4);
-- current: snapshot overwritten per upsert via the MERGE rewrite
+- current: snapshot committed per upsert via the MERGE rewrite
   (operators.upsert.upsert_newest_wins) with the strict
-  `S.timestamp > T.timestamp` newest-wins rule;
+  `S.timestamp > T.timestamp` newest-wins rule, stored as a
+  SnapshotStore (immutable version dirs + atomic latest-pointer —
+  ONE parquet write per upsert);
 - staging: a temp view, zero-copy (S9/S10 eliminated).
 
 Scale notes: the snapshot table is one row per key — orders of
-magnitude smaller than history; the overwrite is bounded by snapshot
+magnitude smaller than history; each commit is bounded by snapshot
 size, not history size. On a production lakehouse this maps verbatim
-to Delta/Iceberg MERGE INTO; the rewrite keeps v1 dependency-free.
+to Delta/Iceberg MERGE INTO; SnapshotStore is the same copy-on-write
+idea reduced to a pointer file, keeping v1 dependency-free.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,12 +34,73 @@ from currency_etl_pipeline_spark.operators.upsert import upsert_newest_wins, lat
 KEYS = ["base_currency", "target_currency"]
 
 
+class SnapshotStore:
+    """Versioned parquet snapshot with an atomic latest-pointer.
+
+    Layout: ``base/v00000001/``, ``base/v00000002/``, … plus
+    ``base/_LATEST`` naming the live version. A commit is ONE parquet
+    write (a brand-new immutable version dir) plus one atomic pointer
+    rename — half the IO of the previous staging-then-rewrite pattern,
+    and crash-safe: a failed commit leaves an orphan dir, never a
+    half-overwritten live snapshot. Readers resolve the pointer at plan
+    time and scan an immutable directory, so an in-flight commit never
+    disturbs a running query, and the upsert's lazy read of the old
+    version is safe while the new version is being written.
+    """
+
+    POINTER = "_LATEST"
+
+    def __init__(self, spark: SparkSession, base: str, retain: int = 2):
+        self.spark = spark
+        self.base = base
+        self.retain = max(1, retain)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base, self.POINTER)
+
+    def _latest(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def exists(self) -> bool:
+        return self._latest() is not None
+
+    def read(self) -> DataFrame:
+        latest = self._latest()
+        if latest is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.base}")
+        return self.spark.read.parquet(os.path.join(self.base, latest))
+
+    def commit(self, snap: DataFrame) -> None:
+        latest = self._latest()
+        n = int(latest[1:]) if latest else 0
+        version = f"v{n + 1:08d}"
+        # The one data write; may lazily read the old version dir.
+        snap.write.mode("error").parquet(os.path.join(self.base, version))
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        self._prune(n + 1)
+
+    def _prune(self, live: int) -> None:
+        """Drop versions older than the retained window (prune AFTER the
+        pointer flip so no reader can still resolve to them)."""
+        for name in os.listdir(self.base):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - self.retain:
+                shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
         self.base = base_path
         self.historical_path = os.path.join(base_path, "historical_rates")
         self.current_path = os.path.join(base_path, "current_rates")
+        self._store = SnapshotStore(spark, self.current_path)
 
     # -- S7: create-if-absent is implicit in path-based parquet append --
 
@@ -56,20 +121,17 @@ class Warehouse:
         """J1-J3: MERGE rewrite. Equal timestamps keep the existing row
         (load_to_bigquery.py:102's strict `>`); the update batch is
         deduped to its own newest first."""
-        if not os.path.exists(self.current_path):
+        if not self._store.exists():
             snap = latest_per_key(batch, KEYS, "timestamp")
         else:
-            current = self.current()
-            snap = upsert_newest_wins(current, batch, KEYS, "timestamp")
-        # Snapshot overwrite must not read its own output lazily:
-        # write to a temp subdir then swap.
-        tmp = self.current_path + "__staging"
-        snap.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.current_path)
+            snap = upsert_newest_wins(self._store.read(), batch, KEYS, "timestamp")
+        # One write: the commit lands in a fresh version dir, so the
+        # lazy read of the previous version above never races its own
+        # output (the old staging-then-rewrite double-write is gone).
+        self._store.commit(snap)
 
     def current(self) -> DataFrame:
-        return self.spark.read.parquet(self.current_path)
+        return self._store.read()
 
     def load_batch(self, batch: DataFrame) -> None:
         """EP1 load stage: one batch → history append + snapshot upsert."""

@@ -104,29 +104,35 @@ def stream_upsert_snapshot(
     stream: DataFrame,
     keys: list[str],
     ts_col: str,
-    snapshot_holder: dict,
+    snapshot_path: str,
+    cols: list[str],
+    tie_breakers: tuple[str, ...] = ("event_id",),
 ) -> "object":
     """foreachBatch upsert: each micro-batch is deduped to its newest
-    per key and merged newest-wins into the running snapshot (held in
-    `snapshot_holder["df"]` as a cached batch DataFrame; a real
-    deployment would write a parquet/Delta table path instead).
-    Returns the StreamingQuery (caller stops it)."""
+    per key and merged newest-wins into the snapshot committed at
+    `snapshot_path` (a SnapshotStore: immutable version dirs + atomic
+    latest-pointer — the same store Warehouse.upsert_current uses).
+
+    Everything stays distributed: the merge reads the previous version
+    lazily on executors and writes the next version directly — no
+    driver-side collect, so snapshot key cardinality is bounded by
+    cluster storage, not driver memory. Returns the StreamingQuery
+    (caller stops it); read the result via
+    ``SnapshotStore(spark, snapshot_path).read()``.
+    """
+    from currency_etl_pipeline_spark.operators.upsert import latest_per_key
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, snapshot_path)
+    ties = [t for t in tie_breakers if t in cols]
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        current = snapshot_holder.get("df")
-        if current is None:
-            from currency_etl_pipeline_spark.operators.upsert import latest_per_key
-
-            new_snap = latest_per_key(batch_df, keys, ts_col, tie_breakers=["event_id"]).select(
-                *snapshot_holder["cols"]
-            )
+        batch = batch_df.select(*cols)
+        if store.exists():
+            new_snap = upsert_newest_wins(store.read(), batch, keys, ts_col, tie_breakers=ties)
         else:
-            batch = batch_df.select(*snapshot_holder["cols"])
-            ties = ["event_id"] if "event_id" in snapshot_holder["cols"] else []
-            new_snap = upsert_newest_wins(current, batch, keys, ts_col, tie_breakers=ties)
-        # Materialize so state survives the micro-batch's source views.
-        rows = new_snap.collect()
-        snapshot_holder["df"] = spark.createDataFrame(rows, new_snap.schema)
+            new_snap = latest_per_key(batch, keys, ts_col, tie_breakers=ties)
+        store.commit(new_snap)
 
     return (
         stream.writeStream.outputMode("update")

@@ -115,3 +115,27 @@ def test_lake_csv_roundtrip_and_latest_file(spark, tmp_path):
     write_zone_csv(batch, str(tmp_path / "clean_zone" / "b2"))
     newest = latest_file(spark, str(tmp_path / "clean_zone"), glob="*.csv").collect()
     assert len(newest) == 1 and "/b" in newest[0]["path"]
+
+
+def test_snapshot_store_versions_and_prune(spark, tmp_path):
+    """SnapshotStore commit = one new immutable version dir + atomic
+    pointer flip; old versions pruned beyond the retained window."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    base = str(tmp_path / "snap")
+    os.makedirs(base)
+    store = SnapshotStore(spark, base, retain=2)
+    assert not store.exists()
+
+    for i in range(3):
+        df = spark.range(5).withColumn("gen", F.lit(i))
+        store.commit(df.select("id", "gen"))
+        assert store.read().agg(F.max("gen")).collect()[0][0] == i
+
+    versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    # 3 commits, retain=2 -> v1 pruned, v2+v3 remain, pointer at v3
+    assert versions == ["v00000002", "v00000003"]
+    with open(os.path.join(base, "_LATEST")) as fh:
+        assert fh.read().strip() == "v00000003"

@@ -26,9 +26,14 @@ def plan_of(df) -> str:
 
 
 def executed_plan_of(df) -> str:
-    # Materialize so AQE finalizes, then read the executed plan.
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Execute THIS Dataset's own QueryExecution (a noop write would plan
+    # a separate, never-executed command), so AQE finalizes the plan we
+    # then read back. AdaptiveSparkPlan.toString() appends the
+    # "== Initial Plan ==" section — strip it so assertions only see the
+    # finalized plan.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_q3_filters_reach_scans(spark, sf_dir):
@@ -56,11 +61,24 @@ def test_revenue_by_region_broadcasts_dims(spark, sf_dir):
 
 def test_jaccard_shares_one_shingle_subtree(spark, sf_dir):
     """The self-join sides are identical plans; the expensive shingle
-    pipeline must be planned once (ReusedExchange) or at most twice
-    (broadcast build), never once per downstream branch."""
+    pipeline must be evaluated once and shared (ReusedExchange /
+    reused shuffle read), never re-planned per downstream branch — and
+    InferFiltersFromGenerate must not clone the shingle expression into
+    a pushed Filter (the regression counts zip_with occurrences, which
+    that clone would inflate)."""
     plan = executed_plan_of(SPECS["near_dup_jaccard_pairs"].spark(spark, sf_dir))
-    n_generates = plan.count("Generate explode")
-    assert n_generates <= 2, f"shingle explode planned {n_generates} times"
+    # Healthy shape: 3 expression sites (the corpus union's two branch
+    # projections + the one inferred size()-not-null filter on the same
+    # stage), each containing 2 textual zip_with calls (n=3 shingles
+    # compose two zip_with levels) -> 6. The 162s regression this guards
+    # re-evaluated the subtree once per downstream branch (several more
+    # sites, single-threaded below the exchange).
+    n_shingle_exprs = plan.count("zip_with")
+    assert n_shingle_exprs <= 6, (
+        f"shingle zip_with expression appears {n_shingle_exprs} times — "
+        "the tokenizer subtree is being re-evaluated per branch"
+    )
+    assert "ReusedExchange" in plan, "self-join sides no longer share one exchange"
 
 
 def test_point_lookup_is_topk_not_sort(spark, sf_dir):

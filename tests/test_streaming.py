@@ -52,19 +52,22 @@ def chunked_events_dir(spark, sf_dir, tmp_path):
     return out
 
 
-def test_incremental_upsert_equals_batch_merge(spark, sf_dir, chunked_events_dir):
+def test_incremental_upsert_equals_batch_merge(spark, sf_dir, chunked_events_dir, tmp_path):
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
     schema = load_table(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(chunked_events_dir + "/chunk=*")
     )
-    holder = {"df": None, "cols": SNAP_COLS}
-    q = stream_upsert_snapshot(spark, stream, KEYS, "ts", holder)
+    snap_path = str(tmp_path / "snap")
+    q = stream_upsert_snapshot(spark, stream, KEYS, "ts", snap_path, SNAP_COLS)
     q.awaitTermination(120)
 
-    got = holder["df"]
-    assert got is not None
+    store = SnapshotStore(spark, snap_path)
+    assert store.exists()
+    got = store.read()
     ev = load_table(spark, sf_dir, "events")
     want = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(*SNAP_COLS)
     assert _sorted_rows(got, SNAP_COLS) == _sorted_rows(want, SNAP_COLS)
