@@ -38,9 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Catalog in the driver's adaptive sweep order: failed-or-never-checked
+    queries first, then least-recently-checked, so the bounded correctness
+    prefix rotates across rounds (registry.ordered_names)."""
     from currency_etl_pipeline_spark.queries import all_queries
+    from currency_etl_pipeline_spark.queries.registry import ordered_names
 
-    return {name: spec.spark for name, spec in all_queries().items()}
+    specs = all_queries()
+    return {name: specs[name].spark for name in ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -42,21 +42,41 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def _driver_coverage(root=None) -> dict[str, int]:
-    """Map query name -> newest round whose CORRECTNESS_r*.json has a row.
+def _row_passed(row) -> bool:
+    """Did a CORRECTNESS row record a clean pass?
+
+    A rows-only check (err == "no_oracle" with a recorded spark row count)
+    counts as a pass — it is the strongest signal a non-SQL-expressible
+    query can get, by design. Anything with an explicit False match flag
+    or any other err (an exception string) is a failure and must be
+    re-adjudicated first next round.
+    """
+    if not isinstance(row, dict):
+        return True  # malformed/empty rows carry no failure signal
+    err = row.get("err")
+    if err is not None and err != "no_oracle":
+        return False
+    if err == "no_oracle" and row.get("spark_rows") is None:
+        return False
+    return not any(row.get(k) is False for k in ("rows_match", "schema_match", "hash_match"))
+
+
+def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
+    """Map query name -> (newest round with a CORRECTNESS row, passed?).
 
     The per-round correctness sweep adjudicates a bounded prefix of
     ``queries()`` (round 1 recorded exactly the first 50 of 59 registered
     queries, in registration order, and stopped). Queries past the cutoff
     never receive the driver's hard correctness signal, no matter how many
-    rounds run, unless the ordering changes.
+    rounds run, unless the ordering changes. ``passed`` reflects only the
+    newest round's row for the query.
     """
     import json
     import re
     from pathlib import Path
 
     root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
-    seen: dict[str, int] = {}
+    seen: dict[str, tuple[int, bool]] = {}
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.name)
         if m is None:
@@ -68,32 +88,43 @@ def _driver_coverage(root=None) -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in rows.items():
+            if name not in seen or rnd > seen[name][0]:
+                seen[name] = (rnd, _row_passed(row))
     return seen
 
 
 def ordered_names(root=None) -> list[str]:
-    """Registry names, never-driver-checked first, then least-recently-checked.
+    """Registry names: failed-or-never-checked first, then least-recently-checked.
 
-    Stable by registration order within each tier, so the order is fully
-    deterministic. This rotates the driver's bounded sweep across rounds:
-    new and previously-skipped queries always land inside the checked
-    prefix, and long-green queries cycle back for re-validation on later
-    rounds. Cumulatively every query gets a driver CORRECTNESS row.
+    Tier 0 is any query with NO driver pass signal — never adjudicated, or
+    whose newest CORRECTNESS row records a failure (False match flag or an
+    error). Failures therefore always re-enter the driver's bounded sweep
+    prefix instead of aging out into the long tail. Within every tier the
+    order is registration order, so the whole sequence is deterministic.
+    This rotates the bounded sweep across rounds: new, skipped, and failing
+    queries lead; long-green queries cycle back for periodic re-validation.
     """
     coverage = _driver_coverage(root)
     names = list(_REGISTRY)
-    return sorted(names, key=lambda n: (coverage.get(n, 0), names.index(n)))
+
+    def key(n: str):
+        rnd, ok = coverage.get(n, (0, True))
+        return (rnd if ok else 0, names.index(n))
+
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    return {n: _REGISTRY[n] for n in ordered_names()}
+    """Catalog in stable registration order (environment-independent).
+
+    The adaptive, CORRECTNESS-file-driven rotation is exposed only via
+    ``ordered_names()`` and the driver entry point (``__spark_entry__``),
+    so library consumers (bench, plan tests) see the same order on every
+    checkout.
+    """
+    return dict(_REGISTRY)
 
 
 def all_oracles() -> dict[str, str]:
-    return {
-        n: _REGISTRY[n].oracle
-        for n in ordered_names()
-        if _REGISTRY[n].oracle is not None
-    }
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}

@@ -50,7 +50,11 @@ class SnapshotStore:
 
     POINTER = "_LATEST"
 
-    def __init__(self, spark: SparkSession, base: str, retain: int = 2):
+    def __init__(self, spark: SparkSession, base: str, retain: int = 4):
+        """``retain`` is the reader grace window: a reader that resolved
+        ``_LATEST`` must finish its scan within ``retain - 1`` subsequent
+        commits or its version dir may be pruned under it. The default (4)
+        gives streaming per-micro-batch commits three commits of slack."""
         self.spark = spark
         self.base = base
         self.retain = max(1, retain)
@@ -74,9 +78,21 @@ class SnapshotStore:
             raise FileNotFoundError(f"no committed snapshot under {self.base}")
         return self.spark.read.parquet(os.path.join(self.base, latest))
 
+    def _versions_on_disk(self) -> list[int]:
+        try:
+            names = os.listdir(self.base)
+        except OSError:
+            return []
+        return [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
+
     def commit(self, snap: DataFrame) -> None:
         latest = self._latest()
-        n = int(latest[1:]) if latest else 0
+        pointed = int(latest[1:]) if latest else 0
+        # Next version = max(pointer, every v* dir on disk) + 1, so a crash
+        # that left an orphan dir above the pointer (write landed, flip
+        # didn't) never wedges later commits on "path already exists" —
+        # the orphan is skipped over and swept by _prune after the flip.
+        n = max([pointed, *self._versions_on_disk()])
         version = f"v{n + 1:08d}"
         # The one data write; may lazily read the old version dir.
         snap.write.mode("error").parquet(os.path.join(self.base, version))

@@ -139,3 +139,29 @@ def test_snapshot_store_versions_and_prune(spark, tmp_path):
     assert versions == ["v00000002", "v00000003"]
     with open(os.path.join(base, "_LATEST")) as fh:
         assert fh.read().strip() == "v00000003"
+
+
+def test_snapshot_store_recovers_from_orphan_version(spark, tmp_path):
+    """A crash between the parquet write and the pointer flip leaves an
+    orphan vN+1 dir. The next commit must skip past it (max of pointer and
+    on-disk dirs), not wedge on mode('error') 'path already exists'."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    base = str(tmp_path / "snap")
+    os.makedirs(base)
+    store = SnapshotStore(spark, base, retain=2)
+    store.commit(spark.range(3).withColumn("gen", F.lit(0)))
+
+    # Simulate the crashed commit: v2 written, pointer still at v1.
+    spark.range(3).withColumn("gen", F.lit(99)).write.parquet(
+        os.path.join(base, "v00000002")
+    )
+    assert store.read().agg(F.max("gen")).collect()[0][0] == 0
+
+    # Retry lands in v3 and flips the pointer; the orphan never surfaces.
+    store.commit(spark.range(3).withColumn("gen", F.lit(1)))
+    with open(os.path.join(base, "_LATEST")) as fh:
+        assert fh.read().strip() == "v00000003"
+    assert store.read().agg(F.max("gen")).collect()[0][0] == 1

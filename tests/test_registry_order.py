@@ -48,9 +48,42 @@ def test_ordering_is_deterministic_and_complete(tmp_path):
     assert ordered_names(root=tmp_path) == list(_REGISTRY)
 
 
-def test_all_queries_and_oracles_share_the_order():
+def test_failed_queries_sort_into_tier_zero(tmp_path):
+    names = list(_REGISTRY)
+    failed_flag = names[4]  # newest row has an explicit False match flag
+    failed_err = names[6]  # newest row has an exception err
+    rows_only_ok = names[8]  # no_oracle but rows recorded -> counts as pass
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True, "err": None} for n in names})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                failed_flag: {"rows_match": True, "hash_match": False, "err": None},
+                failed_err: {"rows_match": None, "err": "AnalysisException: boom"},
+                rows_only_ok: {"rows_match": None, "spark_rows": 5, "err": "no_oracle"},
+            }
+        )
+    )
+    order = ordered_names(root=tmp_path)
+    # Failures lead the sweep despite being the most recently checked...
+    assert order[:2] == [failed_flag, failed_err]
+    # ...while the healthy rows-only query sorts to the newest-checked tail.
+    assert order[-1] == rows_only_ok
+
+
+def test_all_queries_is_stable_registration_order():
+    # Library API is environment-independent: plain registration order,
+    # regardless of what CORRECTNESS_r*.json files sit at the repo root.
     q = list(all_queries())
     o = list(all_oracles())
-    assert q == ordered_names()
-    # Oracles are the same sequence with non-SQL queries removed.
+    assert q == list(_REGISTRY)
     assert o == [n for n in q if _REGISTRY[n].oracle is not None]
+    # The adaptive rotation is a permutation of the same catalog.
+    assert sorted(ordered_names()) == sorted(q)
+
+
+def test_driver_entry_uses_rotation_order():
+    import __spark_entry__ as entry
+
+    assert list(entry.queries()) == ordered_names()
