@@ -156,22 +156,42 @@ def purchases_within_1h_before_click(spark: SparkSession, sf_dir: str) -> DataFr
     (operators/asof.py) and of the reference's trailing-24h two-query
     shape (fetch_transform_load_dag.py:128-136).
 
-    Plan: equi-join on user_id carries the shuffle; the two time bounds
-    are non-equi post-join predicates evaluated inside the sort-merge
-    join — NOT a cross join. At 100 TB add a coarse time-bucket key
-    (date_trunc hour, join on bucket ∈ {t, t-1}) so the per-key match
-    set stays bounded.
+    Plan: the equi-join key is (user_id, hour_bucket) — each click
+    probes two buckets (its own hour and the previous one, which cover
+    any trailing-1h window), each purchase carries exactly one bucket,
+    so every qualifying (click, purchase) pair joins exactly once and
+    the exact time bounds are residual predicates. Per-join-key match
+    sets are bounded by one user-hour of purchases, not a hot user's
+    whole history — the quadratic blowup of the user_id-only join is
+    gone, and the 2× click replication is a constant map-side explode.
+    Clicks with no purchases survive via the left join (both bucket
+    rows dangle; count over them is 0).
     """
     ev = load_table(spark, sf_dir, "events")
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.date_trunc("hour", F.col("c_ts")),
+                    F.date_trunc("hour", F.col("c_ts")) - F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.date_trunc("hour", F.col("ts")).alias("p_bkt"),
     )
     joined = c.join(
         p,
         (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_bkt") == F.col("bkt"))
         & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("p_ts") <= F.col("c_ts")),
         "left",

@@ -81,6 +81,27 @@ def test_jaccard_shares_one_shingle_subtree(spark, sf_dir):
     assert "ReusedExchange" in plan, "self-join sides no longer share one exchange"
 
 
+def test_time_range_join_is_bucketed(spark, sf_dir):
+    """purchases_within_1h_before_click must equi-join on
+    (user_id, hour_bucket), not user_id alone: with only user_id as the
+    join key a hot user's clicks × purchases is quadratic per key. The
+    bucket must appear in the join KEYS (hash-partitioning the shuffle),
+    not as a post-join filter. Broadcast is disabled to get the
+    100 TB regime (both sides too big to broadcast → sort-merge)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["purchases_within_1h_before_click"].spark(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    m = re.search(r"Left keys \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert m, f"no equi-join keys found in plan:\n{plan}"
+    n_keys, keys = int(m.group(1)), m.group(2)
+    assert n_keys == 2 and "bkt" in keys, (
+        f"time-range join should key on (user_id, bkt); got [{keys}]"
+    )
+
+
 def test_point_lookup_is_topk_not_sort(spark, sf_dir):
     plan = plan_of(SPECS["point_lookup_latest"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
