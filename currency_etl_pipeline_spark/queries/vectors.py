@@ -182,9 +182,12 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (fixed 300-vector slice so
-    the all-pairs check stays test-sized; the scale path is the LSH
-    bucket join in ann_lsh_topk / operators.dedup)."""
+    """All-pairs embedding-cosine near-dup over a FIXED 300-vector slice
+    — oracle/recall scaffolding only. This is deliberately the quadratic
+    baseline (broadcast nested-loop, bounded by the slice declaration);
+    the catalog's scale path is ``near_dup_embeddings_lsh`` below, which
+    routes candidates through hyperplane buckets and never materializes
+    the crossJoin."""
     v = _vecs(spark, sf_dir).filter(F.col("vec_id") < 300).select("vec_id", "v")
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -193,4 +196,84 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+NEARDUP_PLANE_IDS = tuple(range(10, 26))  # 16 planes -> 4 bands x 4 bits
+_ND_BANDS, _ND_BITS = 4, 4
+
+
+@query(
+    "near_dup_embeddings_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    planes AS (SELECT vec_id - 10 AS plane_idx, dv AS pv FROM v WHERE vec_id BETWEEN 10 AND 25),
+    sigs AS (
+        SELECT v.vec_id, p.plane_idx // 4 AS band, any_value(v.dv) AS dv,
+               CAST(sum(CASE WHEN list_inner_product(v.dv, p.pv) >= 0
+                             THEN CAST(pow(2, p.plane_idx % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.plane_idx // 4
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               any_value(a.dv) AS va, any_value(b.dv) AS vb
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, round({_COS_DUCK.format(a="c.va", b="c.vb")}, 6) AS cos_sim
+    FROM cand c
+    WHERE {_COS_DUCK.format(a="c.va", b="c.vb")} >= 0.4
+    """,
+)
+def near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the WHOLE corpus via banded
+    hyperplane LSH: 16 sign bits (deterministic planes, vectors 10..25)
+    split into 4 bands of 4 bits; candidate pairs agree on ANY band's
+    4-bit bucket (equi-join on (band, bucket)); exact cosine ≥ 0.4
+    verifies candidates only. This is the catalog's scale path for
+    embedding dedup — ``near_dup_embeddings`` above is the all-pairs
+    scaffolding it is checked against.
+
+    Plan: signatures = one corpus pass against 16 broadcast planes +
+    one groupBy(vec_id, band) shuffle; candidates = a (band, bucket)
+    equi-join of the signature table with itself (identical subtrees →
+    one exchange, reused), then a groupBy(vec_a, vec_b) dedups pairs
+    that collide in several bands BEFORE the cosine is evaluated. Cost
+    is Σ|bucket|² per band instead of n²; banding trades candidate
+    count for recall (more bands with fewer bits → higher recall, more
+    candidates). No nested-loop join anywhere (plan-test pinned). At
+    100 TB keep the signature table narrow (vec_id, band, bucket) and
+    re-join vectors by id after the pair dedup; here the vector rides
+    along because the corpus fits the join comfortably."""
+    sigs = _banded_sigs(spark, sf_dir)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("dv").alias("va"), "band", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("dv").alias("vb"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.any_value("va").alias("va"), F.any_value("vb").alias("vb"))
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return cand.filter(cos >= 0.4).select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+
+
+def _banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, 4-bit bucket, vector) — one row per vector per
+    band, hyperplane sign bits packed per band."""
+    v = _vecs(spark, sf_dir)
+    planes = F.broadcast(
+        v.filter(F.col("vec_id").isin(*NEARDUP_PLANE_IDS)).select(
+            (F.col("vec_id") - 10).alias("plane_idx"), F.col("v").alias("pv")
+        )
+    )
+    bit = F.when(
+        dot(F.col("v"), F.col("pv")) >= 0,
+        F.pow(F.lit(2.0), F.col("plane_idx") % _ND_BITS).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        v.crossJoin(planes)
+        .groupBy("vec_id", (F.col("plane_idx") / _ND_BITS).cast("int").alias("band"))
+        .agg(F.any_value(F.col("v")).alias("dv"), F.sum(bit).cast("long").alias("bucket"))
     )

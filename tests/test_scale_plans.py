@@ -102,6 +102,53 @@ def test_time_range_join_is_bucketed(spark, sf_dir):
     )
 
 
+def test_embedding_neardup_lsh_has_no_nested_loop(spark, sf_dir):
+    """The LSH-routed embedding near-dup must candidate via the
+    (band, bucket) equi-join — never a nested-loop/cartesian pass over
+    the corpus (that is exactly the all-pairs anti-pattern it exists to
+    replace; the all-pairs form survives only as scaffolding)."""
+    plan = plan_of(SPECS["near_dup_embeddings_lsh"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # The only tolerated nested loop is the 16-row broadcast plane
+    # crossJoin that computes signatures — one node per self-join side
+    # (AQE dedups them into a ReusedExchange at runtime), each printed
+    # twice by the formatted explain (tree + detail section) -> <= 4
+    # textual hits. A corpus-sized nested loop would add more.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, (
+        "corpus-sized nested-loop join crept into the LSH near-dup plan"
+    )
+    assert re.search(r"keys \[\d+\]: \[[^\]]*bucket", plan) or re.search(
+        r"\[bucket[^\]]*\], \[bucket", plan
+    ), f"no equi-join on the LSH bucket found:\n{plan}"
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """Deterministic recall floor vs the exact all-pairs baseline over
+    the full corpus, with exact precision (the cosine filter verifies
+    every candidate, so LSH pairs are a strict subset of true pairs).
+    The testdata's near-dups sit at cos 0.4-0.51 — the hardest regime
+    for LSH (marginal pairs); on a real corpus with true duplicates at
+    cos >= 0.9, 4 bands x 4 bits recalls 1-(1-0.9^4)^4 ~ 0.96."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
+
+    v = _vecs(spark, sf_dir).select("vec_id", "v")
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    exact = {
+        (r[0], r[1])
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    lsh = {(r[0], r[1]) for r in SPECS["near_dup_embeddings_lsh"].spark(spark, sf_dir).collect()}
+    assert lsh <= exact, "LSH produced a pair the exact baseline rejects"
+    assert exact, "baseline found no pairs — threshold no longer matches testdata"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.35, f"LSH recall collapsed: {recall:.3f}"
+
+
 def test_point_lookup_is_topk_not_sort(spark, sf_dir):
     plan = plan_of(SPECS["point_lookup_latest"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
