@@ -101,6 +101,31 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lineitem_percentiles_approx", oracle=None)
+def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``lineitem_percentiles``: same call shape,
+    ``approx_percentile`` instead of exact ``percentile``. Rows-only by
+    design — the sketch's answers are accuracy-bounded, not bitwise
+    engine-portable, so no SQL oracle; the error bound vs the exact
+    values is pinned in tests/test_stats.py.
+
+    Plan: exact percentile buffers every group value in the aggregation
+    state (unbounded memory per group at 100 TB); approx_percentile
+    keeps a fixed-size quantile sketch per group that merges
+    associatively across partials — partial aggregation (map-side
+    combine) applies and executor memory is bounded regardless of group
+    cardinality. accuracy=10000 bounds rank error at 1/10000 of the
+    group size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99_price"),
+    )
+
+
 @query(
     "order_rank_functions",
     oracle="""

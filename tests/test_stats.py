@@ -25,6 +25,26 @@ def test_hll_within_relative_error(spark, sf_dir):
         assert rel_err < 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"
 
 
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The approx_percentile scale twin must stay within a tight rank
+    bound of the exact percentiles. With accuracy=10000 the sketch's
+    rank error is <= n/10000 per group; at test scale that collapses to
+    near-exact, so a loose 1% relative value bound is generous while
+    still catching a mis-wired quantile or column."""
+    from currency_etl_pipeline_spark.queries import all_queries
+
+    specs = all_queries()
+    exact = {r["l_returnflag"]: r for r in specs["lineitem_percentiles"].spark(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in specs["lineitem_percentiles_approx"].spark(spark, sf_dir).collect()}
+    assert set(exact) == set(approx) and exact
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a["n"] == e["n"]
+        for col in ["median_qty", "p90_qty", "median_price", "p99_price"]:
+            rel = abs(a[col] - e[col]) / max(1e-9, abs(e[col]))
+            assert rel < 0.01, f"{flag}.{col}: approx {a[col]} vs exact {e[col]}"
+
+
 def test_first_seen_state_spans_micro_batches(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     # Write events as several files ordered so later batches contain
