@@ -4,9 +4,10 @@ The reference provisioned Kafka+Flink but never wired them
 (docker-compose.yml:136-226); its only "streaming" is a 60 s dashboard
 poll (app.py:23-25). This module is the real thing (SURVEY.md §2.I):
 
-- `events_stream`:   file-source stream over the events table (swap
-  `.format("parquet")` for `"kafka"` + the same downstream plan in
-  production — Structured Streaming plans are source-agnostic).
+- `events_stream`:   streaming events source with two wired branches —
+  file (parquet dir, the test/CI path) and Kafka (value-JSON parsed by
+  `parse_kafka_events` into the identical schema). Downstream plans
+  are source-agnostic and shared verbatim between the branches.
 - `windowed_rates`:  watermark + tumbling-window aggregation; late
   data beyond the watermark is dropped (the reference had no late-data
   story beyond newest-wins; we add a real one).
@@ -33,11 +34,66 @@ from currency_etl_pipeline_spark.operators.upsert import upsert_newest_wins
 from currency_etl_pipeline_spark.tables import load_table
 
 
+def events_schema(spark: SparkSession, sf_dir: str):
+    """The events table's logical schema (post ts-conversion)."""
+    return load_table(spark, sf_dir, "events").schema
+
+
+def parse_kafka_events(raw: DataFrame, schema) -> DataFrame:
+    """Kafka wire format → events rows: the record value is a JSON
+    document with the events columns (ts as microseconds-since-epoch).
+    Pure DataFrame transformation, so it applies identically to a
+    ``readStream.format("kafka")`` source and to a batch DataFrame with
+    the same (value binary) wire schema — which is how the branch is
+    tested in a broker-less environment (tests/test_streaming.py).
+
+    The reference provisions exactly this topology (Kafka+ZooKeeper,
+    docker-compose.yml:152-192) without wiring it; here the parse is
+    the only Kafka-specific stage, everything downstream (watermarks,
+    windows, foreachBatch upsert) is source-agnostic."""
+    import pyspark.sql.types as T
+
+    wire = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+            for f in schema.fields
+        ]
+    )
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), wire).alias("r"))
+        .select("r.*")
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+
+
 def events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    source: str = "file",
+    kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """File-source stream with the batch-read schema (readStream needs
-    an explicit schema; we reuse load_table's nanos handling)."""
+    """Streaming events source. ``source="file"`` streams the parquet
+    table (the test/CI path); ``source="kafka"`` subscribes to a topic
+    (``kafka_options`` must carry ``kafka.bootstrap.servers`` and
+    ``subscribe``/``assign``) and parses value-JSON into the identical
+    schema — downstream plans are shared verbatim between the two
+    branches. Requires the spark-sql-kafka connector on the classpath
+    (not shipped in this container; the parse stage is still fully
+    tested via its batch twin)."""
+    if source == "kafka":
+        opts = dict(kafka_options or {})
+        if "kafka.bootstrap.servers" not in opts:
+            raise ValueError("kafka source needs kafka.bootstrap.servers in kafka_options")
+        if not ({"subscribe", "assign", "subscribePattern"} & opts.keys()):
+            raise ValueError("kafka source needs one of subscribe/assign/subscribePattern")
+        reader = spark.readStream.format("kafka")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        sf_dir = path.rsplit("/", 1)[0] if path.endswith("events.parquet") else path
+        return parse_kafka_events(reader.load(), events_schema(spark, sf_dir))
+    if source != "file":
+        raise ValueError(f"unknown source {source!r}")
     schema = load_table(spark, path.rsplit("/", 1)[0], "events").schema if path.endswith("events.parquet") else None
     reader = spark.readStream
     if schema is not None:

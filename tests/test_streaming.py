@@ -39,6 +39,63 @@ def test_windowed_stream_equals_batch(spark, sf_dir):
     assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
 
 
+def test_kafka_branch_shares_downstream_plan(spark, sf_dir):
+    """The Kafka branch's parse stage (value-JSON → events schema) must
+    produce EXACTLY the file branch's rows and schema, so every
+    downstream plan (watermark, window, upsert) is shared verbatim.
+    No broker/connector ships in this container, so the parse is
+    exercised on a batch DataFrame with the Kafka wire schema — the
+    transformation is identical for a readStream.format('kafka')
+    source (pure DataFrame ops, source-agnostic)."""
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        events_schema,
+        parse_kafka_events,
+        windowed_rates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # Serialize events as Kafka records: value = JSON with ts in micros.
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                *[
+                    F.unix_micros(F.col(c)).alias("ts") if c == "ts" else F.col(c)
+                    for c in ev.columns
+                ]
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    parsed = parse_kafka_events(wire, events_schema(spark, sf_dir)).select(*ev.columns)
+    assert parsed.schema == ev.select(*ev.columns).schema
+    assert _sorted_rows(parsed, ev.columns) == _sorted_rows(ev, ev.columns)
+
+    # And the shared downstream aggregation gives identical results
+    # whether fed by the file branch or the parsed Kafka wire rows
+    # (windowed_rates only needs ts/event_type/value — same plan).
+    cols = ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+    from_file = run_stream_to_memory(
+        windowed_rates(events_stream(spark, f"{sf_dir}/events.parquet")), spark, "complete"
+    )
+    from_wire = windowed_rates(parsed)
+    assert _sorted_rows(from_file, cols) == _sorted_rows(from_wire, cols)
+
+
+def test_kafka_branch_validates_options(spark, sf_dir):
+    with pytest.raises(ValueError, match="bootstrap"):
+        events_stream(spark, f"{sf_dir}/events.parquet", source="kafka")
+    with pytest.raises(ValueError, match="subscribe"):
+        events_stream(
+            spark,
+            f"{sf_dir}/events.parquet",
+            source="kafka",
+            kafka_options={"kafka.bootstrap.servers": "localhost:9092"},
+        )
+    with pytest.raises(ValueError, match="unknown source"):
+        events_stream(spark, f"{sf_dir}/events.parquet", source="pulsar")
+
+
 @pytest.fixture()
 def chunked_events_dir(spark, sf_dir, tmp_path):
     """events re-chunked into 3 files so maxFilesPerTrigger=1 yields 3
