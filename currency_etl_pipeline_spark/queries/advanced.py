@@ -295,6 +295,63 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "label", "cos_sim")
 
 
+@query("ivf_ann_topk_trained", oracle=None)
+def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with TRAINED coarse centroids: pyspark.ml KMeans (k=8,
+    cosine distance, fixed seed) replaces ``ivf_ann_topk``'s fixed seed
+    vectors — real coarse quantization, so cell populations follow the
+    data distribution instead of 8 arbitrary Voronoi sites. Rows-only
+    by design (KMeans centers aren't oracle-replayable in SQL); recall
+    vs the exact brute-force top-k is pinned in
+    tests/test_scale_plans.py::test_ivf_trained_recall.
+
+    Plan: training is a few passes over an (optionally sampled) corpus;
+    assignment = model.transform (map-side, centroids broadcast by ml);
+    probe cells per query come from the same tiny centroid table; the
+    candidate search is the cid equi-join — written partitioned by cid
+    at 100 TB, probing nprobe cells is partition pruning. Same shape as
+    ivf_ann_topk; only the centroid source changes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = _vecs(spark, sf_dir)
+    feats = v.select("vec_id", "label", "v", array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=8, seed=42, distanceMeasure="cosine", maxIter=20).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "label", F.col("v").alias("dv"), F.col("prediction").alias("cid")
+    )
+    # 8 trained centers — a driver-side constant (k floats), broadcast.
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cid int, cv array<double>",
+        )
+    )
+    probes_scored = (
+        v.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .crossJoin(cents)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("pcid"),
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("pcid").asc())
+    probes = F.broadcast(
+        probes_scored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "pcid")
+    )
+    cand = assigned.join(
+        probes, (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id", "vec_id", "label", F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cos_sim")
+    )
+    return top_k_per_group(
+        cand, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=5, descending=False
+    ).select("query_id", "vec_id", "label", "cos_sim")
+
+
 @query(
     "skew_salted_event_stats",
     oracle="""

@@ -149,6 +149,29 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     assert recall >= 0.35, f"LSH recall collapsed: {recall:.3f}"
 
 
+def test_ivf_trained_recall(spark, sf_dir):
+    """KMeans-trained IVF (nprobe=2 of 8 cells) must recall a usable
+    fraction of the exact cosine top-5 per query. Measured 0.53-0.60 on
+    the testdata; 0.4 floor leaves margin for k-means|| init shifting
+    with partitioning while still catching a broken assignment or probe
+    selection (random cells would recall ~2/8 of the corpus ~ 0.25)."""
+    trained = {
+        (r["query_id"], r["vec_id"])
+        for r in SPECS["ivf_ann_topk_trained"].spark(spark, sf_dir).collect()
+    }
+    exact = SPECS["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    per_query: dict = {}
+    top5 = set()
+    for r in sorted(exact, key=lambda r: (r["query_id"], -r["cos_sim"], r["vec_id"])):
+        per_query.setdefault(r["query_id"], 0)
+        if per_query[r["query_id"]] < 5:
+            per_query[r["query_id"]] += 1
+            top5.add((r["query_id"], r["vec_id"]))
+    assert len(trained) == len(top5) == 15
+    recall = len(trained & top5) / len(top5)
+    assert recall >= 0.4, f"trained-IVF recall collapsed: {recall:.3f}"
+
+
 def test_point_lookup_is_topk_not_sort(spark, sf_dir):
     plan = plan_of(SPECS["point_lookup_latest"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
