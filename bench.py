@@ -41,6 +41,12 @@ HEADLINE = [
     "lineitem_corr_moments",
     "event_sessionization",
     "lineitem_percentiles",
+    # round 3 additions (new entries appended so per-query numbers stay
+    # comparable across BENCH_r* rounds):
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "near_dup_embeddings_lsh",
+    "purchases_within_1h_before_click",
 ]
 
 

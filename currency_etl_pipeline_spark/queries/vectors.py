@@ -235,33 +235,49 @@ def near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dedup — ``near_dup_embeddings`` above is the all-pairs
     scaffolding it is checked against.
 
-    Plan: signatures = one corpus pass against 16 broadcast planes +
-    one groupBy(vec_id, band) shuffle; candidates = a (band, bucket)
-    equi-join of the signature table with itself (identical subtrees →
-    one exchange, reused), then a groupBy(vec_a, vec_b) dedups pairs
-    that collide in several bands BEFORE the cosine is evaluated. Cost
-    is Σ|bucket|² per band instead of n²; banding trades candidate
-    count for recall (more bands with fewer bits → higher recall, more
-    candidates). No nested-loop join anywhere (plan-test pinned). At
-    100 TB keep the signature table narrow (vec_id, band, bucket) and
-    re-join vectors by id after the pair dedup; here the vector rides
-    along because the corpus fits the join comfortably."""
+    Plan: signatures are NARROW — (vec_id, band, bucket) longs from one
+    corpus pass against 16 broadcast planes + one groupBy(vec_id, band)
+    shuffle; candidates = a (band, bucket) equi-join of the signature
+    table with itself (identical subtrees → one exchange, reused) and
+    a distinct() over bare id pairs, so the multi-band dedup shuffles
+    two longs per candidate, never the vectors. Vectors (with norms
+    precomputed once per vector) join back by id only for the surviving
+    unique pairs, leaving ONE dot product per pair. Cost is Σ|bucket|²
+    per band instead of n²; banding trades candidate count for recall
+    (more bands with fewer bits → higher recall, more candidates). No
+    nested-loop join anywhere (plan-test pinned)."""
     sigs = _banded_sigs(spark, sf_dir)
-    a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("dv").alias("va"), "band", "bucket")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("dv").alias("vb"), "band", "bucket")
-    cand = (
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.any_value("va").alias("va"), F.any_value("vb").alias("vb"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    cos = cosine(F.col("va"), F.col("vb"))
-    return cand.filter(cos >= 0.4).select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    # sqrt(dot(v,v)) precomputed per vector is the bitwise-identical
+    # double the oracle's per-pair formula produces — parity holds.
+    vv = _vecs(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    scored = (
+        pairs.join(
+            vv.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            "vec_a",
+        )
+        .join(
+            vv.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            "vec_b",
+        )
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return scored.filter(cos >= 0.4).select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
 
 
 def _banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, 4-bit bucket, vector) — one row per vector per
-    band, hyperplane sign bits packed per band."""
+    """Narrow (vec_id, band, 4-bit bucket) — one row per vector per
+    band, hyperplane sign bits packed per band. Three longs per row so
+    the candidate self-join and pair dedup never shuffle vectors."""
     v = _vecs(spark, sf_dir)
     planes = F.broadcast(
         v.filter(F.col("vec_id").isin(*NEARDUP_PLANE_IDS)).select(
@@ -275,5 +291,5 @@ def _banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.crossJoin(planes)
         .groupBy("vec_id", (F.col("plane_idx") / _ND_BITS).cast("int").alias("band"))
-        .agg(F.any_value(F.col("v")).alias("dv"), F.sum(bit).cast("long").alias("bucket"))
+        .agg(F.sum(bit).cast("long").alias("bucket"))
     )
