@@ -148,6 +148,76 @@ def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p."value" AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition:
+    clicks joined to same-user purchases in the trailing hour, both
+    sides live streams with watermarks — the streaming twin of the
+    batch ``purchases_within_1h_before_click`` (whose batch plan
+    buckets the same predicate). Completes §2.I: tumbling, sliding,
+    stateful, stream-static, foreachBatch, and now stream-stream.
+
+    Plan: both sides shuffle on user_id; the interval condition plus
+    the two 30-min watermarks bound the join state — each side buffers
+    only rows inside [watermark - 1 h, now] per user, so state is
+    O(rate × window), independent of stream length. Inner joins emit
+    eagerly on match (the watermark governs state eviction, not
+    emission), so driving the file stream to completion yields exactly
+    the batch inner join — which is the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+
+    clicks = (
+        events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+        "inner",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        ts_str("c_ts").alias("click_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+    return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+@query(
     "streaming_hourly_rates",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
