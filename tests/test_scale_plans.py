@@ -54,6 +54,20 @@ def test_q3_prunes_columns(spark, sf_dir):
         )
 
 
+def test_q5_filters_reach_scans(spark, sf_dir):
+    plan = plan_of(SPECS["tpch_q5_local_supplier_volume"].spark(spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed to scan"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "order-year filter not pushed to scan"
+    assert "BroadcastHashJoin" in plan, "dim sides should broadcast"
+
+
+def test_q10_is_topk_with_pushed_filters(spark, sf_dir):
+    plan = plan_of(SPECS["tpch_q10_returned_items"].spark(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag filter not pushed to scan"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "quarter filter not pushed to scan"
+    assert "TakeOrderedAndProject" in plan, "top-20 should be a top-k, not a global sort"
+
+
 def test_revenue_by_region_broadcasts_dims(spark, sf_dir):
     plan = plan_of(SPECS["revenue_by_region"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "dim joins should broadcast, not shuffle"
