@@ -218,6 +218,46 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_union",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc, "value"
+    FROM events
+    """,
+)
+def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup: two identical live streams of the events
+    table unioned (every record arrives twice, possibly in different
+    micro-batches) then ``dropDuplicates`` on event_id — the streaming
+    half of the dedup family (`exact_dedup_documents` is the batch
+    half). Driven to completion the output is exactly one row per
+    event (the oracle is the plain events table).
+
+    Plan: one shuffle on event_id; the seen-keys set lives in the
+    state store keyed by event_id. Unbounded-history dedup state grows
+    with distinct keys — production bounds it with
+    ``dropDuplicatesWithinWatermark`` once an event-time column rides
+    along (same plan, watermark-evicted state), which is the 100 TB
+    configuration; the exact form here is what the oracle can check.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+
+    def side() -> DataFrame:
+        return events_stream(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+
+    deduped = (
+        side().unionByName(side())
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", ts_str("ts").alias("ts_utc"), "value")
+    )
+    return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+@query(
     "streaming_hourly_rates",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
