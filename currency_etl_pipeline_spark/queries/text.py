@@ -481,3 +481,86 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_ish_tokens"),
         F.round(bpe * 1.0 / ws, 6).alias("fertility"),
     )
+
+
+@query(
+    "training_shard_prep",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, source, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, lang, source, n_chars, text FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               0.4 * least(len({_TOKS_DUCK}) / 100.0, 1.0)
+             + 0.3 * (1.0 - len(list_filter({_TOKS_DUCK}, x -> x IN {_STOP_SQL})) * 1.0
+                            / len({_TOKS_DUCK}))
+             + 0.3 * least(n_chars / 500.0, 1.0) AS q
+        FROM corpus
+    ),
+    gated AS (
+        SELECT * FROM scored WHERE lang IN ('en', 'de') AND round(q, 6) >= 0.5
+    ),
+    deduped AS (
+        SELECT md5(text) AS text_hash, lang, source, n_chars,
+               min(doc_id) AS keeper_doc_id,
+               any_value(len({_TOKS_DUCK})) AS n_tokens
+        FROM gated
+        GROUP BY md5(text), lang, source, n_chars, text
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars
+    FROM deduped GROUP BY lang, source
+    """,
+)
+def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard preparation in ONE lazy plan — the
+    composition every LLM data pipeline runs before tokenizing a
+    shard: quality gate (same blended score as ``quality_filter``) →
+    exact dedup (md5 hash-groupBy keeping the lowest doc_id, exercised
+    on a doubled corpus exactly like ``exact_dedup_documents``) →
+    per-(lang, source) token/char budget accounting. Demonstrates that
+    the catalog's operators compose without materialization barriers.
+
+    Plan: the quality score and hash are per-row codegen over one
+    scan; ONE shuffle for the dedup groupBy on the digest (32-char
+    keys, never full texts); the budget rollup re-aggregates the
+    deduped keys (partial aggs map-side). Token counts ride through
+    the dedup as any_value so the text column dies at the first
+    aggregation boundary — at 100 TB only hashes and counters shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "lang", "source", "n_chars", "text")
+    )
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    q = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    )
+    gated = corpus.filter(F.col("lang").isin("en", "de")).filter(F.round(q, 6) >= 0.5)
+    deduped = (
+        gated.select(
+            F.md5("text").alias("text_hash"),
+            "lang",
+            "source",
+            "n_chars",
+            "doc_id",
+            n_tokens.alias("n_toks"),
+        )
+        .groupBy("text_hash", "lang", "source", "n_chars")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.any_value("n_toks").alias("n_tokens"))
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
