@@ -30,10 +30,10 @@ from currency_etl_pipeline_spark.tables import load_table
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3))) * (1 + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE), 4) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3))) * (1 + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE), 4) AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
            round(CAST(sum(CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -46,16 +46,22 @@ from currency_etl_pipeline_spark.tables import load_table
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (the implied agg surface, SURVEY.md §2.F): scan →
     pushed filter → partial/final hash agg on 2 low-cardinality keys.
-    DECIMAL accumulation makes the sums exact and partition-order-free."""
+    DECIMAL accumulation makes the sums exact and partition-order-free.
+
+    The output-edge sums are rounded to 4 decimals: the exact DECIMAL
+    is identical in both engines, but DuckDB's DECIMAL→DOUBLE cast
+    (int128 then /10^scale — two float roundings) can land one ulp off
+    the correctly-rounded double on billion-scale sums; rounding well
+    above the ulp absorbs it (first seen at sf0.1's A/F sum_charge)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     qty, price = dec("l_quantity"), dec("l_extendedprice")
     disc, tax = dec("l_discount", 4, 3), dec("l_tax", 4, 3)
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("double").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(price).cast("double"), 4).alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)).cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double"), 4).alias("sum_charge"),
         F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
         F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
         F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
