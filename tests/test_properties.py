@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the core snapshot/skew
+operators — the invariants that must hold for ANY input, not just the
+testdata: fold/batch equivalence and strict-newest-wins for the MERGE
+rewrite, and salting-never-changes-the-answer for the skew remedies.
+
+Strategy sizes are kept small (each example builds Spark DataFrames),
+with deadline disabled — JVM calls are orders of magnitude slower than
+hypothesis' default budget assumes.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.operators.skew import salted_aggregate
+from currency_etl_pipeline_spark.operators.upsert import latest_per_key, upsert_newest_wins
+
+T0 = datetime(2024, 1, 1)
+
+# A row: (key, minutes-offset timestamp, value, row_id). Few distinct
+# keys + few distinct minutes force key collisions AND ts ties, the
+# interesting cases for newest-wins.
+row = st.tuples(
+    st.sampled_from(["k1", "k2", "k3"]),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=0, max_value=10**6),
+)
+batches = st.lists(st.lists(row, min_size=0, max_size=6), min_size=1, max_size=4)
+
+SCHEMA = "key string, ts timestamp, value int, row_id long"
+
+
+def _df(spark, rows):
+    data = [(k, T0 + timedelta(minutes=m), v, rid) for (k, m, v, rid) in rows]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+@given(batches=batches)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_upsert_equals_one_shot(spark, batches):
+    """Folding upsert_newest_wins over batches == latest_per_key of the
+    concatenation, for every input where (key, ts) is unique ACROSS
+    batches (the streaming foreachBatch invariant). With cross-batch ts
+    ties the two deliberately differ: the strict `>` rule gives
+    arrival-order precedence (earlier batch wins), while the one-shot
+    argmax picks by tie-breaker — hypothesis found exactly that case,
+    and test_equal_timestamp_keeps_current pins it separately."""
+    seen = set()
+    uniq_batches = []
+    for b in batches:
+        kept = []
+        for r in b:
+            sig = (r[0], r[1])  # (key, ts) unique across ALL batches
+            if sig not in seen:
+                seen.add(sig)
+                kept.append(r)
+        uniq_batches.append(kept)
+    all_rows = [r for b in uniq_batches for r in b]
+    if not all_rows:
+        return
+
+    snap = None
+    for b in uniq_batches:
+        batch = _df(spark, b)
+        if snap is None:
+            snap = latest_per_key(batch, ["key"], "ts", tie_breakers=["row_id"])
+        else:
+            snap = upsert_newest_wins(snap, batch, ["key"], "ts", tie_breakers=["row_id"])
+    got = sorted(tuple(r) for r in snap.collect())
+
+    want = sorted(
+        tuple(r)
+        for r in latest_per_key(_df(spark, all_rows), ["key"], "ts", tie_breakers=["row_id"]).collect()
+    )
+    assert got == want
+
+
+@given(rows=st.lists(row, min_size=1, max_size=8), upd=st.lists(row, min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_equal_timestamp_keeps_current(spark, rows, upd):
+    """The strict `>` rule: an update with ts EQUAL to the current
+    row's ts must never replace it (load_to_bigquery.py:102 semantics),
+    regardless of values or tie-breakers."""
+    current = latest_per_key(_df(spark, rows), ["key"], "ts", tie_breakers=["row_id"])
+    cur = {r["key"]: r for r in current.collect()}
+    cur_keys = sorted(cur)
+    # Force every update onto an existing key at the exact current ts.
+    data = [
+        (k, cur[k]["ts"], v, rid)
+        for i, (_, _, v, rid) in enumerate(upd)
+        for k in [cur_keys[i % len(cur_keys)]]
+    ]
+    updates = spark.createDataFrame(data, SCHEMA)
+    merged = {r["key"]: r for r in upsert_newest_wins(current, updates, ["key"], "ts").collect()}
+    for k, r in cur.items():
+        assert tuple(merged[k]) == tuple(r), f"equal-ts update replaced current row for {k}"
+
+
+@given(rows=st.lists(row, min_size=0, max_size=12), n_salts=st.sampled_from([2, 5, 16]))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_salted_aggregate_matches_plain(spark, rows, n_salts):
+    """Salting changes the plan, never the answer — for any data and
+    any salt fan-out, including empty input and single-row groups."""
+    df = _df(spark, rows)
+    salted = salted_aggregate(
+        df,
+        keys=["key"],
+        partial_aggs={"pn": F.count(F.lit(1)), "psum": F.sum("value"), "pmax": F.max("value")},
+        final_aggs={
+            "n": F.sum("pn"),
+            "total": F.sum("psum"),
+            "vmax": F.max("pmax"),
+        },
+        salt_col=F.xxhash64("row_id"),
+        salt_n=n_salts,
+    )
+    plain = df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
