@@ -201,3 +201,53 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "media", "meta").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_window_rms(assets: DataFrame, window: int = 256, hop: int = 128) -> DataFrame:
+    """Audio feature extraction for FAKE1 "PCM": the payload bytes are
+    interpreted as unsigned 8-bit samples, framed into overlapping
+    windows (``window`` samples every ``hop``), each window emitting
+    its exact integer sum-of-squares plus the derived RMS — the
+    flat-map shape of a real mel/spectrogram front-end (one asset →
+    many windows). A real deployment swaps the np.frombuffer decode
+    for soundfile/libav with the same signature; tail windows shorter
+    than ``window`` are dropped, as a hop-based STFT would.
+
+    Scale notes: identical to the other media ops — Arrow-batched
+    mapInPandas over the scan's partitioning, payload pruned right
+    after the map stage, per-window output is 5 narrow columns. The
+    exact ``sum_sq`` integers make the operator pin-testable without
+    floating-point tolerance.
+    """
+
+    def _rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("asset_id", "window_idx", "n_samples", "sum_sq", "rms")
+            }
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                raw = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+                idx = 0
+                for start in range(0, len(raw) - window + 1, hop):
+                    w = raw[start : start + window]
+                    ss = int((w * w).sum())
+                    out["asset_id"].append(aid)
+                    out["window_idx"].append(idx)
+                    out["n_samples"].append(window)
+                    out["sum_sq"].append(ss)
+                    out["rms"].append(float(np.sqrt(ss / window)))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(_rms, AUDIO_RMS_SCHEMA)

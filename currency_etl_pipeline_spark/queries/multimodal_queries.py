@@ -87,3 +87,15 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "asset_id", "out_width", "out_height", F.round("resized_mean", 6).alias("resized_mean")
     )
+
+
+@query("media_audio_rms", oracle=None)  # binary→windows; exact sum_sq pinned in tests
+def media_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio RMS over FAKE1 PCM payloads (64-sample windows,
+    32 hop) — the audio member of the multimodal family (image stats /
+    video frame-sample / audio framing). Rows-only by design: the
+    per-window exact sum_sq integers are pinned against an independent
+    pure-Python computation in tests/test_multimodal.py."""
+    from currency_etl_pipeline_spark.multimodal.media import audio_window_rms
+
+    return audio_window_rms(_assets(spark, sf_dir), window=64, hop=32)

@@ -76,3 +76,30 @@ def test_real_codec_is_stubbed(assets):
         pytest.skip("Pillow present; stub path not reachable")
     with pytest.raises(NotImplementedError, match="fake1"):
         decode_image_stats(assets, codec="jpeg")
+
+
+def test_audio_window_rms_exact_reference(assets):
+    """Per-window sum-of-squares must equal an independent pure-Python
+    computation (no numpy) — exact integers, no float tolerance; and
+    the windowing must follow the hop/tail-drop contract."""
+    import math
+
+    from currency_etl_pipeline_spark.multimodal.media import audio_window_rms
+
+    window, hop = 16, 8
+    rows = audio_window_rms(assets, window=window, hop=hop).collect()
+    by_asset: dict[int, dict[int, object]] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], {})[r["window_idx"]] = r
+    for i, t in TEXTS:
+        raw = list(t.encode())
+        expect = []
+        for start in range(0, len(raw) - window + 1, hop):
+            expect.append(sum(b * b for b in raw[start : start + window]))
+        got = by_asset.get(i, {})
+        assert sorted(got) == list(range(len(expect))), f"asset {i} window indices"
+        for idx, ss in enumerate(expect):
+            r = got[idx]
+            assert r["sum_sq"] == ss
+            assert r["n_samples"] == window
+            assert r["rms"] == pytest.approx(math.sqrt(ss / window))
