@@ -196,3 +196,63 @@ def stream_upsert_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollup_snapshot(
+    spark: SparkSession,
+    stream: DataFrame,
+    snapshot_path: str,
+    window: str = "1 hour",
+) -> "object":
+    """Continuous aggregate: maintain a MATERIALIZED per-(window,
+    event_type) rollup across micro-batches — the foreachBatch twin of
+    ``windowed_rates`` for when the rollup must live in the lake (the
+    hypertable-continuous-aggregate pattern), not a sink.
+
+    Each micro-batch aggregates itself (count + exact DECIMAL sum —
+    both MERGEABLE partials), then merges with the committed snapshot
+    by re-aggregating the union on the group keys. Commit lands in a
+    fresh SnapshotStore version (atomic pointer, crash-safe). Late
+    rows simply merge into their window's row — no watermark needed
+    because the store keeps all windows; bound retention by pruning
+    old windows on read if required.
+
+    Scale notes: the merge shuffles |snapshot| + |batch-partials|
+    rows — window×type cardinality, not event cardinality. Returns
+    the StreamingQuery; read via SnapshotStore(spark, path).read().
+    """
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, snapshot_path)
+    keys = ["window_start", "event_type"]
+
+    def _partials(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).alias("sum_value"),
+            )
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        part = _partials(batch_df)
+        if store.exists():
+            merged = (
+                store.read()
+                .unionByName(part)
+                .groupBy(*keys)
+                .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+            )
+        else:
+            merged = part
+        store.commit(merged)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -128,3 +128,33 @@ def test_incremental_upsert_equals_batch_merge(spark, sf_dir, chunked_events_dir
     ev = load_table(spark, sf_dir, "events")
     want = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(*SNAP_COLS)
     assert _sorted_rows(got, SNAP_COLS) == _sorted_rows(want, SNAP_COLS)
+
+
+def test_incremental_rollup_equals_batch(spark, sf_dir, chunked_events_dir, tmp_path):
+    """The continuous-aggregate foreachBatch rollup, fed 3 micro-batches
+    with interleaved windows, must equal the one-shot batch aggregation
+    (count and DECIMAL sums are mergeable partials — associativity is
+    the whole point)."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_rollup_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunked_events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_events_dir)
+    )
+    snap_path = str(tmp_path / "rollup_snap")
+    q = stream_rollup_snapshot(spark, stream, snap_path)
+    q.awaitTermination()
+
+    got = SnapshotStore(spark, snap_path).read()
+    want = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
