@@ -564,3 +564,69 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE c.n_common * 1.0 / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.6
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER formation: connected components over the
+    near-dup pair graph (exact shingle-Jaccard >= 0.6 pairs, the same
+    edge set as ``near_dup_jaccard_pairs``), labeling every involved
+    doc with the min doc_id reachable — the step that turns pairwise
+    similarity into "keep one per transitive cluster" for corpus
+    pruning.
+
+    Plan: pair generation is the pinned inverted-index join; the
+    component labels come from iterative min-label propagation
+    (operators/graph.py) — one shuffle per superstep, supersteps
+    bounded by cluster diameter (near-dup clusters are short chains).
+    The oracle replays the closure with a recursive CTE; the driver
+    check therefore covers an ITERATIVE algorithm end-to-end.
+    """
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    sh = exploded(docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")), ["doc_id", "n"], F.col("sh"), "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common")) >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

@@ -126,3 +126,15 @@ def test_salted_aggregate_matches_plain(spark, rows, n_salts):
         F.max("value").alias("vmax"),
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chains collapse to one component (min id), disjoint
+    islands stay apart, direction is ignored."""
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21), (40, 30)], "s long, d long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges, "s", "d").collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 30, 40: 30}
