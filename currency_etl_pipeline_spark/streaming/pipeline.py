@@ -163,6 +163,7 @@ def stream_upsert_snapshot(
     snapshot_path: str,
     cols: list[str],
     tie_breakers: tuple[str, ...] = ("event_id",),
+    checkpoint_dir: str | None = None,
 ) -> "object":
     """foreachBatch upsert: each micro-batch is deduped to its newest
     per key and merged newest-wins into the snapshot committed at
@@ -175,6 +176,13 @@ def stream_upsert_snapshot(
     cluster storage, not driver memory. Returns the StreamingQuery
     (caller stops it); read the result via
     ``SnapshotStore(spark, snapshot_path).read()``.
+
+    Pass ``checkpoint_dir`` in production: source offsets are then
+    tracked per epoch, so a restarted query resumes from the last
+    committed batch instead of reprocessing the stream. A replayed
+    epoch (crash between store.commit and the checkpoint write) is
+    harmless — the newest-wins merge is idempotent, so at-least-once
+    delivery still yields exactly-once snapshot state.
     """
     from currency_etl_pipeline_spark.operators.upsert import latest_per_key
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
@@ -190,12 +198,10 @@ def stream_upsert_snapshot(
             new_snap = latest_per_key(batch, keys, ts_col, tie_breakers=ties)
         store.commit(new_snap)
 
-    return (
-        stream.writeStream.outputMode("update")
-        .foreachBatch(_upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.outputMode("update").foreachBatch(_upsert).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def stream_rollup_snapshot(
@@ -203,6 +209,7 @@ def stream_rollup_snapshot(
     stream: DataFrame,
     snapshot_path: str,
     window: str = "1 hour",
+    checkpoint_dir: str | None = None,
 ) -> "object":
     """Continuous aggregate: maintain a MATERIALIZED per-(window,
     event_type) rollup across micro-batches — the foreachBatch twin of
@@ -220,6 +227,13 @@ def stream_rollup_snapshot(
     Scale notes: the merge shuffles |snapshot| + |batch-partials|
     rows — window×type cardinality, not event cardinality. Returns
     the StreamingQuery; read via SnapshotStore(spark, path).read().
+
+    CAUTION on replay: unlike the newest-wins upsert, the count/sum
+    merge is NOT idempotent — a replayed epoch double-counts. Pass
+    ``checkpoint_dir`` in production AND keep SnapshotStore retain
+    deep enough that a restart can roll back to the version matching
+    the last checkpointed epoch; the availableNow test harness runs
+    each batch exactly once, so the equivalence test holds without it.
     """
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
 
@@ -250,9 +264,7 @@ def stream_rollup_snapshot(
             merged = part
         store.commit(merged)
 
-    return (
-        stream.writeStream.outputMode("update")
-        .foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.outputMode("update").foreachBatch(_merge).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -158,3 +158,52 @@ def test_incremental_rollup_equals_batch(spark, sf_dir, chunked_events_dir, tmp_
     )
     cols = ["window_start", "event_type", "n_events", "sum_value"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_checkpointed_upsert_resumes_without_replay(spark, sf_dir, chunked_events_dir, tmp_path):
+    """With a checkpoint dir, a RESTARTED upsert query resumes from
+    committed offsets: run over the first data, restart after more
+    data arrives, and the store must hold the full merge while the
+    second run's checkpoint shows it only consumed the new files
+    (no duplicate snapshot versions from replaying old batches)."""
+    import os
+    import shutil
+
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    schema = load_table(spark, sf_dir, "events").schema
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for c in [0, 1]:
+        shutil.copytree(f"{chunked_events_dir}/chunk={c}", f"{src}/part{c}")
+
+    snap_path, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/part*")
+        )
+        q = stream_upsert_snapshot(
+            spark, stream, KEYS, "ts", snap_path, SNAP_COLS, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = SnapshotStore(spark, snap_path)
+    v_after_first = int(store._latest()[1:])
+    assert v_after_first >= 1
+
+    # New data arrives; restart the query with the SAME checkpoint.
+    shutil.copytree(f"{chunked_events_dir}/chunk=2", f"{src}/part2")
+    run()
+
+    # Only the new file(s) were processed: version count grew by the
+    # number of NEW micro-batches, not by a full replay.
+    v_after_second = int(store._latest()[1:])
+    assert 1 <= v_after_second - v_after_first <= 2, (
+        f"restart replayed old batches: v{v_after_first} -> v{v_after_second}"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(*SNAP_COLS)
+    assert _sorted_rows(store.read(), SNAP_COLS) == _sorted_rows(want, SNAP_COLS)
