@@ -219,6 +219,41 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_ivf_corpus_partitioned_by_cell_prunes(spark, sf_dir, tmp_path):
+    """The IVF docstrings claim that at scale the assigned corpus is
+    written partitioned BY cid so probing nprobe cells is partition
+    pruning, not a join. Pin that: materialize the assignment
+    partitioned by cid, probe two cells, and require the cid filter to
+    land in PartitionFilters (only those directories scanned)."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
+    from currency_etl_pipeline_spark.queries.advanced import CENTROID_IDS
+
+    v = _vecs(spark, sf_dir)
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(*CENTROID_IDS)).select(
+            (F.col("vec_id") - 20).alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        v.crossJoin(cents)
+        .select("vec_id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cid").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cid").isin(1, 3))
+    plan = plan_of(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), "probe filter did not become a partition filter"
+    assert probe.count() > 0
+
+
 def test_historical_partition_pruning(spark, tmp_path):
     from currency_etl_pipeline_spark.sources.warehouse import Warehouse
 
