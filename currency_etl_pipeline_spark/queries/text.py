@@ -630,3 +630,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "token_positions",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents WHERE doc_id < 50
+    ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, least(len(toks), 8))) AS i FROM t
+    )
+    SELECT doc_id, i - 1 AS pos, toks[i] AS token, len(toks[i]) AS token_len
+    FROM idx
+    """,
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization via ``posexplode`` — the ordinal
+    generator (§2.A S2's map→rows, second form: position matters).
+    First 8 token positions of each small-id document with per-token
+    length, the shape a positional n-gram / alignment feature needs.
+
+    Plan: Generate(posexplode) is a narrow map-side expansion
+    bounded by slice(…, 8) BEFORE the explode — no shuffle, and the
+    generator emits at most 8 rows per document regardless of length.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    first8 = F.slice(tokens(), 1, 8)
+    return docs.select("doc_id", F.posexplode(first8).alias("pos", "token")).withColumn(
+        "token_len", F.length("token")
+    )
