@@ -125,6 +125,22 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the planted near-dups sit at ≥ 0.89; the background is ≤ 0.1).
     Inverted-index join: explode distinct shingles → self-equi-join on
     shingle → count common → Jaccard from set sizes."""
+    jac = _jaccard_expr()
+    return _jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _jaccard_expr():
+    return F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+    """Shared edge set for the Jaccard near-dup family: (doc_a, doc_b,
+    n_a, n_b, n_common) for every pair with exact shingle-Jaccard >=
+    threshold. Both ``near_dup_jaccard_pairs`` and ``dedup_clusters``
+    derive from this, so the threshold and the plan shape can never
+    silently diverge between them."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
     # One linear pipeline: size rides along with each exploded row, so the
     # expensive shingle expression is evaluated in exactly ONE subtree (the
@@ -134,7 +150,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = exploded(docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")), ["doc_id", "n"], F.col("sh"), "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -143,11 +159,7 @@ def near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        pairs.filter(jac >= 0.6)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(_jaccard_expr() >= threshold)
     )
 
 
@@ -611,22 +623,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from currency_etl_pipeline_spark.operators.graph import connected_components
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
-    sh = exploded(docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")), ["doc_id", "n"], F.col("sh"), "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common")) >= 0.6)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -109,6 +109,21 @@ class SnapshotStore:
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - self.retain:
                 shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
 
+    def rollback(self, version: int) -> None:
+        """Flip the pointer back to a retained version (recovery after a
+        crash between a commit and its consumer's own bookkeeping —
+        e.g. a streaming checkpoint that never recorded the epoch).
+        Raises if that version was already pruned."""
+        name = f"v{version:08d}"
+        if not os.path.isdir(os.path.join(self.base, name)):
+            raise FileNotFoundError(
+                f"version {name} not on disk under {self.base} (pruned? raise retain)"
+            )
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, self._pointer_path())
+
 
 class Warehouse:
     def __init__(self, spark: SparkSession, base_path: str):
@@ -133,10 +148,34 @@ class Warehouse:
     def historical(self) -> DataFrame:
         return self.spark.read.parquet(self.historical_path).drop("rate_date")
 
+    def _migrate_legacy_current(self) -> None:
+        """One-time adoption of a pre-SnapshotStore layout: earlier
+        versions wrote the snapshot's parquet part-files directly under
+        ``current_rates/`` with no ``_LATEST`` pointer. Without this,
+        such a warehouse would read as empty and the next upsert would
+        silently rebuild the snapshot from one batch, discarding every
+        previously-merged key. Commit the legacy files as version 1,
+        then remove them (the store owns the directory from here on)."""
+        if self._store.exists() or not os.path.isdir(self.current_path):
+            return
+        legacy = [
+            n for n in os.listdir(self.current_path)
+            if n.endswith(".parquet") or n == "_SUCCESS" or n.startswith("part-")
+        ]
+        if not any(n.startswith("part-") for n in legacy):
+            return
+        snap = self.spark.read.parquet(self.current_path)
+        # Materialize before deleting the files the plan reads from.
+        self._store.commit(snap.localCheckpoint(eager=True))
+        for n in legacy:
+            p = os.path.join(self.current_path, n)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
     def upsert_current(self, batch: DataFrame) -> None:
         """J1-J3: MERGE rewrite. Equal timestamps keep the existing row
         (load_to_bigquery.py:102's strict `>`); the update batch is
         deduped to its own newest first."""
+        self._migrate_legacy_current()
         if not self._store.exists():
             snap = latest_per_key(batch, KEYS, "timestamp")
         else:
@@ -147,6 +186,7 @@ class Warehouse:
         self._store.commit(snap)
 
     def current(self) -> DataFrame:
+        self._migrate_legacy_current()
         return self._store.read()
 
     def load_batch(self, batch: DataFrame) -> None:

@@ -72,6 +72,7 @@ def events_stream(
     max_files_per_trigger: int | None = None,
     source: str = "file",
     kafka_options: dict[str, str] | None = None,
+    schema=None,
 ) -> DataFrame:
     """Streaming events source. ``source="file"`` streams the parquet
     table (the test/CI path); ``source="kafka"`` subscribes to a topic
@@ -80,7 +81,11 @@ def events_stream(
     schema — downstream plans are shared verbatim between the two
     branches. Requires the spark-sql-kafka connector on the classpath
     (not shipped in this container; the parse stage is still fully
-    tested via its batch twin)."""
+    tested via its batch twin).
+
+    On a brokerful deployment pass ``schema`` (the events StructType)
+    explicitly — otherwise the kafka branch derives it from the local
+    parquet fixture at ``path``, which only exists in test layouts."""
     if source == "kafka":
         opts = dict(kafka_options or {})
         if "kafka.bootstrap.servers" not in opts:
@@ -90,8 +95,10 @@ def events_stream(
         reader = spark.readStream.format("kafka")
         for k, v in opts.items():
             reader = reader.option(k, v)
-        sf_dir = path.rsplit("/", 1)[0] if path.endswith("events.parquet") else path
-        return parse_kafka_events(reader.load(), events_schema(spark, sf_dir))
+        if schema is None:
+            sf_dir = path.rsplit("/", 1)[0] if path.endswith("events.parquet") else path
+            schema = events_schema(spark, sf_dir)
+        return parse_kafka_events(reader.load(), schema)
     if source != "file":
         raise ValueError(f"unknown source {source!r}")
     schema = load_table(spark, path.rsplit("/", 1)[0], "events").schema if path.endswith("events.parquet") else None
@@ -191,11 +198,19 @@ def stream_upsert_snapshot(
     ties = [t for t in tie_breakers if t in cols]
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.select(*cols)
+        # Dedup BEFORE projecting to cols: tie-breakers (event_id) may
+        # not survive the projection, and dropping them would make
+        # equal-(key, ts) resolution partition-order-dependent. The
+        # batch keeps every tie-breaker column, so the argmax is total.
+        batch_ties = [t for t in tie_breakers if t in batch_df.columns]
+        batch = latest_per_key(batch_df, keys, ts_col, tie_breakers=batch_ties).select(*cols)
         if store.exists():
+            # updates are already unique per key; ties between current
+            # and update rows at equal ts resolve to current via the
+            # priority column inside upsert_newest_wins.
             new_snap = upsert_newest_wins(store.read(), batch, keys, ts_col, tie_breakers=ties)
         else:
-            new_snap = latest_per_key(batch, keys, ts_col, tie_breakers=ties)
+            new_snap = batch
         store.commit(new_snap)
 
     writer = stream.writeStream.outputMode("update").foreachBatch(_upsert).trigger(availableNow=True)
@@ -210,11 +225,14 @@ def stream_rollup_snapshot(
     snapshot_path: str,
     window: str = "1 hour",
     checkpoint_dir: str | None = None,
+    retain: int = 4,
 ) -> "object":
     """Continuous aggregate: maintain a MATERIALIZED per-(window,
     event_type) rollup across micro-batches — the foreachBatch twin of
     ``windowed_rates`` for when the rollup must live in the lake (the
-    hypertable-continuous-aggregate pattern), not a sink.
+    hypertable-continuous-aggregate pattern), not a sink. ``window``
+    takes any Spark window duration ('15 minutes', '1 hour', ...);
+    window_start labels each bucket's inclusive start.
 
     Each micro-batch aggregates itself (count + exact DECIMAL sum —
     both MERGEABLE partials), then merges with the committed snapshot
@@ -230,20 +248,22 @@ def stream_rollup_snapshot(
 
     CAUTION on replay: unlike the newest-wins upsert, the count/sum
     merge is NOT idempotent — a replayed epoch double-counts. Pass
-    ``checkpoint_dir`` in production AND keep SnapshotStore retain
-    deep enough that a restart can roll back to the version matching
-    the last checkpointed epoch; the availableNow test harness runs
-    each batch exactly once, so the equivalence test holds without it.
+    ``checkpoint_dir`` in production AND a ``retain`` deep enough to
+    cover the crash window; after a crash between store.commit and
+    the checkpoint write, call ``SnapshotStore.rollback`` to the
+    version preceding the uncheckpointed commit before restarting.
+    The availableNow test harness runs each batch exactly once, so
+    the equivalence test holds without any of this.
     """
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
 
-    store = SnapshotStore(spark, snapshot_path)
+    store = SnapshotStore(spark, snapshot_path, retain=retain)
     keys = ["window_start", "event_type"]
 
     def _partials(df: DataFrame) -> DataFrame:
         return (
             df.groupBy(
-                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                F.date_format(F.window("ts", window).getField("start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type",
             ).agg(
                 F.count(F.lit(1)).alias("n_events"),

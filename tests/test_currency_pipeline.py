@@ -165,3 +165,36 @@ def test_snapshot_store_recovers_from_orphan_version(spark, tmp_path):
     with open(os.path.join(base, "_LATEST")) as fh:
         assert fh.read().strip() == "v00000003"
     assert store.read().agg(F.max("gen")).collect()[0][0] == 1
+
+
+def test_warehouse_adopts_legacy_current_layout(spark, tmp_path):
+    """A warehouse whose current_rates/ was written by the
+    pre-SnapshotStore code (parquet part-files, no _LATEST pointer)
+    must be adopted, not treated as empty — the next upsert merges
+    WITH the legacy rows instead of silently rebuilding from one
+    batch."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    base = str(tmp_path / "wh_legacy")
+    legacy = _batch(spark, T0)
+    # Simulate the old layout: snapshot parquet directly at current_rates/.
+    legacy_path = os.path.join(base, "current_rates")
+    legacy.write.parquet(legacy_path)
+    assert not os.path.exists(os.path.join(legacy_path, "_LATEST"))
+
+    wh = Warehouse(spark, base)
+    # Reading adopts the legacy files as v1.
+    assert sorted(map(tuple, wh.current().collect())) == sorted(map(tuple, legacy.collect()))
+    assert os.path.exists(os.path.join(legacy_path, "_LATEST"))
+
+    # And an upsert MERGES with the adopted snapshot (newer ts wins,
+    # unknown keys insert) rather than starting from scratch.
+    newer = _batch(spark, T1)
+    wh.upsert_current(newer)
+    got = {(r["base_currency"], r["target_currency"]): r["rate"] for r in wh.current().collect()}
+    want = {(r["base_currency"], r["target_currency"]): r["rate"] for r in newer.collect()}
+    for k, rate in want.items():
+        assert got[k] == rate
+    assert len(got) >= len({(r["base_currency"], r["target_currency"]) for r in legacy.collect()})
