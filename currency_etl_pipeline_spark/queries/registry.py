@@ -6,7 +6,10 @@ Oracle-parity conventions (FIXTURES.md):
 3. multi-row double sums go through exact DECIMAL (see functions.scalars.dec)
    so both engines produce the identical double — per-row double math is
    already IEEE-deterministic;
-4. timestamps rendered as UTC microsecond strings (ts_str / strftime).
+4. timestamps rendered as UTC microsecond strings (ts_str / strftime);
+5. integer sums in oracles are CAST(... AS BIGINT) — DuckDB widens
+   sum(BIGINT/INT) to HUGEINT, which serializes differently from Spark's
+   BIGINT and breaks the driver's value hash on type, not value.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ def _row_passed(row) -> bool:
     re-adjudicated first next round.
     """
     if not isinstance(row, dict):
-        return True  # malformed/empty rows carry no failure signal
+        return False  # malformed/truncated rows must re-enter the checked prefix
     err = row.get("err")
     if err is not None and err != "no_oracle":
         return False

@@ -523,8 +523,8 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM deduped GROUP BY lang, source
     """,
 )

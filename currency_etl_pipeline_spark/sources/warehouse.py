@@ -49,6 +49,7 @@ class SnapshotStore:
     """
 
     POINTER = "_LATEST"
+    TAG = "_TAG"
 
     def __init__(self, spark: SparkSession, base: str, retain: int = 4):
         """``retain`` is the reader grace window: a reader that resolved
@@ -85,7 +86,12 @@ class SnapshotStore:
             return []
         return [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
 
-    def commit(self, snap: DataFrame) -> None:
+    def commit(self, snap: DataFrame, tag: str | None = None) -> None:
+        """``tag`` (optional) is an opaque marker written INSIDE the new
+        version dir before the pointer flip, so it becomes visible
+        atomically with the data it describes — used by streaming
+        writers to record the micro-batch epoch a version came from
+        (see ``latest_tag`` and ``stream_rollup_snapshot``)."""
         latest = self._latest()
         pointed = int(latest[1:]) if latest else 0
         # Next version = max(pointer, every v* dir on disk) + 1, so a crash
@@ -96,11 +102,25 @@ class SnapshotStore:
         version = f"v{n + 1:08d}"
         # The one data write; may lazily read the old version dir.
         snap.write.mode("error").parquet(os.path.join(self.base, version))
+        if tag is not None:
+            with open(os.path.join(self.base, version, self.TAG), "w") as fh:
+                fh.write(tag)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
         self._prune(n + 1)
+
+    def latest_tag(self) -> str | None:
+        """The tag committed with the live version (None if untagged)."""
+        latest = self._latest()
+        if latest is None:
+            return None
+        try:
+            with open(os.path.join(self.base, latest, self.TAG)) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
 
     def _prune(self, live: int) -> None:
         """Drop versions older than the retained window (prune AFTER the
@@ -113,11 +133,20 @@ class SnapshotStore:
         """Flip the pointer back to a retained version (recovery after a
         crash between a commit and its consumer's own bookkeeping —
         e.g. a streaming checkpoint that never recorded the epoch).
-        Raises if that version was already pruned."""
+        Raises if that version was already pruned, or if the dir is an
+        orphan from a crashed commit (no ``_SUCCESS`` marker — the same
+        torn-write scenario ``commit`` guards against must never be
+        installed as the live snapshot)."""
         name = f"v{version:08d}"
-        if not os.path.isdir(os.path.join(self.base, name)):
+        vdir = os.path.join(self.base, name)
+        if not os.path.isdir(vdir):
             raise FileNotFoundError(
                 f"version {name} not on disk under {self.base} (pruned? raise retain)"
+            )
+        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"version {name} has no _SUCCESS marker — partially-written "
+                "orphan from a crashed commit; refusing to install it as live"
             )
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as fh:

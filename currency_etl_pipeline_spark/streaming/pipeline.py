@@ -101,7 +101,17 @@ def events_stream(
         return parse_kafka_events(reader.load(), schema)
     if source != "file":
         raise ValueError(f"unknown source {source!r}")
-    schema = load_table(spark, path.rsplit("/", 1)[0], "events").schema if path.endswith("events.parquet") else None
+    if schema is None:
+        schema = (
+            load_table(spark, path.rsplit("/", 1)[0], "events").schema
+            if path.endswith("events.parquet")
+            else None
+        )
+    if schema is None:
+        raise ValueError(
+            "file-source streams require an explicit schema; pass schema= for "
+            "paths that are not an events.parquet fixture"
+        )
     reader = spark.readStream
     if schema is not None:
         # Underlying files store ts as nanos-long; stream reads long then converts.
@@ -246,14 +256,16 @@ def stream_rollup_snapshot(
     rows — window×type cardinality, not event cardinality. Returns
     the StreamingQuery; read via SnapshotStore(spark, path).read().
 
-    CAUTION on replay: unlike the newest-wins upsert, the count/sum
-    merge is NOT idempotent — a replayed epoch double-counts. Pass
-    ``checkpoint_dir`` in production AND a ``retain`` deep enough to
-    cover the crash window; after a crash between store.commit and
-    the checkpoint write, call ``SnapshotStore.rollback`` to the
-    version preceding the uncheckpointed commit before restarting.
-    The availableNow test harness runs each batch exactly once, so
-    the equivalence test holds without any of this.
+    Replay safety: the count/sum merge is not naturally idempotent, so
+    each commit is tagged with its micro-batch ``epoch_id`` (written
+    inside the version dir, installed atomically with the pointer
+    flip) and ``_merge`` no-ops when ``epoch_id <=`` the live
+    version's tag. foreachBatch's at-least-once replay after a crash
+    between store.commit and the checkpoint write therefore merges
+    each epoch exactly once — same guarantee as the upsert path, no
+    manual rollback needed. The tag is scoped to one checkpoint
+    lifetime (epoch ids restart at 0 with a fresh ``checkpoint_dir``);
+    point a fresh checkpoint at a fresh ``snapshot_path``.
     """
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
 
@@ -272,6 +284,9 @@ def stream_rollup_snapshot(
         )
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        last = store.latest_tag()
+        if last is not None and epoch_id <= int(last):
+            return  # replayed epoch already merged into the live version
         part = _partials(batch_df)
         if store.exists():
             merged = (
@@ -282,7 +297,7 @@ def stream_rollup_snapshot(
             )
         else:
             merged = part
-        store.commit(merged)
+        store.commit(merged, tag=str(epoch_id))
 
     writer = stream.writeStream.outputMode("update").foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:

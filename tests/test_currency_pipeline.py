@@ -198,3 +198,33 @@ def test_warehouse_adopts_legacy_current_layout(spark, tmp_path):
     for k, rate in want.items():
         assert got[k] == rate
     assert len(got) >= len({(r["base_currency"], r["target_currency"]) for r in legacy.collect()})
+
+
+def test_rollback_refuses_torn_version(spark, tmp_path):
+    """rollback must never install a version dir without a _SUCCESS
+    marker — that is exactly the partially-written orphan a crashed
+    commit leaves, and flipping the pointer to it would make a torn
+    snapshot live."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    base = str(tmp_path / "snap")
+    os.makedirs(base)
+    store = SnapshotStore(spark, base, retain=4)
+    store.commit(spark.range(3).withColumn("gen", F.lit(0)))
+    store.commit(spark.range(3).withColumn("gen", F.lit(1)))
+
+    # Simulate the torn write: strip v1's completion marker.
+    os.remove(os.path.join(base, "v00000001", "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+        store.rollback(1)
+    # Pointer untouched; a pruned version still reports pruned.
+    assert store.read().agg(F.max("gen")).collect()[0][0] == 1
+    with pytest.raises(FileNotFoundError, match="not on disk"):
+        store.rollback(7)
+
+    # A complete retained version still rolls back fine.
+    store.commit(spark.range(3).withColumn("gen", F.lit(2)))
+    store.rollback(2)
+    assert store.read().agg(F.max("gen")).collect()[0][0] == 1

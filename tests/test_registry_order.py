@@ -87,3 +87,16 @@ def test_driver_entry_uses_rotation_order():
     import __spark_entry__ as entry
 
     assert list(entry.queries()) == ordered_names()
+
+
+def test_malformed_rows_reenter_tier_zero(tmp_path):
+    """A truncated/corrupt CORRECTNESS row (non-dict) carries no pass
+    signal — it must sort into tier 0 for re-checking, not rotate to
+    the tail as if it had recently passed."""
+    names = list(_REGISTRY)
+    corrupt = names[2]
+    rows = {n: {"rows_match": True, "err": None} for n in names}
+    rows[corrupt] = "truncated garbage"
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    order = ordered_names(root=tmp_path)
+    assert order[0] == corrupt

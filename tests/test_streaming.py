@@ -207,3 +207,67 @@ def test_checkpointed_upsert_resumes_without_replay(spark, sf_dir, chunked_event
     ev = load_table(spark, sf_dir, "events")
     want = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(*SNAP_COLS)
     assert _sorted_rows(store.read(), SNAP_COLS) == _sorted_rows(want, SNAP_COLS)
+
+
+def test_rollup_replayed_epoch_is_noop(spark, sf_dir, chunked_events_dir, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch must NOT
+    double-count the rollup. Each commit is tagged with its epoch_id
+    (installed atomically with the pointer flip), so re-running the
+    same epochs against the same store merges nothing — the snapshot
+    still equals the one-shot batch aggregate."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_rollup_snapshot
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(chunked_events_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunked_events_dir)
+        )
+        q = stream_rollup_snapshot(spark, stream, snap_path)
+        q.awaitTermination(120)
+
+    snap_path = str(tmp_path / "rollup_snap")
+    run()
+    store = SnapshotStore(spark, snap_path)
+    assert store.latest_tag() is not None
+    # Replay: same data, fresh (absent) checkpoint -> epochs 0..2 again.
+    run()
+
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(store.read(), cols) == _sorted_rows(want, cols)
+
+
+def test_file_stream_honors_explicit_schema(spark, sf_dir, tmp_path):
+    """ADVICE: a caller-supplied schema must not be discarded by the
+    file branch — a path that is not an events.parquet fixture streams
+    with the passed schema; without one it raises instead of failing
+    deep inside Spark."""
+    import os
+    import shutil
+
+    from currency_etl_pipeline_spark.streaming.pipeline import events_schema
+
+    src = str(tmp_path / "evcopy")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "data.parquet"))
+    schema = events_schema(spark, sf_dir)
+
+    stream = events_stream(spark, src, schema=schema)
+    got = run_stream_to_memory(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), spark, "complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert _sorted_rows(got, ["event_type", "n"]) == _sorted_rows(want, ["event_type", "n"])
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        events_stream(spark, src)
