@@ -579,3 +579,118 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+               AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2))
+            * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < CAST(0.2 AS DECIMAL(2,1))
+            * (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    the per-group CORRELATED SCALAR subquery class (``l_quantity <
+    0.2 * avg(l_quantity) per part``), the one subquery family the
+    catalog lacked (reference's BigQuery surface supports correlated
+    scalars directly, app.py:156 is trivially extendable).
+
+    Decorrelation is the standard aggregate-then-rejoin rewrite: one
+    partial+final hash agg computes per-part (sum(qty), count) — a
+    part-count-sized table, tiny relative to lineitem — which Spark
+    BROADCASTS back onto lineitem (plan-pinned in
+    tests/test_scale_plans.py). The comparison is exact DECIMAL
+    cross-multiplication (qty*n < 0.2*sum ⟺ qty < 0.2*avg, n>0) so
+    both engines agree bit-for-bit regardless of partial-agg order —
+    a double `avg` threshold would be partition-order dependent.
+
+    At 100 TB: per-part averages are |part| rows (~1/30 of lineitem);
+    the rejoin shuffles nothing if the agg side broadcasts, else it is
+    a partkey equi-shuffle. No per-row subquery execution survives —
+    that is the whole point of the rewrite.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 18, 2)).alias("part_qty_sum"),
+        F.count(F.lit(1)).alias("part_n"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    small = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(per_part), "l_partkey")
+        .filter(
+            dec("l_quantity", 18, 2) * F.col("part_n")
+            < F.lit(0.2).cast("decimal(2,1)") * F.col("part_qty_sum")
+        )
+    )
+    return small.agg(
+        (F.sum(dec("l_extendedprice", 18, 2)).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING
+    zero-order customers — the outer-join-with-empty-side aggregation
+    class (the anti-join twin `customers_without_orders_anti` returns
+    0 rows on this data, so this is the non-vacuous exercise of the
+    count-includes-no-match path; the priority filter guarantees a
+    zero bucket at sf0.01).
+
+    The join predicate filter (`o_orderpriority <> ...`) must live IN
+    the join condition, not a WHERE clause — pushing it to WHERE would
+    silently convert the outer join to inner and drop the zero bucket.
+    `count(o_orderkey)` (not count(*)) yields 0 for no-match customers
+    because the null-extended column doesn't count.
+
+    At 100 TB: orders filter pushes to the scan (it's a join-side
+    predicate on the non-preserved side, safe to push); the outer join
+    shuffles both sides on custkey; the two aggs are partial+final
+    hash aggs, the second over ~|distinct counts| rows. Nothing
+    broadcasts — both sides are fact-scale, which is exactly the shape
+    AQE handles with skew-join splitting if custkey skews.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

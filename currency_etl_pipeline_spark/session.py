@@ -39,6 +39,11 @@ def get_spark(app_name: str = "currency_etl_pipeline_spark", shuffle_partitions:
         # type — read as long, tables.load_table converts to micros
         # (truncation identical to DuckDB's ns→us read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Engine contract: timestamps are UTC instants (TimestampType).
+        # Micros parquet written isAdjustedToUTC=false would otherwise
+        # infer TIMESTAMP_NTZ, which watermarks/event-time reject; with
+        # the session tz pinned to UTC the instant values are identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -54,4 +59,5 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -113,17 +113,17 @@ def events_stream(
             "paths that are not an events.parquet fixture"
         )
     reader = spark.readStream
-    if schema is not None:
-        # Underlying files store ts as nanos-long; stream reads long then converts.
-        import pyspark.sql.types as T
+    # The resolved schema is whatever the batch reader yields for the same
+    # files: a micros-stored ts arrives as TimestampType and streams as-is;
+    # a nanos-stored ts arrives as long (nanosAsLong) and is converted
+    # after the scan — the ts unit is a property of the FILES, not of this
+    # code, so the branch keys off the observed type rather than assuming.
+    import pyspark.sql.types as T
 
-        raw_schema = T.StructType(
-            [
-                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
-        reader = reader.schema(raw_schema)
+    ts_is_raw_long = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType) for f in schema.fields
+    )
+    reader = reader.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet") and "/" in path:
@@ -134,7 +134,9 @@ def events_stream(
         df = reader.parquet(base)
     else:
         df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_raw_long:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def windowed_rates(stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:

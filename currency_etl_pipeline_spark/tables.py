@@ -44,7 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine contract: timestamps are UTC instants everywhere (fixes the
     # reference's naive-local-time bug, fetch.py:51-53). Pinned here so
     # queries are correct even on a caller session with a local tz.
+    # NTZ inference is disabled for the same reason: micros parquet
+    # written isAdjustedToUTC=false must still surface as TimestampType
+    # (instants) or event-time/watermark operators reject the column.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -290,3 +290,30 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = plan_of(joined)
     assert "dynamicpruningexpression" in plan, "no runtime partition pruning in fact scan"
     assert joined.count() > 0
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    """Q17's decorrelation only pays off if the per-part aggregate
+    side broadcasts back onto lineitem (|part|-sized, ~1/30 of
+    lineitem) instead of shuffling the fact table, and if the brand
+    filter reaches the part scan. A per-row correlated subquery shape
+    (nested loop / cartesian) must never appear."""
+    plan = plan_of(SPECS["tpch_q17_small_quantity_revenue"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "both the brand-part side and the per-part avg side should broadcast"
+    )
+    assert "EqualTo(p_brand,Brand#23)" in plan, "brand filter not pushed to part scan"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
+    """Q13's orders-side filter must stay IN the join (pushed to the
+    orders scan is fine — it's the non-preserved side) without
+    converting the LEFT OUTER to inner, or zero-order customers fall
+    out of the histogram."""
+    df = SPECS["tpch_q13_customer_distribution"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan, "outer join was converted to inner"
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, (
+        "orders filter should push to the orders scan (non-preserved side)"
+    )
