@@ -278,3 +278,66 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, f"{sf_dir}/events.parquet")
     agg = windowed_rates(stream, window="1 hour", watermark="30 minutes")
     return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, "value",
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, "value",
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-based sessionization: the exact
+    ``session_window`` plan of the batch `event_sessionization` query
+    run as a real Structured Streaming job (file source → watermark →
+    session windows → memory sink, driven to completion) — proving the
+    batch query's docstring claim that it "runs unchanged under
+    Structured Streaming". Same lag/flag/cumsum oracle as the batch
+    twin; the complete-mode result must match it row for row.
+
+    Plan: one shuffle on user_id (the session key); open sessions live
+    in the state store keyed by (user_id, window) and MERGE when a new
+    event falls inside an existing window's [start, end+gap). In
+    production (append/update mode) the 30-min watermark closes and
+    evicts sessions whose end precedes it, so state is O(active
+    sessions), independent of stream length; complete mode here only
+    serves the oracle comparison.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import dec, ts_str
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.min("ts").alias("start_ts"),
+        )
+        .select(
+            "user_id",
+            ts_str("start_ts").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete")

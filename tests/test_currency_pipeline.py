@@ -228,3 +228,27 @@ def test_rollback_refuses_torn_version(spark, tmp_path):
     store.commit(spark.range(3).withColumn("gen", F.lit(2)))
     store.rollback(2)
     assert store.read().agg(F.max("gen")).collect()[0][0] == 1
+
+
+def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
+    """This container ships no delta jars: the MERGE INTO capability
+    probe must report False and upsert_current must keep routing
+    through the SnapshotStore rewrite (documented default)."""
+    from currency_etl_pipeline_spark.sources.warehouse import (
+        Warehouse,
+        merge_into_available,
+    )
+
+    assert merge_into_available(spark) is False
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame(
+        [("GBP", "USD", 1.25, "2024-01-01 00:00:00", "2024-01-01 00:00:01")],
+        "base_currency string, target_currency string, rate double, timestamp string, retrieved_at string",
+    ).selectExpr(
+        "base_currency", "target_currency", "rate",
+        "CAST(timestamp AS timestamp) AS timestamp",
+        "CAST(retrieved_at AS timestamp) AS retrieved_at",
+    )
+    wh.upsert_current(batch)
+    assert wh.current().count() == 1
+    assert not (tmp_path / "wh" / "current_rates_delta").exists()

@@ -317,3 +317,46 @@ def test_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, (
         "orders filter should push to the orders scan (non-preserved side)"
     )
+
+
+def test_q6_pure_scan_agg_no_join_no_shuffle_of_rows(spark, sf_dir):
+    """Q6 must compile to scan→filter→partial agg→final agg: all three
+    predicates pushed to the parquet scan, a 4-column ReadSchema, and
+    no join anywhere."""
+    plan = plan_of(SPECS["tpch_q6_forecast_revenue"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate lower bound not pushed"
+    assert "LessThan(l_quantity" in plan, "quantity filter not pushed"
+    schemas = re.findall(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas), (
+        f"scan should read exactly the 4 referenced columns: {schemas}"
+    )
+
+
+def test_q19_part_disjunction_prefilters_build_side(spark, sf_dir):
+    """Q19's part-only OR (brand+size bands) must reach the part scan
+    as a pushed filter so the broadcast build side shrinks to 3 brands
+    BEFORE the join; the mixed residual stays in the join filter."""
+    plan = plan_of(SPECS["tpch_q19_disjunctive_revenue"].spark(spark, sf_dir))
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in plan, (
+        "part-side disjunction not pushed to the part scan"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_dims_broadcast_only_fact_shuffles(spark, sf_dir):
+    """Q8's 8-way tree: every dim side must broadcast; the only
+    sort-merge/shuffle join allowed is lineitem×orders."""
+    plan = plan_of(SPECS["tpch_q8_market_share"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, "dim joins should all broadcast"
+    assert "EqualTo(p_type,PROMO)" in plan, "part type filter not pushed"
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed"
+
+
+def test_q21_aggregates_once_no_correlated_rescan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is rewritten to one order-level
+    aggregate + rejoin; the plan must contain no nested-loop shape and
+    must broadcast only the supplier dim."""
+    plan = plan_of(SPECS["tpch_q21_waiting_suppliers"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
