@@ -1,0 +1,304 @@
+"""Training-data preparation operators over `documents` — the
+LLM-pipeline extensions beyond scoring/dedup (SURVEY.md §7 Phase 6
+north star; complements queries/text.py).
+
+The reference's pipeline ends at "load the cleaned table"
+(load.py:1-34); a training-data user needs the steps AFTER cleaning:
+splitting the corpus, packing documents into fixed token budgets,
+and corpus-level term statistics. Each query here is the Spark-native
+shape of one of those steps with a DuckDB oracle twin.
+
+Scale notes:
+- sequence packing uses the two-level distributed prefix sum (block
+  local cumsum + tiny block-offset table broadcast back), NOT a
+  single global window — a global `ORDER BY doc_id` window is one
+  partition no matter the cluster;
+- the split is a pure stateless hash — no shuffle until the final
+  stats agg; at 100 TB it is a map-only stage feeding partitioned
+  writes;
+- tf-idf shuffles (doc_id, term) pairs once and the per-term document
+  frequencies once — both narrow integer/string rows, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.queries.text import exploded, shingles, tokens
+from currency_etl_pipeline_spark.tables import load_table, spread
+
+_TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Token budget per packed training sequence and the prefix-sum block
+# width. 64 docs/block keeps the sf0.01 test data multi-block (500
+# docs → 8 blocks/lang); at real scale the block is the unit whose
+# offsets table must stay driver-small (1e10 docs / 1e5-doc blocks →
+# 1e5 offset rows — trivially broadcastable).
+PACK_BUDGET = 512
+PACK_BLOCK = 64
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len({_TOKS_DUCK}) AS n_tokens FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT lang,
+           CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY lang, shard_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training shards
+    (per-language, doc_id order): shard = floor(exclusive-prefix-sum /
+    budget) — the contiguous greedy packing used to build
+    fixed-context-length training sequences.
+
+    The oracle is the textbook single window cumsum; the Spark plan is
+    the SCALABLE equivalent: a two-level distributed prefix sum.
+    Documents carry a block key (doc_id DIV 64); the within-block
+    cumsum windows over (lang, block) — bounded 64-row partitions, so
+    every core works — and block totals aggregate into a tiny offsets
+    table whose own cumsum (|blocks| rows) broadcasts back. A single
+    global `ORDER BY doc_id` window would serialize the corpus through
+    one partition; this shape never materializes more than one block
+    per task plus an offsets table that is ~5 orders of magnitude
+    smaller than the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).alias("n_tokens"),
+        F.expr(f"doc_id DIV {PACK_BLOCK}").alias("block"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = docs.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_block = (
+        Window.partitionBy("lang")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        docs.groupBy("lang", "block")
+        .agg(F.sum("n_tokens").alias("block_sum"))
+        .select(
+            "lang",
+            "block",
+            F.coalesce(F.sum("block_sum").over(w_block), F.lit(0)).alias("block_offset"),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), ["lang", "block"]).withColumn(
+        "shard_id", F.floor((F.col("block_offset") + F.col("local_before")) / PACK_BUDGET)
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, n_chars, len({_TOKS_DUCK}) AS n_tokens,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+    FROM t GROUP BY split, lang
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split with per-language
+    stratification stats. The split key is the first hex digit of
+    md5(doc_id): <= 'c' → train (13/16 ≈ 81%), d-e → val (2/16),
+    f → test (1/16) — reproducible across engines, runs, and cluster
+    sizes because it depends only on the row's own key (no
+    sample()/rand(), whose results are partitioning-dependent).
+
+    Plan: stateless map-only projection (hash + CASE evaluate in one
+    codegen stage over the scan) feeding a single partial+final agg on
+    (split, lang) — 15 groups, so only counters shuffle. At 100 TB the
+    same projection feeds `partitionBy(split)` parquet writes; the
+    avg divides two exact integer sums once at the edge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit <= "c", "train").when(digit <= "e", "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokens()).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_ngram_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> array_to_string(toks[i:i+1], ' ')))) AS ngram
+        FROM t
+    )
+    SELECT ngram, count(*) AS doc_freq
+    FROM sh GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram LIMIT 20
+    """,
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: the 20 bigrams appearing in the
+    most documents (document frequency, distinct per doc), ties broken
+    by ngram text — the vocabulary/contamination scan a data curator
+    runs before training.
+
+    Plan: one pass builds distinct per-doc bigrams (the shingles()
+    zip_with form, all codegen), explodes, and partial-aggregates
+    map-side, so the shuffle carries (ngram, count) partials bounded
+    by |vocabulary|², not the corpus; the final top-20 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    rows), never a global sort.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = exploded(docs, ["doc_id"], shingles(n=2), "ngram")
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC, tf.term
+               ) AS rank
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (idf = ln(N/df)) — the
+    classic salient-term extraction over a corpus; rank ties break on
+    term text so the result is fully deterministic.
+
+    Plan: one token explode feeds BOTH aggregates (tf on (doc, term),
+    df on term) — narrow string/int rows; df (|vocabulary| rows) and
+    the 1-row corpus count broadcast back onto tf, so the only data
+    shuffles are the two aggregations. The rank window partitions by
+    doc_id — millions of independent small partitions, embarrassingly
+    parallel. Per-row double math (ln, ×) is IEEE-deterministic in
+    both engines; the 6dp round happens after ranking, at the edge.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ex = exploded(docs, ["doc_id"], tokens(), "term")
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round(tfidf, 6).alias("tfidf"), "rank")
+    )
+
+
+@query(
+    "doc_repetition_score",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), c AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(count(*) * 1.0 / sum(cnt), 6) AS distinct_ratio,
+           round(max(cnt) * 1.0 / sum(cnt), 6) AS top_token_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: distinct-token ratio and
+    the share of the single most frequent token — the degenerate-text
+    filter (boilerplate, keyword stuffing, decode loops) every
+    training-data quality gate includes.
+
+    Plan: explode → two stacked aggregations, each with map-side
+    partial combine, so the first shuffle carries (doc_id, token,
+    count) partials (bounded by distinct pairs per partition, not
+    token occurrences) and the second one row per document; ratios
+    divide exact integers once per doc at the edge. No O(tokens²)
+    per-row array scan — the naive `transform(toks, t ->
+    size(filter(toks, ...)))` form is quadratic per document and
+    melts on long documents.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ex = exploded(docs, ["doc_id"], tokens(), "tok")
+    counts = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("cnt"), 6).alias("distinct_ratio"),
+        F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top_token_share"),
+    )

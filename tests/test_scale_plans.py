@@ -360,3 +360,48 @@ def test_q21_aggregates_once_no_correlated_rescan(spark, sf_dir):
     must broadcast only the supplier dim."""
     plan = plan_of(SPECS["tpch_q21_waiting_suppliers"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_prefix_sum_is_blocked(spark, sf_dir):
+    """The packing cumsum must window over (lang, block) — bounded
+    64-row partitions — with the block-offset table broadcast back.
+    A window partitioned by lang alone is the global-prefix-sum
+    anti-pattern: one partition per language regardless of cluster
+    size. The regex pins the per-doc window's partition spec to BOTH
+    keys."""
+    plan = plan_of(SPECS["sequence_packing"].spark(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(lang#\d+, block#\d+", plan), (
+        "per-doc cumsum window is not partitioned by (lang, block)"
+    )
+    assert "BroadcastHashJoin" in plan, "block-offset table should broadcast back"
+
+
+def test_train_split_is_map_only_plus_one_agg_shuffle(spark, sf_dir):
+    """The hash split is stateless: the whole query must be one scan →
+    codegen projection → partial agg → single exchange of (split, lang)
+    counters → final agg. More than one exchange means the split
+    stopped being map-only."""
+    plan = plan_of(SPECS["train_val_test_split"].spark(spark, sf_dir))
+    # one Exchange node == two textual hits in a formatted plan (tree
+    # line + detail header); AdaptiveSparkPlan contributes none.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, "split should shuffle only 15 counter rows"
+    assert "Join" not in plan
+
+
+def test_corpus_ngram_topk_is_topk_not_sort(spark, sf_dir):
+    plan = plan_of(SPECS["corpus_ngram_topk"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-20 should be a top-k, not a global sort"
+
+
+def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
+    """tf-idf must broadcast the |vocabulary|-sized df table and the
+    1-row corpus count onto the (doc, term) tf rows — shuffling tf on
+    term to meet df would re-shuffle the corpus-sized side on a
+    low-cardinality key (skew by construction: every doc shares the
+    vocabulary)."""
+    plan = plan_of(SPECS["tfidf_top_terms"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "df side should broadcast"
+    assert "CartesianProduct" not in plan
+    # the only nested loop allowed is the 1-row count crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
