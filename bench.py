@@ -47,6 +47,16 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "near_dup_embeddings_lsh",
     "purchases_within_1h_before_click",
+    # round 4 additions (appended; the 25 rows above stay byte-identical
+    # so BENCH_r4-vs-r3 is like-for-like on the shared prefix):
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "doc_repetition_score",
 ]
 
 
