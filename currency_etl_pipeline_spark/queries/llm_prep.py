@@ -150,13 +150,9 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg divides two exact integer sums once at the edge.
     """
     docs = load_table(spark, sf_dir, "documents")
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(digit <= "c", "train").when(digit <= "e", "val").otherwise("test")
-    )
     return (
         docs.select(
-            split.alias("split"),
+            _split_expr().alias("split"),
             "lang",
             F.size(tokens()).alias("n_tokens"),
             "n_chars",
@@ -301,4 +297,170 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.round(F.count(F.lit(1)) * 1.0 / F.sum("cnt"), 6).alias("distinct_ratio"),
         F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top_token_share"),
+    )
+
+
+def _split_expr():
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return F.when(digit <= "c", "train").when(digit <= "e", "val").otherwise("test")
+
+
+_SPLIT_DUCK = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+_BIGRAMS_DUCK = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
+    " i -> array_to_string(toks[i:i+1], ' ')))"
+)
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SPLIT_DUCK} AS split, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, split, unnest({_BIGRAMS_DUCK}) AS ngram FROM t
+    ), train_grams AS (
+        SELECT DISTINCT ngram FROM sh WHERE split = 'train'
+    ), test_docs AS (
+        SELECT doc_id, ngram FROM sh WHERE split = 'test'
+    )
+    SELECT d.doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN tg.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN tg.ngram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS contamination_ratio
+    FROM test_docs d LEFT JOIN train_grams tg ON d.ngram = tg.ngram
+    GROUP BY d.doc_id
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: for every held-out (test-split)
+    document, the fraction of its distinct bigrams that also appear
+    anywhere in the train split — the pre-training hygiene check that
+    catches benchmark leakage before a model memorizes its own eval.
+
+    Plan: the two branches look like a shared-subtree trap, but the
+    split predicate is a pure function of doc_id, so Catalyst pushes
+    each branch's filter BELOW its explode into the scan — the train
+    branch shingles only train documents (~81% of the corpus) and the
+    test branch only test documents (~6%); total tokenizer work is
+    ~0.87 corpus passes across disjoint rows, cheaper than any shared
+    single pass over everything. Train grams collapse to a distinct
+    vocabulary (map-side partial distinct, |vocabulary|²-bounded) that
+    joins the test grams on ngram — the inverted-index equi-join
+    shape; only ngram strings shuffle, never text.
+    """
+    t = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", _split_expr().alias("split"), F.col("text")
+    )
+    sh = exploded(t, ["doc_id", "split"], shingles(n=2), "ngram")
+    train_grams = (
+        sh.filter(F.col("split") == "train").select("ngram").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_docs = sh.filter(F.col("split") == "test").select("doc_id", "ngram")
+    hit = F.when(F.col("seen").isNotNull(), 1).otherwise(0)
+    return (
+        test_docs.join(train_grams, "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit).alias("n_contaminated"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("contamination_ratio"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10 documents per language,
+    chosen by md5(doc_id) rank — a reproducible uniform sample (the
+    hash is uncorrelated with any document property) that never uses
+    rand()/sample(), whose output depends on partitioning and seed
+    plumbing.
+
+    Plan: per-stratum top-k by hash rank — a window row_number over
+    (lang), i.e. the same rank-and-filter shape as latest_rate_per_key;
+    Spark's WindowGroupLimit pushes the rn <= 10 limit into per-
+    partition heaps before the final window, so the shuffle carries at
+    most k rows per stratum per input partition, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "domain_mix_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang, len({_TOKS_DUCK}) AS n_tokens FROM documents
+    ), by_domain AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 6) AS token_share,
+           round(total_tokens * 1.0 / sum(total_tokens)
+                 OVER (PARTITION BY lang), 6) AS share_within_lang
+    FROM by_domain
+    """,
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per (source, lang) token counts with each
+    cell's share of the global token budget and of its language — the
+    table a pretraining-data owner reads before reweighting domains.
+
+    Plan: the corpus collapses to |sources|×|langs| rows in one
+    partial+final agg (only counters shuffle); the share windows run
+    over that ~100-row aggregate, so the empty-frame global window —
+    an anti-pattern on raw data — is a no-op here by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    by_domain = (
+        docs.select("source", "lang", F.size(tokens()).alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    share = F.round(F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w_all), 6)
+    share_lang = F.round(
+        F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w_lang), 6
+    )
+    return by_domain.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        share.alias("token_share"),
+        share_lang.alias("share_within_lang"),
     )

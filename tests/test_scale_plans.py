@@ -394,6 +394,30 @@ def test_corpus_ngram_topk_is_topk_not_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-20 should be a top-k, not a global sort"
 
 
+def test_contamination_split_filters_push_below_explode(spark, sf_dir):
+    """Each branch of the contamination scan must shingle ONLY its own
+    split's documents: the md5-split predicate is a pure function of
+    doc_id, so it must reach the scans as a DataFilter (the train
+    branch never explodes test docs and vice versa). If the filters
+    stay above the Generate, both branches tokenize the full corpus —
+    2× the work and growing with every additional split."""
+    plan = executed_plan_of(SPECS["ngram_contamination"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # Both branch scans carry the pushed md5-CASE predicate
+    # (DataFilters renders only in the executed plan string).
+    assert plan.count("DataFilters: [CASE WHEN (substring(md5(") >= 2, (
+        "split predicates did not push below the explode to the scans"
+    )
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """The per-stratum hash-rank sample must plan as WindowGroupLimit
+    (per-partition top-k heaps before the final window) — without it
+    every stratum's full membership sorts through the window."""
+    plan = plan_of(SPECS["stratified_sample_per_lang"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
     """tf-idf must broadcast the |vocabulary|-sized df table and the
     1-row corpus count onto the (doc, term) tf rows — shuffling tf on
