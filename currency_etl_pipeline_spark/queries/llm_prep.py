@@ -41,6 +41,48 @@ PACK_BUDGET = 512
 PACK_BLOCK = 64
 
 
+def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BLOCK) -> DataFrame:
+    """Per-document shard assignment via the two-level distributed
+    prefix sum (see sequence_packing's docstring for the scale
+    argument). Returns (doc_id, lang, n_tokens, shard_id); reused by
+    the sequence_packing query and the sources/shards.py sink."""
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).alias("n_tokens"),
+        F.expr(f"doc_id DIV {block}").alias("block"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_block = (
+        Window.partitionBy("lang")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("lang", "block")
+        .agg(F.sum("n_tokens").alias("block_sum"))
+        .select(
+            "lang",
+            "block",
+            F.coalesce(F.sum("block_sum").over(w_block), F.lit(0)).alias("block_offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), ["lang", "block"])
+        .withColumn(
+            "shard_id", F.floor((F.col("block_offset") + F.col("local_before")) / budget)
+        )
+        .select("doc_id", "lang", "n_tokens", "shard_id")
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""
@@ -80,38 +122,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task plus an offsets table that is ~5 orders of magnitude
     smaller than the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(tokens()).alias("n_tokens"),
-        F.expr(f"doc_id DIV {PACK_BLOCK}").alias("block"),
-    )
-    w_local = (
-        Window.partitionBy("lang", "block")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = docs.withColumn(
-        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    )
-    w_block = (
-        Window.partitionBy("lang")
-        .orderBy("block")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        docs.groupBy("lang", "block")
-        .agg(F.sum("n_tokens").alias("block_sum"))
-        .select(
-            "lang",
-            "block",
-            F.coalesce(F.sum("block_sum").over(w_block), F.lit(0)).alias("block_offset"),
-        )
-    )
-    packed = local.join(F.broadcast(offsets), ["lang", "block"]).withColumn(
-        "shard_id", F.floor((F.col("block_offset") + F.col("local_before")) / PACK_BUDGET)
-    )
-    return packed.groupBy("lang", "shard_id").agg(
+    docs = load_table(spark, sf_dir, "documents")
+    return packed_docs(docs).groupBy("lang", "shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
         F.min("doc_id").alias("first_doc"),

@@ -1,0 +1,70 @@
+"""Training-shard sink: the last step of the training-data pipeline
+— materialize the cleaned corpus as hive-partitioned parquet shards
+a trainer's dataloader can consume split-by-split.
+
+The reference's pipeline stops at "load the cleaned table into the
+warehouse" (load.py:1-34); this is the same load step re-aimed at a
+training corpus: deterministic split + token-budget shard assignment
+(queries/llm_prep.py), laid out so that
+
+- `split=...` / `lang=...` are partition DIRECTORIES → a trainer
+  reading only `split=train` prunes val/test at the file-listing
+  level (PartitionFilters, no data IO; pinned in
+  tests/test_shards.py);
+- rows within every file are sorted by (shard_id, doc_id) → a
+  sequential reader sees each shard's documents contiguously in
+  packing order, which is the order the packer budgeted them in.
+
+At 100 TB the repartition key would extend to a shard bucket
+(e.g. shard_id DIV 1024) to bound file sizes; the layout contract —
+partition dirs for pruning, sorted rows for sequential shard reads —
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from currency_etl_pipeline_spark.queries.llm_prep import (
+    PACK_BLOCK,
+    PACK_BUDGET,
+    _split_expr,
+    packed_docs,
+)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int = PACK_BUDGET,
+    block: int = PACK_BLOCK,
+) -> None:
+    """Assign (split, shard_id) to every document and write the corpus
+    as `path/split=*/lang=*/part-*.parquet`, each file sorted by
+    (shard_id, doc_id).
+
+    ``docs`` must carry (doc_id, lang, text); all other columns ride
+    along into the shards.
+    """
+    assigned = (
+        docs.join(packed_docs(docs, budget=budget, block=block), ["doc_id", "lang"])
+        .withColumn("split", _split_expr())
+    )
+    (
+        assigned.repartition("split", "lang")
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.partitionBy("split", "lang")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, split: str | None = None
+) -> DataFrame:
+    """Read shards back; a ``split`` filter prunes at the partition
+    level (never touches other splits' files)."""
+    df = spark.read.parquet(path)
+    if split is not None:
+        df = df.filter(df.split == split)
+    return df

@@ -1,0 +1,69 @@
+"""Training-shard sink layout contract (sources/shards.py)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.queries.llm_prep import packed_docs
+from currency_etl_pipeline_spark.sources.shards import (
+    read_training_shards,
+    write_training_shards,
+)
+from currency_etl_pipeline_spark.tables import load_table
+
+
+def test_shard_write_layout_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path)
+
+    # Hive-partitioned by split then lang.
+    splits = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    assert any(
+        d.startswith("lang=") for d in os.listdir(os.path.join(path, "split=train"))
+    )
+
+    # Nothing lost, nothing duplicated, every ride-along column kept.
+    back = read_training_shards(spark, path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert {"doc_id", "text", "n_tokens", "shard_id", "split", "lang"} <= set(back.columns)
+
+    # A split filter must prune at the partition level.
+    pruned = read_training_shards(spark, path, split="train")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "split" in m.group(1), "split filter did not become a partition filter"
+
+    # Shard ids must agree with the query-side assignment.
+    expect = {
+        (r["doc_id"], r["shard_id"]) for r in packed_docs(docs).collect()
+    }
+    got = {(r["doc_id"], r["shard_id"]) for r in back.collect()}
+    assert got == expect
+
+
+def test_shard_files_sorted_by_shard_then_doc(spark, sf_dir, tmp_path):
+    """Every physical file must hold rows sorted by (shard_id, doc_id)
+    — the sequential-read contract a dataloader relies on."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards2")
+    write_training_shards(docs, path)
+    rows = (
+        read_training_shards(spark, path)
+        .withColumn("file", F.input_file_name())
+        .select("file", "shard_id", "doc_id")
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append((r["shard_id"], r["doc_id"]))
+    assert by_file
+    for f, keys in by_file.items():
+        assert keys == sorted(keys), f"rows not sorted within {f}"
