@@ -46,11 +46,24 @@ def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BL
     prefix sum (see sequence_packing's docstring for the scale
     argument). Returns (doc_id, lang, n_tokens, shard_id); reused by
     the sequence_packing query and the sources/shards.py sink."""
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.size(tokens()).alias("n_tokens"),
-        F.expr(f"doc_id DIV {block}").alias("block"),
+    # The (lang, block) repartition makes the window branch and the
+    # block-offsets branch read ONE exchange (ReusedExchange,
+    # plan-test pinned) — the tokenizer below it runs once; only
+    # (doc_id, lang, n_tokens, block) longs shuffle, never text. Both
+    # branches must share the exchange subtree BIT-IDENTICALLY, so the
+    # join-key null filters are applied explicitly below it (or
+    # constraint inference pushes them asymmetrically per branch) and
+    # the offsets derive FROM the windowed output (block_sum = last
+    # row's running total) instead of a separate aggregate lineage.
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(tokens()).alias("n_tokens"),
+            F.expr(f"doc_id DIV {block}").alias("block"),
+        )
+        .filter(F.col("lang").isNotNull() & F.col("block").isNotNull())
+        .repartition("lang", "block")
     )
     w_local = (
         Window.partitionBy("lang", "block")
@@ -66,8 +79,8 @@ def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BL
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy("lang", "block")
-        .agg(F.sum("n_tokens").alias("block_sum"))
+        local.groupBy("lang", "block")
+        .agg(F.max(F.col("local_before") + F.col("n_tokens")).alias("block_sum"))
         .select(
             "lang",
             "block",
@@ -246,18 +259,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic salient-term extraction over a corpus; rank ties break on
     term text so the result is fully deterministic.
 
-    Plan: one token explode feeds BOTH aggregates (tf on (doc, term),
-    df on term) — narrow string/int rows; df (|vocabulary| rows) and
-    the 1-row corpus count broadcast back onto tf, so the only data
-    shuffles are the two aggregations. The rank window partitions by
-    doc_id — millions of independent small partitions, embarrassingly
-    parallel. Per-row double math (ln, ×) is IEEE-deterministic in
-    both engines; the 6dp round happens after ranking, at the edge.
+    Plan: the tokenizer runs ONCE — df is derived FROM the tf table
+    (each tf row is one distinct (doc, term), so df = row count per
+    term), not from a second explode of the corpus; the df branch and
+    the join branch share tf's (doc_id, term) exchange
+    (ReusedExchange, plan-test pinned). df (|vocabulary| rows) and the
+    1-row corpus count — a doc_id-only scan, no text IO — broadcast
+    back onto tf. The rank window partitions by doc_id — millions of
+    independent small partitions, embarrassingly parallel. Per-row
+    double math (ln, ×) is IEEE-deterministic in both engines; the
+    6dp round happens after ranking, at the edge.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     ex = exploded(docs, ["doc_id"], tokens(), "term")
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")

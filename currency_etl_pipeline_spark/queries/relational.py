@@ -494,11 +494,13 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     IN-(grouped-HAVING)-subquery surface, rewritten as an aggregate →
     semi join.
 
-    Plan: the qualifying-orderkey set is a partial+final hash agg over
-    lineitem (mergeable DECIMAL sums) followed by a LEFT SEMI join of
-    orders against it on orderkey — both shuffles are on the natural
-    key and AQE can pick broadcast for the (46-row at sf0.01) qualifier
-    side; the outer re-aggregation only sees qualifying orders' lines.
+    Plan: ONE partial+final hash agg over lineitem computes each
+    order's quantity sum; the HAVING filter keeps the ~0.1% qualifying
+    orders, and that aggregate IS the output measure — the SQL shape's
+    outer re-aggregation (which would join raw lineitem a second time
+    and re-sum the same lines) is eliminated, so lineitem is scanned
+    and shuffled exactly once. Orders join the tiny qualifier side
+    (AQE picks broadcast), customers broadcast, and
     TakeOrderedAndProject caps the output.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -506,21 +508,16 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity", 18, 2)).alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
-    o = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity", 18, 2)).cast("double").alias("total_qty"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             ts_str("o_orderdate").alias("o_orderdate"),
-            "o_totalprice", "total_qty",
+            "o_totalprice", F.col("q").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -604,35 +601,36 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     catalog lacked (reference's BigQuery surface supports correlated
     scalars directly, app.py:156 is trivially extendable).
 
-    Decorrelation is the standard aggregate-then-rejoin rewrite: one
-    partial+final hash agg computes per-part (sum(qty), count) — a
-    part-count-sized table, tiny relative to lineitem — which Spark
-    BROADCASTS back onto lineitem (plan-pinned in
-    tests/test_scale_plans.py). The comparison is exact DECIMAL
+    Decorrelation: the correlated scalar becomes per-part WINDOW
+    aggregates over the brand-filtered rows. The brand predicate
+    restricts which PARTS survive, never which of a surviving part's
+    lineitems do — so (sum(qty), count) per part computed after the
+    brand-part join is identical to the correlated subquery's
+    all-lineitem answer for every surviving part, and lineitem is
+    scanned ONCE with only the brand's ~1/25 of rows shuffling to the
+    partkey window (the aggregate-then-rejoin form scans lineitem
+    twice and aggregates all parts). The comparison is exact DECIMAL
     cross-multiplication (qty*n < 0.2*sum ⟺ qty < 0.2*avg, n>0) so
     both engines agree bit-for-bit regardless of partial-agg order —
     a double `avg` threshold would be partition-order dependent.
-
-    At 100 TB: per-part averages are |part| rows (~1/30 of lineitem);
-    the rejoin shuffles nothing if the agg side broadcasts, else it is
-    a partkey equi-shuffle. No per-row subquery execution survives —
-    that is the whole point of the rewrite.
+    No per-row subquery execution survives — that is the whole point
+    of the rewrite.
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(dec("l_quantity", 18, 2)).alias("part_qty_sum"),
-        F.count(F.lit(1)).alias("part_n"),
     )
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#23")
         .select("p_partkey")
     )
+    w = Window.partitionBy("l_partkey")
     small = (
         li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(per_part), "l_partkey")
+        .withColumn("part_qty_sum", F.sum(dec("l_quantity", 18, 2)).over(w))
+        .withColumn("part_n", F.count(F.lit(1)).over(w))
         .filter(
             dec("l_quantity", 18, 2) * F.col("part_n")
             < F.lit(0.2).cast("decimal(2,1)") * F.col("part_qty_sum")

@@ -140,13 +140,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Plan: one partial+final hash agg over the filtered quarter builds
-    rev (|supplier| rows); the global max is a 1-row aggregate
-    broadcast back as a filter (scalar-subquery shape, no shuffle);
-    the supplier dim joins broadcast. The rev subtree is tiny, so
-    Spark recomputing it for the max branch costs one extra |supplier|
-    agg — at 100 TB you'd .cache() it, but correctness and plan shape
-    are identical.
+    rev (|supplier| rows); the global max is an empty-frame window
+    over those POST-AGGREGATION rows, so lineitem is scanned once —
+    the crossJoin-a-recomputed-max form plans the quarter scan + agg
+    twice. The single window partition holds |supplier| narrow rows
+    (10M × ~24B at SF100k — fine for one task), never lineitem. The
+    supplier dim joins broadcast.
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -156,10 +158,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(max_rev))
+        rev.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
@@ -398,14 +401,20 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery pattern in the TPC-H suite.
 
     Instead of compiling to two correlated semi/anti joins that each
-    rescan lineitem (the naive translation), the plan aggregates
-    order-level facts ONCE — (distinct suppliers, distinct late
-    suppliers) per order — and rejoins them: EXISTS(other supplier)
-    becomes n_supp > 1, NOT EXISTS(other late supplier) becomes
-    n_late = 1. One lineitem×orders shuffle + one groupBy(orderkey) +
-    one rejoin on orderkey — all on the same key, so AQE reuses the
-    partitioning; the supplier dim broadcasts for the final name agg.
+    rescan lineitem (the naive translation), or an order-level
+    aggregate REJOINED onto the same rows (which plans the fact join
+    twice — 2× the 100 TB scan), the order-level facts are WINDOW
+    functions over one hash-partition of the joined rows:
+    n_supp = size(collect_set(suppkey)) and n_late =
+    size(collect_set(late suppkey)) over (PARTITION BY orderkey).
+    EXISTS(other supplier) becomes n_supp > 1, NOT EXISTS(other late
+    supplier) becomes n_late = 1 — one lineitem×orders join, ONE
+    shuffle on orderkey, zero self-joins; per-order supplier sets are
+    small (TPC-H ~7 lines/order) so the window state is bounded. The
+    supplier dim broadcasts for the final name agg.
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -415,14 +424,15 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    po = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("late"))
-        .join(po.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

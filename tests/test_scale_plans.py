@@ -292,18 +292,26 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert joined.count() > 0
 
 
-def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
-    """Q17's decorrelation only pays off if the per-part aggregate
-    side broadcasts back onto lineitem (|part|-sized, ~1/30 of
-    lineitem) instead of shuffling the fact table, and if the brand
-    filter reaches the part scan. A per-row correlated subquery shape
-    (nested loop / cartesian) must never appear."""
+def test_q17_decorrelated_window_single_scan(spark, sf_dir):
+    """Q17's correlated scalar compiles to per-part window aggregates
+    over the brand-filtered join: the brand filter reaches the part
+    scan, the part side broadcasts, lineitem is scanned exactly ONCE
+    (the agg-then-rejoin form scans it twice), and no per-row subquery
+    shape (nested loop / cartesian) appears."""
     plan = plan_of(SPECS["tpch_q17_small_quantity_revenue"].spark(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2, (
-        "both the brand-part side and the per-part avg side should broadcast"
-    )
+    assert "BroadcastHashJoin" in plan, "brand-part side should broadcast"
     assert "EqualTo(p_brand,Brand#23)" in plan, "brand filter not pushed to part scan"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+
+
+def test_q15_single_quarter_scan(spark, sf_dir):
+    """Q15's global max is a window over the post-aggregation rev
+    rows; the quarter-filtered lineitem scan + agg must appear once,
+    not once per branch."""
+    plan = plan_of(SPECS["tpch_q15_top_supplier"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "quarter filter not pushed"
 
 
 def test_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
@@ -355,11 +363,15 @@ def test_q8_dims_broadcast_only_fact_shuffles(spark, sf_dir):
 
 
 def test_q21_aggregates_once_no_correlated_rescan(spark, sf_dir):
-    """Q21's EXISTS/NOT-EXISTS pair is rewritten to one order-level
-    aggregate + rejoin; the plan must contain no nested-loop shape and
-    must broadcast only the supplier dim."""
+    """Q21's EXISTS/NOT-EXISTS pair compiles to per-order window
+    functions over ONE pass of the joined facts: no nested-loop shape,
+    and — the regression this pins — each fact table scanned exactly
+    once (the agg-then-rejoin form planned the lineitem×orders join
+    twice, doubling the 100 TB scan)."""
     plan = plan_of(SPECS["tpch_q21_waiting_suppliers"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert plan.count("orders.parquet") == 1, "orders scanned more than once"
 
 
 def test_sequence_packing_prefix_sum_is_blocked(spark, sf_dir):
@@ -374,6 +386,11 @@ def test_sequence_packing_prefix_sum_is_blocked(spark, sf_dir):
         "per-doc cumsum window is not partitioned by (lang, block)"
     )
     assert "BroadcastHashJoin" in plan, "block-offset table should broadcast back"
+    # Both prefix-sum branches must read ONE exchange: a single text
+    # scan and a single tokenizer evaluation in the executed plan.
+    xplan = executed_plan_of(SPECS["sequence_packing"].spark(spark, sf_dir))
+    assert xplan.count("documents.parquet") == 1, "corpus scanned more than once"
+    assert "ReusedExchange" in xplan, "prefix-sum branches no longer share the exchange"
 
 
 def test_train_split_is_map_only_plus_one_agg_shuffle(spark, sf_dir):
@@ -429,3 +446,20 @@ def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested loop allowed is the 1-row count crossJoin
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # df derives FROM the tf table (ReusedExchange), so only one scan
+    # reads text — the corpus-count scan reads zero columns.
+    xplan = executed_plan_of(SPECS["tfidf_top_terms"].spark(spark, sf_dir))
+    assert "ReusedExchange" in xplan, "df branch re-derives tf instead of reusing it"
+    text_scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", xplan) if "text" in s
+    ]
+    assert len(text_scans) == 1, f"text column scanned {len(text_scans)} times"
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """Q18's HAVING aggregate IS the output measure; the SQL shape's
+    outer re-aggregation must not reappear (it joins raw lineitem a
+    second time and re-sums the same lines)."""
+    plan = plan_of(SPECS["tpch_q18_large_volume_customers"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "TakeOrderedAndProject" in plan
