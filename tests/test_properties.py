@@ -138,3 +138,49 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges, "s", "d").collect()}
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 30, 40: 30}
+
+
+# A packing corpus row: (doc_id, lang, n_tokens). Small doc_ids force
+# multi-doc blocks; token counts larger than the budget exercise the
+# oversized-document case (a doc longer than the budget must still
+# land in exactly one shard and push subsequent docs onward).
+pack_row = st.tuples(
+    st.integers(min_value=0, max_value=200),
+    st.sampled_from(["en", "de"]),
+    st.integers(min_value=0, max_value=40),
+)
+
+
+@given(rows=st.lists(pack_row, min_size=0, max_size=30), budget=st.sampled_from([16, 64]))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sequence_packing_matches_sequential_scan(spark, rows, budget):
+    """The two-level distributed prefix sum must agree with the
+    obvious single-threaded scan for ANY corpus and any budget:
+    shard = floor(exclusive-running-total / budget) per language in
+    doc_id order, total tokens conserved."""
+    from currency_etl_pipeline_spark.queries.llm_prep import packed_docs
+
+    uniq = {}
+    for did, lang, n in rows:
+        uniq[did] = (lang, n)
+    data = [(did, lang, " ".join(["w"] * n)) for did, (lang, n) in sorted(uniq.items())]
+    if not data:
+        return
+    docs = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in packed_docs(docs, budget=budget, block=8).collect()
+    }
+    # Oracle: sequential scan per language.
+    running: dict = {}
+    for did, (lang, n) in sorted(uniq.items()):
+        # split(" ".join([])) tokenizes the empty string to [''] — one
+        # token — matching the engine's whitespace tokenizer on
+        # zero-word docs.
+        n_tok = max(n, 1)
+        cum = running.get(lang, 0)
+        assert got[did] == (n_tok, cum // budget), (
+            f"doc {did} ({lang}): got {got[did]}, want ({n_tok}, {cum // budget})"
+        )
+        running[lang] = cum + n_tok
+    assert len(got) == len(uniq)
