@@ -341,3 +341,87 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_corpus_ingest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, lang, source, fingerprint,
+           len(toks) AS n_tokens,
+           round(0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+                              / len(toks))
+               + 0.3 * least(n_chars / 500.0, 1.0), 6) AS quality_score
+    FROM t
+    WHERE lang IN ('en', 'de')
+      AND round(0.4 * least(len(toks) / 100.0, 1.0)
+              + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+                             / len(toks))
+              + 0.3 * least(n_chars / 500.0, 1.0), 6) >= 0.5
+    """,
+)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING training-corpus ingest gate: the quality filter and
+    fingerprint dedup of `training_shard_prep` run as a live
+    Structured Streaming job — documents arrive on two identical file
+    streams (every doc at least twice, across micro-batches), pass the
+    blended quality gate, and dropDuplicates on the normalized-text
+    fingerprint emits each surviving document exactly once. The batch
+    oracle is the gated single-copy corpus.
+
+    Plan: the gate (tokenizer + score) and the md5 fingerprint are
+    stateless map-side codegen on each micro-batch; the only stateful
+    op is the dedup shuffle keyed by the 32-char fingerprint — state
+    is one key per unique document, never the text. In production the
+    same plan bounds state with dropDuplicatesWithinWatermark once an
+    ingest-time column rides along; the exact form here is what the
+    oracle can check.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.tables import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+
+    def side() -> DataFrame:
+        # File-source streams require a directory: stream the sf dir
+        # with a glob pinned to the one table file (events_stream's
+        # pattern, streaming/pipeline.py:129-134).
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    q = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+    def gated(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("quality_score", q)
+            .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+            .select(
+                "doc_id", "lang", "source",
+                F.md5(norm).alias("fingerprint"),
+                n_tokens.alias("n_tokens"),
+                "quality_score",
+            )
+        )
+
+    deduped = gated(side().unionByName(side())).dropDuplicates(["fingerprint"])
+    return run_stream_to_memory(deduped, spark, output_mode="append")
