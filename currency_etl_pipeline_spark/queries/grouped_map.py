@@ -84,3 +84,132 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return ev.groupBy("user_id").applyInPandas(_gap_stats, GAP_SCHEMA)
+
+
+@query(
+    "scalar_pandas_udf_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(trim(text)) AS n_trim_chars
+    FROM documents
+    """,
+)
+def scalar_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.J's scalar ``pandas_udf`` surface: Arrow-batched
+    series→series token/char counting over the documents table —
+    pandas string ops on whole columnar batches, zero per-row Python
+    calls. Exact integer outputs keep the oracle bit-exact.
+
+    This is deliberately the SLOW-PATH twin of ``token_stats``'s
+    codegen form (the catalog's hot paths stay JVM-side, SURVEY §4);
+    it exists to pin the full UDF surface: scalar pandas_udf here,
+    mapInPandas (multimodal/media.py), applyInPandas (user_gap_stats
+    below), applyInPandasWithState (streaming/stateful.py). At scale a
+    scalar pandas_udf costs one Arrow serialization round-trip per
+    batch — acceptable for logic the JVM cannot express, waste for
+    logic it can.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.strip(" ").str.split(r"\s+", regex=True).str.len().astype("int64")
+
+    @pandas_udf("long")
+    def n_trim_chars(s: pd.Series) -> pd.Series:
+        return s.str.strip(" ").str.len().astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        n_trim_chars("text").alias("n_trim_chars"),
+    )
+
+
+@query(
+    "udtf_token_positions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 40
+    ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    )
+    SELECT doc_id, i - 1 AS pos, toks[i] AS token FROM idx
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.J's UDTF surface: a Python table function (one input
+    row → many output rows) applied via LATERAL join — the
+    user-defined generator form of ``token_positions``'s posexplode.
+
+    Deliberately bounded to a 40-doc slice: a Python UDTF runs
+    eval() per input ROW (no Arrow batching in the emit path), so it
+    is the slowest surface in the engine — the docstring twin
+    `token_positions` does the same job in codegen and is the form
+    every hot path uses. This query exists to pin that the engine
+    EXPOSES the surface, with the measured caveat, not to recommend
+    it.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.strip().split()):
+                yield i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "documents").filter("doc_id < 40").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.token "
+        "FROM _udtf_docs d, LATERAL split_tokens(d.text) s"
+    )
+
+
+@query(
+    "pandas_udaf_median_value",
+    oracle="""
+    SELECT event_type, median("value") AS median_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def pandas_udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.J's UDAF surface: a GROUPED_AGG ``pandas_udf`` —
+    a custom aggregate the engine treats like any built-in (usable in
+    groupBy.agg alongside count). Median is the canonical justified
+    case: a true order statistic, NOT expressible as a mergeable
+    partial aggregate, so Spark shuffles each group's values to one
+    executor and hands them to pandas whole.
+
+    Parity: the even-count median averages two doubles — one IEEE
+    operation, bit-identical across engines; no accumulation-order
+    dependence because there is no accumulation. At 100 TB you reach
+    for the mergeable sketch twin instead (`lineitem_percentiles_
+    approx`, t-digest-style); this surface is for exact small-group
+    aggregates and the occasional custom statistic.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas aggregate.
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_udaf("value").alias("median_value"),
+        count_udaf("value").alias("n"),
+    )
