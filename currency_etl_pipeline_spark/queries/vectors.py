@@ -203,10 +203,10 @@ NEARDUP_PLANE_IDS = tuple(range(10, 26))  # 16 planes -> 4 bands x 4 bits
 _ND_BANDS, _ND_BITS = 4, 4
 
 
-@query(
-    "near_dup_embeddings_lsh",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+# Shared CTE chain: corpus → deterministic hyperplanes → banded
+# signatures → same-bucket candidate pairs. Used by the pair query and
+# the cluster composition below.
+_ND_LSH_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
     planes AS (SELECT vec_id - 10 AS plane_idx, dv AS pv FROM v WHERE vec_id BETWEEN 10 AND 25),
     sigs AS (
         SELECT v.vec_id, p.plane_idx // 4 AS band, any_value(v.dv) AS dv,
@@ -220,7 +220,13 @@ _ND_BANDS, _ND_BITS = 4, 4
         FROM sigs a JOIN sigs b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id
-    )
+    )"""
+
+
+@query(
+    "near_dup_embeddings_lsh",
+    oracle=f"""
+    WITH {_ND_LSH_CTES}
     SELECT vec_a, vec_b, round({_COS_DUCK.format(a="c.va", b="c.vb")}, 6) AS cos_sim
     FROM cand c
     WHERE {_COS_DUCK.format(a="c.va", b="c.vb")} >= 0.4
@@ -292,4 +298,44 @@ def _banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(planes)
         .groupBy("vec_id", (F.col("plane_idx") / _ND_BITS).cast("int").alias("band"))
         .agg(F.sum(bit).cast("long").alias("bucket"))
+    )
+
+
+@query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ND_LSH_CTES},
+    pairs AS (
+        SELECT vec_a, vec_b FROM cand c
+        WHERE {_COS_DUCK.format(a="c.va", b="c.vb")} >= 0.4
+    ), edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs
+    ), reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters in EMBEDDING space: connected components over
+    the banded-LSH near-dup pair graph (`near_dup_embeddings_lsh`'s
+    edge set) — the cross-family composition that turns pairwise
+    vector similarity into keep-one-per-cluster pruning, exactly as
+    `dedup_clusters` does for text shingles.
+
+    Plan: the edge set is the pinned no-nested-loop LSH pipeline; the
+    labels come from the same iterative min-label propagation
+    (operators/graph.py, one shuffle per superstep, bounded by cluster
+    diameter). The oracle replays the closure with a recursive CTE, so
+    the driver check covers LSH candidate generation, cosine
+    verification, AND the iterative algorithm in one row-hash.
+    """
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    pairs = near_dup_embeddings_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
