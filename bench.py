@@ -57,6 +57,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "sequence_packing",
     "doc_repetition_score",
+    "ngram_contamination",
+    "embedding_dedup_clusters",
 ]
 
 

