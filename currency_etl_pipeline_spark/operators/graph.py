@@ -16,7 +16,12 @@ cost profile as any Pregel CC. The driver-side convergence probe is a
 single boolean (isEmpty on the changed-set), not data. For graphs with
 giant diameters swap the propagation step for large-star/small-star
 (alternating min over neighbors-of-neighbors) — same loop skeleton,
-logarithmic rounds; near-dup graphs never need it.
+logarithmic rounds; near-dup graphs never need it. The edge list and
+per-superstep labels are pinned with ``localCheckpoint`` (executor
+local storage — right for iterative lineage-cutting, NOT
+fault-tolerant); on a long-running cluster job swap for reliable
+``checkpoint()`` to a shared checkpoint dir so executor loss doesn't
+restart the loop.
 """
 
 from __future__ import annotations
