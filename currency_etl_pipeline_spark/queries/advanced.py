@@ -419,3 +419,120 @@ def skew_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+             AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: counts
+    and row-normalized probabilities of event_type A → B — the
+    user-journey / session-flow analysis shape (first-order behavior
+    model, anomaly baseline).
+
+    Plan: one lag window per user (shuffle on user_id, the natural
+    key), then a (prev, next) count agg — 25 cells — whose
+    row-normalizing window runs over the collapsed aggregate, not raw
+    events. Two data shuffles total at any scale; the probability
+    divide is one exact-integer division per cell at the edge.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_row), 6
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ), staged AS (
+        SELECT user_id, t_view,
+               CASE WHEN t_click > t_view THEN t_click END AS t_click_after,
+               CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN t_purchase END AS t_purchase_after
+        FROM firsts WHERE t_view IS NOT NULL
+    )
+    SELECT count(*) AS n_viewed,
+           CAST(sum(CASE WHEN t_click_after IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN t_purchase_after IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased,
+           round(sum(CASE WHEN t_click_after IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS view_to_click,
+           round(sum(CASE WHEN t_purchase_after IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN t_click_after IS NOT NULL THEN 1 ELSE 0 END), 1),
+                 6) AS click_to_purchase
+    FROM staged
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    converts a step only if that step's FIRST occurrence strictly
+    follows the previous step's — the product-analytics funnel with
+    ordering semantics, not mere event existence.
+
+    Plan: the per-user step timestamps are conditional min-aggregates
+    in ONE partial+final hash agg over events (no joins, no windows —
+    the min-CASE trick collapses the funnel to one pass); the funnel
+    comparison and the three counters are a second 1-row aggregate.
+    At 100 TB this shuffles one 3-timestamp row per user, nothing
+    else.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    staged = firsts.filter(F.col("t_view").isNotNull()).select(
+        F.when(F.col("t_click") > F.col("t_view"), F.col("t_click")).alias("t_click_after"),
+        F.when(
+            (F.col("t_click") > F.col("t_view")) & (F.col("t_purchase") > F.col("t_click")),
+            F.col("t_purchase"),
+        ).alias("t_purchase_after"),
+    )
+    clicked = F.sum(F.when(F.col("t_click_after").isNotNull(), 1).otherwise(0))
+    purchased = F.sum(F.when(F.col("t_purchase_after").isNotNull(), 1).otherwise(0))
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        clicked.alias("n_clicked"),
+        purchased.alias("n_purchased"),
+        F.round(clicked * 1.0 / F.count(F.lit(1)), 6).alias("view_to_click"),
+        F.round(purchased * 1.0 / F.greatest(clicked, F.lit(1)), 6).alias(
+            "click_to_purchase"
+        ),
+    )
