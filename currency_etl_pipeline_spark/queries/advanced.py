@@ -536,3 +536,72 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+    ), joined AS (
+        SELECT c.cohort_week, CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+                 AS week_offset,
+               a.user_id
+        FROM activity a JOIN cohorts c USING (user_id)
+    ), counts AS (
+        SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        FROM joined GROUP BY cohort_week, week_offset
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+           round(n_active * 1.0 / first(n_active) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+             AS retention
+    FROM counts
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week; for each
+    later week, the fraction of the cohort still active — THE
+    product-analytics table (sign-up cohort decay curves).
+
+    Plan: distinct (user, week) pairs collapse the event stream first
+    (the only corpus-sized shuffle); cohorts are a min-agg per user
+    reusing that partitioning; the activity⋈cohort join is on user_id;
+    the final matrix is |cohorts|×|weeks| cells, so the normalizing
+    window (anchored at week_offset 0 via an unbounded-frame first)
+    runs over a tiny aggregate. At 100 TB nothing after the first
+    distinct touches more than one row per user-week.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = activity.join(cohorts, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w0 = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return counts.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") * 1.0 / F.first("n_active").over(w0), 6).alias(
+            "retention"
+        ),
+    )
