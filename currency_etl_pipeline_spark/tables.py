@@ -69,6 +69,12 @@ def spread(df: DataFrame) -> DataFrame:
     before the expansion).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # The df.rdd probe costs one query-planning driver round-trip per
+    # query build. It stays anyway: the cheap alternative (counting
+    # inputFiles) is WRONG for the many-tiny-files case — Spark packs
+    # small files into shared partitions (openCostInBytes), so a scan
+    # with files >= cores can still yield partitions < cores, which is
+    # precisely the compute-heavy-small-input regime spread() fixes.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
