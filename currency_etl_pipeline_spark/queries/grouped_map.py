@@ -159,7 +159,15 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class SplitTokens:
         def eval(self, text: str):
-            for i, tok in enumerate(text.strip().split()):
+            # Mirror the engine's trim+split exactly: SQL trim strips
+            # SPACES only and regex \s+ split keeps a boundary empty
+            # token — Python's bare strip()/split() does neither
+            # (SKILL.md gotcha). NULL text yields no rows.
+            if text is None:
+                return
+            import re
+
+            for i, tok in enumerate(re.split(r"\s+", text.strip(" "))):
                 yield i, tok
 
     spark.udtf.register("split_tokens", SplitTokens)

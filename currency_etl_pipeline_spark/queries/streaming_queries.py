@@ -367,21 +367,28 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING training-corpus ingest gate: the quality filter and
-    fingerprint dedup of `training_shard_prep` run as a live
-    Structured Streaming job — documents arrive on two identical file
-    streams (every doc at least twice, across micro-batches), pass the
-    blended quality gate, and dropDuplicates on the normalized-text
-    fingerprint emits each surviving document exactly once. The batch
-    oracle is the gated single-copy corpus.
+    """STREAMING training-corpus ingest gate: documents arrive on two
+    identical file streams (every doc delivered at least twice,
+    possibly across micro-batches), pass the blended quality gate, and
+    dropDuplicates on doc_id emits each surviving document exactly
+    once, its normalized-text fingerprint attached. The batch oracle
+    is the gated single-copy corpus.
+
+    The delivery dedup deliberately keys on doc_id, NOT the
+    fingerprint: streaming dropDuplicates keeps an arbitrary
+    first-arrival, so collapsing DISTINCT documents that share a
+    fingerprint would be nondeterministic (and unverifiable against
+    any oracle). Cross-document fingerprint collapse belongs to the
+    batch dedup stage (`training_shard_prep`), where min-doc_id keeper
+    semantics are expressible; this stage guarantees exactly-once
+    ingestion and ships the fingerprint the batch stage needs.
 
     Plan: the gate (tokenizer + score) and the md5 fingerprint are
     stateless map-side codegen on each micro-batch; the only stateful
-    op is the dedup shuffle keyed by the 32-char fingerprint — state
-    is one key per unique document, never the text. In production the
-    same plan bounds state with dropDuplicatesWithinWatermark once an
-    ingest-time column rides along; the exact form here is what the
-    oracle can check.
+    op is the dedup shuffle keyed by doc_id — state is one key per
+    unique document, never the text. In production the same plan
+    bounds state with dropDuplicatesWithinWatermark once an
+    ingest-time column rides along.
     """
     from pyspark.sql import functions as F
 
@@ -423,5 +430,5 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    deduped = gated(side().unionByName(side())).dropDuplicates(["fingerprint"])
+    deduped = gated(side().unionByName(side())).dropDuplicates(["doc_id"])
     return run_stream_to_memory(deduped, spark, output_mode="append")

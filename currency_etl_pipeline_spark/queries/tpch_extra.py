@@ -106,7 +106,10 @@ def tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # when(~high, 1), NOT when(high, 0).otherwise(1): a NULL
+            # priority must count in NEITHER bucket, matching the
+            # oracle's CASE WHEN NOT IN (NULL → ELSE 0).
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -260,14 +263,17 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders × part × supplier × nation ×2 × customer × region, 8-way)
     with a conditional-share aggregation.
 
-    Plan: every dim (part filtered to one type, supplier, both nation
-    roles, customer, region filtered to one name) broadcasts — the
-    only shuffle join is lineitem×orders on orderkey; the region
-    filter cascades through nation→customer BEFORE the join reaches
-    the fact table (Catalyst pushes the equi-chain), so the orders
-    side shrinks ~5× pre-shuffle. Numerator and denominator are exact
-    DECIMAL sums; the share divides the two doubles once at the edge
-    (deterministic), rounded to 6dp.
+    Plan: the bounded dims (nation ×2, region — tens of rows at ANY
+    scale) carry explicit broadcast hints; the customer-derived and
+    supplier-derived sides are LEFT TO AQE, which broadcasts them at
+    test scale but falls back to shuffle joins when they are GBs at
+    real TPC-H scale (forcing them would bypass
+    autoBroadcastJoinThreshold and OOM the driver — the same hazard
+    the Q10 fix removed). The region filter cascades through
+    nation→customer BEFORE the join reaches the fact table, so the
+    orders side shrinks ~5× pre-shuffle. Numerator and denominator
+    are exact DECIMAL sums; the share divides the two doubles once at
+    the edge (deterministic), rounded to 6dp.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -294,10 +300,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "n_name")
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     zero = F.lit(0).cast("decimal(18,2)")
     return (

@@ -43,9 +43,20 @@ def write_training_shards(
     as `path/split=*/lang=*/part-*.parquet`, each file sorted by
     (shard_id, doc_id).
 
-    ``docs`` must carry (doc_id, lang, text); all other columns ride
-    along into the shards.
+    ``docs`` must carry (doc_id, lang, text) with doc_id and lang
+    non-null; all other columns ride along into the shards. Null keys
+    are rejected up front — packed_docs filters them and the
+    assignment join would otherwise drop those documents SILENTLY,
+    which for a training corpus is data loss, not cleaning.
     """
+    n_bad = docs.filter(
+        docs.doc_id.isNull() | docs.lang.isNull()
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} document(s) have null doc_id/lang; clean or quarantine "
+            "them explicitly before sharding (they would be silently dropped)"
+        )
     assigned = (
         docs.join(packed_docs(docs, budget=budget, block=block), ["doc_id", "lang"])
         .withColumn("split", _split_expr())

@@ -262,6 +262,11 @@ class Warehouse:
         path = self.current_path + "_delta"
         fresh = latest_per_key(batch, KEYS, "timestamp")
         if not DeltaTable.isDeltaTable(self.spark, path):
+            # Adopt any pre-Delta SnapshotStore state: the first Delta
+            # commit must carry previously merged keys, or they vanish
+            # the moment current() starts routing reads to Delta.
+            if self._store.exists():
+                fresh = upsert_newest_wins(self._store.read(), fresh, KEYS, "timestamp")
             fresh.write.format("delta").save(path)
             return
         target = DeltaTable.forPath(self.spark, path)
@@ -275,7 +280,17 @@ class Warehouse:
         )
 
     def current(self) -> DataFrame:
+        """Read the live snapshot from whichever store the upsert path
+        writes: the Delta table when the MERGE INTO route is active
+        (same probe as upsert_current — writes and reads must never
+        split across stores), else the SnapshotStore."""
         self._migrate_legacy_current()
+        if merge_into_available(self.spark):
+            from delta.tables import DeltaTable
+
+            path = self.current_path + "_delta"
+            if DeltaTable.isDeltaTable(self.spark, path):
+                return self.spark.read.format("delta").load(path)
         return self._store.read()
 
     def load_batch(self, batch: DataFrame) -> None:

@@ -101,12 +101,18 @@ def events_stream(
         return parse_kafka_events(reader.load(), schema)
     if source != "file":
         raise ValueError(f"unknown source {source!r}")
-    if schema is None:
-        schema = (
-            load_table(spark, path.rsplit("/", 1)[0], "events").schema
-            if path.endswith("events.parquet")
-            else None
-        )
+    if schema is None and path.endswith("events.parquet"):
+        # RAW batch-reader schema — deliberately NOT load_table's
+        # (that one has already converted a nanos-long ts to
+        # TimestampType; requesting the converted type from the stream
+        # reader fails on nanos-stored files). Pin the same confs
+        # load_table pins, then observe what the files actually yield:
+        # micros → TimestampType (streams as-is); nanos → LongType
+        # (converted after the scan below).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(path).schema
     if schema is None:
         raise ValueError(
             "file-source streams require an explicit schema; pass schema= for "

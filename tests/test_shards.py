@@ -67,3 +67,16 @@ def test_shard_files_sorted_by_shard_then_doc(spark, sf_dir, tmp_path):
     assert by_file
     for f, keys in by_file.items():
         assert keys == sorted(keys), f"rows not sorted within {f}"
+
+
+def test_shard_write_rejects_null_keys(spark, sf_dir, tmp_path):
+    """Null doc_id/lang must fail loudly — the assignment join would
+    otherwise drop those documents silently (data loss, not cleaning)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(5).withColumn(
+        "lang", F.when(F.col("doc_id") == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    with pytest.raises(ValueError, match="null doc_id/lang"):
+        write_training_shards(docs, str(tmp_path / "bad"))

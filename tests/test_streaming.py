@@ -271,3 +271,45 @@ def test_file_stream_honors_explicit_schema(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         events_stream(spark, src)
+
+
+def test_nanos_stored_events_still_stream(spark, tmp_path):
+    """Regression: rounds 1-3 shipped events.parquet with
+    TIMESTAMP(NANOS) columns, which the batch reader surfaces as LONG
+    under nanosAsLong; the stream must derive its schema from the RAW
+    reader (not load_table's post-conversion schema, which would
+    request TimestampType for an INT64-nanos column and fail the scan)
+    and convert after. Pin it with a real nanos-stored file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.streaming.pipeline import events_stream
+
+    t0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + 3600 * 10**9, t0 + 2 * 3600 * 10**9], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    d = tmp_path / "nanos"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"), store_schema=False)
+
+    stream = events_stream(spark, str(d / "events.parquet"))
+    assert str(stream.schema["ts"].dataType) == "TimestampType()", (
+        "nanos long must be converted to timestamps before downstream ops"
+    )
+    out = run_stream_to_memory(
+        stream.select("event_id", "ts", "value"), spark, output_mode="append"
+    )
+    rows = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1].strftime("%Y-%m-%d %H:%M:%S") == "2024-01-01 00:00:00"
+    assert rows[2].strftime("%H:%M:%S") == "01:00:00"
