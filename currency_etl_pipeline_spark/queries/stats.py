@@ -405,3 +405,58 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(sum(CAST("value" AS DECIMAL(18,6)) * CAST("value" AS DECIMAL(18,6)))
+                 AS DOUBLE) AS ss
+        FROM events GROUP BY event_type
+    ), scored AS (
+        SELECT e.event_id, e.event_type, e."value",
+               round((e."value" - st.s / st.n)
+                     / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 6) AS zscore
+        FROM events e JOIN stats st USING (event_type)
+    )
+    SELECT event_id, event_type, "value", zscore
+    FROM scored
+    ORDER BY abs(zscore) DESC, event_id LIMIT 50
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: the 50 events with the largest
+    per-type |z-score| — the data-quality screen run before a metric
+    feeds anything downstream.
+
+    Plan: per-type (n, Σv, Σv²) accumulate as EXACT DECIMAL partials
+    in one hash agg (mergeable, partition-order independent — the
+    same discipline as lineitem_corr_moments), cast to double once;
+    the 5-row stats table broadcasts back onto events, the z-score is
+    per-row codegen, and the top-50 is TakeOrderedAndProject. Two
+    passes over events, nothing else at any scale. The sample-stddev
+    denominator uses the Σv²−(Σv)²/n identity on exact sums, so both
+    engines compute the identical double before the single sqrt.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = dec("value", 18, 6)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("s") / F.col("n"))
+        / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
+        .limit(50)
+    )

@@ -39,3 +39,21 @@ def latest_file(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
         .select("path", "modificationTime", "length")
     )
     return meta.orderBy(F.desc("modificationTime"), F.desc("path")).limit(1)
+
+
+def write_zone_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format LLM data pipelines
+    actually move corpora in (one document object per line). Spark's
+    json writer IS jsonl: one object per line, one file per partition,
+    so a 100 TB corpus writes embarrassingly parallel."""
+    df.write.mode(mode).json(path)
+
+
+def read_zone_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-declared JSON-lines source. Explicit schema, same
+    rationale as read_zone_csv: inference costs an extra full scan and
+    drifts on sparse fields (a field absent from the sampled files
+    silently vanishes from the schema). Malformed lines fail loudly
+    (FAILFAST) — a training corpus with silently dropped documents is
+    worse than a failed job."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)

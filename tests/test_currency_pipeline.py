@@ -252,3 +252,33 @@ def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
     wh.upsert_current(batch)
     assert wh.current().count() == 1
     assert not (tmp_path / "wh" / "current_rates_delta").exists()
+
+
+def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL sink/source round-trip preserves every row and type, and
+    FAILFAST surfaces malformed lines instead of dropping them."""
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.lake import read_zone_jsonl, write_zone_jsonl
+    from currency_etl_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_zone_jsonl(docs, path)
+    back = read_zone_jsonl(spark, path, docs.schema)
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+
+    bad = tmp_path / "bad_jsonl"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"doc_id": 1, "text": "ok"}\nnot-json\n')
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    with pytest.raises(Exception):
+        read_zone_jsonl(spark, str(bad), schema).collect()
