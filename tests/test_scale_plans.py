@@ -465,3 +465,39 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     plan = plan_of(SPECS["tpch_q18_large_volume_customers"].spark(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join reduction: with a selective dim and a
+    non-broadcastable plan, the optimizer must inject a bloom_filter_agg
+    on the dim side and a might_contain pre-filter on the FACT side —
+    at 100 TB this discards most fact rows before the shuffle, the
+    sort-merge-join equivalent of DPP. Thresholds are forced to the
+    big-data regime (tiny testdata never crosses the real defaults)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        dim = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_nationkey") == 3)
+            .select(F.col("c_custkey").alias("user_id"))
+        )
+        j = ev.join(dim, "user_id")
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, "no bloom filter built on the dim side"
+        assert "might_contain" in plan, "fact side not pre-filtered by the bloom filter"
+        j.count()  # the filtered plan must still execute cleanly
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
