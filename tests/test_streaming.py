@@ -313,3 +313,96 @@ def test_nanos_stored_events_still_stream(spark, tmp_path):
     assert len(rows) == 3
     assert rows[1].strftime("%Y-%m-%d %H:%M:%S") == "2024-01-01 00:00:00"
     assert rows[2].strftime("%H:%M:%S") == "01:00:00"
+
+
+def _batched_stream(spark, tmp_path, batches, schema):
+    """One parquet file per batch with forced mtime order +
+    maxFilesPerTrigger=1 → one micro-batch per element of ``batches``,
+    in order. NOTE Spark's late-event filter uses the watermark from
+    the END of batch N-1 as of batch N's PLANNING — i.e. the filter
+    lags eviction by one batch — so a row must arrive two batches
+    after the watermark-advancing row to be dropped as late."""
+    import os
+
+    d = tmp_path / "batched"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        sub = d / f"f{i}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The docstrings sell the 30-min watermark as the production
+    state bound; prove the semantics: a row arriving in a later batch
+    with event time behind the watermark is DROPPED — the finalized
+    window is not re-emitted or inflated."""
+    from pyspark.sql import functions as F
+
+    schema = "k string, ts timestamp, v int"
+    t = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    batches = [
+        [("k1", t("2024-01-01 10:15:00"), 1), ("k1", t("2024-01-01 10:45:00"), 1),
+         ("k1", t("2024-01-01 13:00:00"), 1)],
+        # boundary batch: the late filter lags one batch behind eviction
+        [("k1", t("2024-01-01 13:30:00"), 1)],
+        # LATE row (10:30 < watermark 12:30, two batches stale) + fresh row
+        [("k1", t("2024-01-01 10:30:00"), 1), ("k1", t("2024-01-01 14:30:00"), 1)],
+    ]
+    stream = _batched_stream(spark, tmp_path, batches, schema)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("late_drop").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(r["ws"], r["n"]) for r in spark.sql("SELECT * FROM late_drop").collect()}
+    # 10:00 window finalized after batch 1 with n=2; the late 10:30 row
+    # must not re-open it (no ('10:00', 3) and no duplicate row);
+    # 13:00 finalizes after batch 2's watermark advance.
+    assert ("10:00", 2) in out, f"finalized window wrong: {out}"
+    assert ("10:00", 3) not in out, "late row leaked into a finalized window"
+    assert ("13:00", 2) in out  # 13:00 + the 13:30 boundary row
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is cited throughout as the
+    bounded-state production form of streaming dedup; prove both
+    halves: a duplicate within the watermark is dropped, and a key
+    re-arriving far beyond it is emitted again (state was evicted)."""
+    schema = "k string, ts timestamp, v int"
+    t = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    batches = [
+        [("k1", t("2024-01-01 10:00:00"), 1), ("k1", t("2024-01-01 10:10:00"), 2),
+         ("kx", t("2024-01-01 13:00:00"), 3)],
+        [("ky", t("2024-01-01 13:10:00"), 9)],  # boundary: evicts k1's state
+        [("k1", t("2024-01-01 13:05:00"), 4)],  # re-arrival after eviction
+    ]
+    stream = _batched_stream(spark, tmp_path, batches, schema)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = deduped.writeStream.format("memory").queryName("ddww").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT k FROM ddww").collect()
+    counts = {}
+    for r in rows:
+        counts[r["k"]] = counts.get(r["k"], 0) + 1
+    assert counts.get("kx") == 1
+    assert counts.get("ky") == 1
+    assert counts.get("k1") == 2, (
+        f"expected k1 deduped within the watermark and re-emitted after "
+        f"state eviction; got {counts}"
+    )
