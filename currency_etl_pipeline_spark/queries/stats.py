@@ -460,3 +460,51 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(50)
     )
+
+
+@query(
+    "events_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS user_id_nulls,
+           count(DISTINCT user_id) AS user_id_distinct,
+           min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS event_type_nulls,
+           count(DISTINCT event_type) AS event_type_distinct,
+           CAST(sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS value_nulls,
+           round(min("value"), 6) AS value_min,
+           round(max("value"), 6) AS value_max
+    FROM events
+    """,
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: row count, per-column null counts, exact
+    distinct cardinalities, and min/max bounds in ONE aggregate — the
+    data-audit report run before a table feeds a pipeline (the
+    deterministic twin of df.summary(), which formats floats
+    engine-specifically).
+
+    Plan: a single partial+final hash agg computes every non-distinct
+    measure map-side; the two exact count-distincts expand the
+    aggregate (Spark plans distinct aggs as an expand + two-phase
+    agg), which is the honest exact form — at 100 TB swap them for
+    approx_count_distinct (HLL, `hll_user_cardinality`) and the rest
+    of the profile is unchanged. One row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nulls = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nulls("user_id").alias("user_id_nulls"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.min("user_id").alias("user_id_min"),
+        F.max("user_id").alias("user_id_max"),
+        nulls("event_type").alias("event_type_nulls"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        nulls("value").alias("value_nulls"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+    )
