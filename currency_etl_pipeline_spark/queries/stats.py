@@ -412,7 +412,7 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT event_type,
-               count(*) AS n,
+               count("value") AS n,
                CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS s,
                CAST(sum(CAST("value" AS DECIMAL(18,6)) * CAST("value" AS DECIMAL(18,6)))
                  AS DOUBLE) AS ss
@@ -420,7 +420,8 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
         SELECT e.event_id, e.event_type, e."value",
                round((e."value" - st.s / st.n)
-                     / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 6) AS zscore
+                     / sqrt(greatest((st.ss - st.s * st.s / st.n) / (st.n - 1), 0.0)),
+                     6) AS zscore
         FROM events e JOIN stats st USING (event_type)
     )
     SELECT event_id, event_type, "value", zscore
@@ -444,14 +445,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     v = dec("value", 18, 6)
+    # n counts non-null values (count(*) would deflate the mean when
+    # the sums skip a NULL); the variance term clamps at 0 because the
+    # double s*s/n can exceed ss by one ulp in a zero-variance group —
+    # Spark's sqrt(negative) is NaN but DuckDB's is a hard error, so
+    # the clamp keeps both engines on the same (correct) value.
     stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n"),
         F.sum(v).cast("double").alias("s"),
         F.sum(v * v).cast("double").alias("ss"),
     )
     z = F.round(
         (F.col("value") - F.col("s") / F.col("n"))
-        / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        / F.sqrt(
+            F.greatest(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ),
         6,
     )
     return (

@@ -255,10 +255,8 @@ def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
 
 
 def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
-    """JSONL sink/source round-trip preserves every row and type, and
+    """JSONL sink/source round-trip preserves every row and value, and
     FAILFAST surfaces malformed lines instead of dropping them."""
-    import pytest
-
     from currency_etl_pipeline_spark.sources.lake import read_zone_jsonl, write_zone_jsonl
     from currency_etl_pipeline_spark.tables import load_table
 
@@ -266,11 +264,9 @@ def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
     path = str(tmp_path / "docs_jsonl")
     write_zone_jsonl(docs, path)
     back = read_zone_jsonl(spark, path, docs.schema)
-    assert back.count() == docs.count()
-    assert back.schema == docs.schema
-    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
-        r["doc_id"] for r in docs.select("doc_id").collect()
-    }
+    # Full-row comparison: a writer that mangled text/lang/n_chars must
+    # fail, not just one that loses doc_ids.
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
 
     bad = tmp_path / "bad_jsonl"
     bad.mkdir()
@@ -280,5 +276,5 @@ def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_zone_jsonl(spark, str(bad), schema).collect()

@@ -343,10 +343,10 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     state bound; prove the semantics: a row arriving in a later batch
     with event time behind the watermark is DROPPED — the finalized
     window is not re-emitted or inflated."""
-    from pyspark.sql import functions as F
+    from datetime import datetime as t_parse
 
     schema = "k string, ts timestamp, v int"
-    t = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    t = t_parse.fromisoformat
     batches = [
         [("k1", t("2024-01-01 10:15:00"), 1), ("k1", t("2024-01-01 10:45:00"), 1),
          ("k1", t("2024-01-01 13:00:00"), 1)],
@@ -381,8 +381,10 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     bounded-state production form of streaming dedup; prove both
     halves: a duplicate within the watermark is dropped, and a key
     re-arriving far beyond it is emitted again (state was evicted)."""
+    from datetime import datetime as t_parse
+
     schema = "k string, ts timestamp, v int"
-    t = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    t = t_parse.fromisoformat
     batches = [
         [("k1", t("2024-01-01 10:00:00"), 1), ("k1", t("2024-01-01 10:10:00"), 2),
          ("kx", t("2024-01-01 13:00:00"), 3)],
