@@ -519,3 +519,54 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("value_min"),
         F.round(F.max("value"), 6).alias("value_max"),
     )
+
+
+@query(
+    "monthly_revenue_momentum",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           CAST(rev AS DOUBLE) AS revenue,
+           n_orders,
+           round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+                 / CAST(lag(rev) OVER w AS DOUBLE) * 100, 6) AS mom_pct,
+           round((CAST(rev AS DOUBLE) - CAST(lag(rev, 12) OVER w AS DOUBLE))
+                 / CAST(lag(rev, 12) OVER w AS DOUBLE) * 100, 6) AS yoy_pct
+    FROM m WINDOW w AS (ORDER BY month)
+    """,
+)
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series momentum: monthly order revenue with
+    month-over-month and year-over-year growth — the offset-lag BI
+    report (the reference's pct-change F9 lifted from per-pair ticks
+    to calendar aggregates).
+
+    Plan: orders collapse to |months| rows in one partial+final agg
+    (exact DECIMAL revenue partials); both lags share ONE unpartitioned
+    window over that tiny aggregate — an anti-pattern on raw data, a
+    no-op after it (the window input is ~84 rows/7 years at any SF).
+    Growth divides exact-sum-derived doubles once per row at the edge.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(dec("o_totalprice", 18, 2)).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    rev = F.col("rev").cast("double")
+    prev = F.lag("rev").over(w).cast("double")
+    prev12 = F.lag("rev", 12).over(w).cast("double")
+    return m.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        rev.alias("revenue"),
+        "n_orders",
+        F.round((rev - prev) / prev * 100, 6).alias("mom_pct"),
+        F.round((rev - prev12) / prev12 * 100, 6).alias("yoy_pct"),
+    )
