@@ -64,6 +64,68 @@ def _row_passed(row) -> bool:
     return not any(row.get(k) is False for k in ("rows_match", "schema_match", "hash_match"))
 
 
+def _source_hash(spec: QuerySpec) -> str:
+    """md5 of the query function's current source + oracle SQL.
+
+    Limitation (accepted): helpers a query calls (operators.asof, …)
+    are not part of the hash; editing only a shared helper will not
+    re-tier its callers. Editing the query function or its oracle —
+    the overwhelmingly common case — will.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.spark)
+    except (OSError, TypeError):
+        src = spec.name  # source unavailable → stable fallback
+    return hashlib.md5((src + (spec.oracle or "")).encode()).hexdigest()
+
+
+def _checked_hashes_path(root=None):
+    from pathlib import Path
+
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
+    return root / "CHECKED_HASHES.json"
+
+
+def _checked_hashes(root=None) -> dict[str, str]:
+    """name -> md5 of the query source AS OF its newest driver check.
+
+    Refreshed at the start of each round by ``refresh_checked_hashes``
+    (from the previous round's final commit — the code the driver's
+    sweep actually adjudicated). A query whose CURRENT source hash
+    differs was edited since its last green row and must re-enter the
+    sweep prefix — a green row for code that no longer exists is not
+    evidence.
+    """
+    import json
+
+    try:
+        data = json.loads(_checked_hashes_path(root).read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def refresh_checked_hashes(root=None) -> int:
+    """Record the current source hash for every query whose newest
+    CORRECTNESS row is a pass. Run at the START of a round, before any
+    editing, so the recorded hashes describe the code the previous
+    sweep validated. Returns the number of entries written.
+    """
+    import json
+
+    coverage = _driver_coverage(root)
+    out = dict(_checked_hashes(root))
+    for name, spec in _REGISTRY.items():
+        rnd, ok = coverage.get(name, (0, False))
+        if rnd > 0 and ok:
+            out[name] = _source_hash(spec)
+    _checked_hashes_path(root).write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    return len(out)
+
+
 def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
     """Map query name -> (newest round with a CORRECTNESS row, passed?).
 
@@ -100,19 +162,25 @@ def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
 def ordered_names(root=None) -> list[str]:
     """Registry names: failed-or-never-checked first, then least-recently-checked.
 
-    Tier 0 is any query with NO driver pass signal — never adjudicated, or
+    Tier 0 is any query with NO driver pass signal — never adjudicated,
     whose newest CORRECTNESS row records a failure (False match flag or an
-    error). Failures therefore always re-enter the driver's bounded sweep
-    prefix instead of aging out into the long tail. Within every tier the
-    order is registration order, so the whole sequence is deterministic.
-    This rotates the bounded sweep across rounds: new, skipped, and failing
-    queries lead; long-green queries cycle back for periodic re-validation.
+    error), or whose SOURCE CHANGED since its last green row (the recorded
+    hash in CHECKED_HASHES.json no longer matches — a pass for code that
+    no longer exists is not evidence). Failures and edits therefore always
+    re-enter the driver's bounded sweep prefix instead of aging out into
+    the long tail. Within every tier the order is registration order, so
+    the whole sequence is deterministic. This rotates the bounded sweep
+    across rounds: new, skipped, failing, and freshly-edited queries lead;
+    long-green queries cycle back for periodic re-validation.
     """
     coverage = _driver_coverage(root)
+    hashes = _checked_hashes(root)
     names = list(_REGISTRY)
 
     def key(n: str):
         rnd, ok = coverage.get(n, (0, True))
+        if ok and rnd > 0 and n in hashes and hashes[n] != _source_hash(_REGISTRY[n]):
+            rnd = 0  # edited since its last green check
         return (rnd if ok else 0, names.index(n))
 
     return sorted(names, key=key)

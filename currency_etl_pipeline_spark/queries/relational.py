@@ -8,8 +8,10 @@ that surface on the TPC-H-ish driver tables.
 Scale notes recur per query; the common ones:
 - double sums go through DECIMAL (exact ⇒ partition-order independent —
   correctness AND reproducibility at 1000 executors);
-- dim joins broadcast (region/nation/supplier are KB-sized even at
-  100 TB fact scale);
+- only BOUNDED dims carry explicit broadcast hints (region/nation —
+  tens of rows at ANY scale); sf-proportional sides (customer/
+  supplier/part/orders) are left to AQE + autoBroadcastJoinThreshold,
+  which broadcasts them at test scale and shuffle-joins at 100 TB;
 - aggregations are partial+final hash aggs (map-side combine) —
   Catalyst does this for every groupBy here.
 """
@@ -158,10 +160,13 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact ⋈ dims with explicit broadcast of the dim
-    chain (J4 — the reference's symbols lookup, app.py:62-85). At 100 TB
-    only lineitem⋈orders shuffles; customer/nation/region ship to every
-    executor once."""
+    """TPC-H Q5 shape: fact ⋈ dims (J4 — the reference's symbols
+    lookup, app.py:62-85). nation/region (bounded at ANY scale) carry
+    explicit broadcast hints; the customer-derived dim chain is left to
+    AQE / autoBroadcastJoinThreshold — it broadcasts at test scale but
+    customer is sf-proportional (GBs at real TPC-H scale), so forcing
+    it would bypass the threshold and OOM the driver. At 100 TB
+    lineitem⋈orders and ⋈customer shuffle on their natural keys."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -170,7 +175,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    dims = F.broadcast(
+    dims = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
@@ -416,10 +421,15 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ broadcast dim → agg (EP2's dashboard summary generalized)."""
+    """Fact ⋈ dim → agg (EP2's dashboard summary generalized).
+
+    customer is sf-proportional, so it carries NO broadcast hint: AQE /
+    autoBroadcastJoinThreshold broadcasts it at test scale and falls
+    back to a shuffle join when it is GBs at real scale (an explicit
+    hint would bypass the threshold and OOM the driver)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
@@ -500,7 +510,8 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     outer re-aggregation (which would join raw lineitem a second time
     and re-sum the same lines) is eliminated, so lineitem is scanned
     and shuffled exactly once. Orders join the tiny qualifier side
-    (AQE picks broadcast), customers broadcast, and
+    (AQE picks broadcast); the sf-proportional customer side is
+    unhinted (AQE broadcasts it at test scale only), and
     TakeOrderedAndProject caps the output.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -513,7 +524,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     c = load_table(spark, sf_dir, "customer")
     return (
         o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             ts_str("o_orderdate").alias("o_orderdate"),
@@ -628,7 +639,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
     w = Window.partitionBy("l_partkey")
     small = (
-        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        li.join(p, li.l_partkey == F.col("p_partkey"))
         .withColumn("part_qty_sum", F.sum(dec("l_quantity", 18, 2)).over(w))
         .withColumn("part_n", F.count(F.lit(1)).over(w))
         .filter(

@@ -108,7 +108,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue aggregation, global top-10.
 
     Plan: both filters reach the parquet scans (PushedFilters); the
-    customer side reduces to one segment (broadcast below threshold);
+    customer side reduces to one segment but stays sf-proportional, so
+    it is unhinted — AQE/autoBroadcastJoinThreshold broadcasts it at
+    test scale and shuffle-joins it at real scale;
     orders⋈lineitem shuffles on orderkey; the final ORDER BY..LIMIT is
     TakeOrderedAndProject (top-k heap per partition + driver merge of
     10-row heaps — no global sort), which is what survives 100 TB.
@@ -119,7 +121,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
         .select("l_orderkey", "revenue", ts_str("o_orderdate").alias("o_orderdate"), "o_orderpriority")
@@ -153,8 +155,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     load_to_bigquery.py:98-111).
 
     Plan: region→nation is a 2-level broadcast reduction to ~5 nation
-    keys; supplier (small dim) broadcasts into lineitem map-side; the
-    only repartition-scale shuffles are lineitem⋈orders on orderkey
+    keys (nation/region are the only hinted sides — bounded at any
+    scale); supplier is sf-proportional, so it is unhinted and AQE
+    broadcasts it at test scale only; the
+    repartition-scale shuffles are lineitem⋈orders on orderkey
     and ⋈customer on custkey — both on the natural fact keys, so AQE
     can reuse them. The c_nationkey = s_nationkey condition rides the
     customer join as a residual predicate (no extra shuffle); the date
@@ -181,7 +185,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
@@ -319,8 +323,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (CASE inside SUM) over a fact⋈dim join, output is one
     global ratio row.
 
-    Plan: the month filter pushes to the lineitem scan; part is a
-    broadcast dim; both CASE branches accumulate in ONE partial+final
+    Plan: the month filter pushes to the lineitem scan; part is
+    sf-proportional so it is unhinted (AQE broadcasts it at test scale,
+    shuffle-joins at real scale); both CASE branches accumulate in ONE partial+final
     aggregation pass (no second scan, no self-join — the conditional
     split is free inside the aggregate); exact DECIMAL partials make
     the ratio engine-identical.
@@ -329,7 +334,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
     )
-    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
     return (
@@ -369,8 +374,10 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-predicate placement.
 
     Plan: both nation dims broadcast (aliased scans of the same tiny
-    table); supplier and customer broadcast after their nation filters
-    cut them down; the disjunction evaluates after both nation names
+    table); the nation-filtered supplier and customer sides stay
+    sf-proportional (a constant 2/25 fraction), so they are unhinted —
+    AQE broadcasts them at test scale and falls back to shuffle joins
+    at real scale; the disjunction evaluates after both nation names
     are attached (it references both sides, so it cannot push below
     either join — but the two IN-lists it implies DO prune supplier/
     customer early); the two-year range filter pushes to the lineitem
@@ -383,14 +390,14 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
-    s = F.broadcast(
+    s = (
         load_table(spark, sf_dir, "supplier")
-        .join(n.select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")), "s_nationkey")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation"))), "s_nationkey")
         .select("s_suppkey", "supp_nation")
     )
-    c = F.broadcast(
+    c = (
         load_table(spark, sf_dir, "customer")
-        .join(n.select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")), "c_nationkey")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation"))), "c_nationkey")
         .select("c_custkey", "cust_nation")
     )
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,6)")
@@ -419,13 +426,16 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ), scored AS (
         SELECT e.event_id, e.event_type, e."value",
-               round((e."value" - st.s / st.n)
-                     / sqrt(greatest((st.ss - st.s * st.s / st.n) / (st.n - 1), 0.0)),
-                     6) AS zscore
+               round(CASE WHEN st.n > 1
+                           AND (st.ss - st.s * st.s / st.n) / (st.n - 1) > 0
+                          THEN (e."value" - st.s / st.n)
+                               / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1))
+                     END, 6) AS zscore
         FROM events e JOIN stats st USING (event_type)
     )
     SELECT event_id, event_type, "value", zscore
     FROM scored
+    WHERE zscore IS NOT NULL
     ORDER BY abs(zscore) DESC, event_id LIMIT 50
     """,
 )
@@ -446,28 +456,30 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = dec("value", 18, 6)
     # n counts non-null values (count(*) would deflate the mean when
-    # the sums skip a NULL); the variance term clamps at 0 because the
-    # double s*s/n can exceed ss by one ulp in a zero-variance group —
-    # Spark's sqrt(negative) is NaN but DuckDB's is a hard error, so
-    # the clamp keeps both engines on the same (correct) value.
+    # the sums skip a NULL). A z-score is UNDEFINED for a singleton
+    # group (n-1 = 0: Spark's x/0 is NULL, DuckDB's double x/0 is inf
+    # — divergent) and for a zero-variance group (0/0: NULL vs NaN;
+    # the > 0 test also absorbs the one-ulp-negative ss - s²/n
+    # artifact) — both cases go explicitly to NULL in BOTH engines and
+    # are filtered, so the degenerate corpora where they arise stay
+    # engine-identical. No-op on data where every type has spread.
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.sum(v).cast("double").alias("s"),
         F.sum(v * v).cast("double").alias("ss"),
     )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     z = F.round(
-        (F.col("value") - F.col("s") / F.col("n"))
-        / F.sqrt(
-            F.greatest(
-                (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
-                F.lit(0.0),
-            )
+        F.when(
+            (F.col("n") > 1) & (var > 0),
+            (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
         ),
         6,
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.col("zscore").isNotNull())
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(50)
     )

@@ -148,7 +148,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossJoin-a-recomputed-max form plans the quarter scan + agg
     twice. The single window partition holds |supplier| narrow rows
     (10M × ~24B at SF100k — fine for one task), never lineitem. The
-    supplier dim joins broadcast.
+    post-max filter keeps ~1 row, so the supplier join is left to AQE:
+    it broadcasts the TINY filtered side (hinting supplier — the big,
+    sf-proportional side — would ship GBs to a 1-row probe at scale).
     """
     from pyspark.sql.window import Window
 
@@ -167,7 +169,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_revenue", F.max("total_revenue").over(Window.partitionBy())
         )
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
         )
@@ -201,7 +203,9 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter (Catalyst's OR-factoring does this given the explicit
     filter below), shrinking the build side to 3 brands before the
     join; the mixed part×lineitem residual evaluates inside the join.
-    The shrunken part side broadcasts.
+    The shrunken part side is still a constant FRACTION of part
+    (sf-proportional), so it is unhinted — AQE broadcasts it at test
+    scale and shuffle-joins it when it outgrows the threshold.
     """
     b12, b23, b34 = "Brand#12", "Brand#23", "Brand#34"
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
@@ -222,7 +226,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p.filter(part_pre)), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p.filter(part_pre), F.col("p_partkey") == F.col("l_partkey"))
         .filter(clause)
         .agg(
             F.sum(dec("l_extendedprice", 18, 2) * (1 - dec("l_discount", 4, 3)))
@@ -346,8 +350,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per year — the multi-fact-join + derived-measure aggregation
     class.
 
-    Plan: part (1/6 after the type filter), supplier, and nation all
-    broadcast; lineitem×orders is the one shuffle. The profit
+    Plan: nation (bounded) is the only hinted broadcast; part (1/6
+    after the type filter) and supplier are sf-proportional, so they
+    are unhinted — AQE broadcasts them at test scale and falls back to
+    shuffle joins at real scale; lineitem×orders is the one guaranteed
+    shuffle. The profit
     expression is exact DECIMAL end-to-end (price×(1-disc) −
     retail×qty×0.1), so partial-agg order can't move the result;
     rounded to 4dp at the edge per the high-scale DECIMAL→DOUBLE rule.
@@ -370,9 +377,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
     )
@@ -417,7 +424,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier) becomes n_late = 1 — one lineitem×orders join, ONE
     shuffle on orderkey, zero self-joins; per-order supplier sets are
     small (TPC-H ~7 lines/order) so the window state is bounded. The
-    supplier dim broadcasts for the final name agg.
+    sf-proportional supplier side is unhinted for the final name join —
+    AQE broadcasts it at test scale, shuffle-joins it at real scale.
     """
     from pyspark.sql.window import Window
 
@@ -439,7 +447,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
         )
         .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -89,6 +89,33 @@ def test_driver_entry_uses_rotation_order():
     assert list(entry.queries()) == ordered_names()
 
 
+def test_edited_queries_reenter_tier_zero(tmp_path):
+    """A query whose source changed since its last green driver row must
+    re-enter the sweep prefix (a pass recorded for code that no longer
+    exists is not evidence). CHECKED_HASHES.json records the hash as of
+    the last check; a mismatch with the current source re-tiers to 0."""
+    from currency_etl_pipeline_spark.queries.registry import (
+        _source_hash,
+        refresh_checked_hashes,
+    )
+
+    names = list(_REGISTRY)
+    edited = names[5]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True, "err": None} for n in names})
+    )
+    hashes = {n: _source_hash(_REGISTRY[n]) for n in names}
+    hashes[edited] = "0" * 32  # pretend the recorded hash predates an edit
+    (tmp_path / "CHECKED_HASHES.json").write_text(json.dumps(hashes))
+    order = ordered_names(root=tmp_path)
+    assert order[0] == edited, "edited query did not re-enter the sweep prefix"
+    # refresh_checked_hashes records the current source for green queries,
+    # after which the edited query rotates back out of tier 0.
+    refresh_checked_hashes(root=tmp_path)
+    order2 = ordered_names(root=tmp_path)
+    assert order2 == [n for n in names]  # all same round, registration order
+
+
 def test_malformed_rows_reenter_tier_zero(tmp_path):
     """A truncated/corrupt CORRECTNESS row (non-dict) carries no pass
     signal — it must sort into tier 0 for re-checking, not rotate to

@@ -467,6 +467,96 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+# --- no-sf-proportional-broadcast-hint sweep -------------------------------
+#
+# An explicit F.broadcast hint BYPASSES autoBroadcastJoinThreshold, so a
+# hint on a side whose cardinality grows with scale factor (customer /
+# supplier / part / orders / lineitem / documents / raw embeddings)
+# becomes a multi-GB forced broadcast at real scale — driver/executor
+# OOM, the textbook scale-killer. Hints are allowed ONLY on sides that
+# are bounded at ANY scale: nation/region, post-aggregation tables
+# (block offsets, per-group stats, scalar aggregates, vocabulary df),
+# driver-side LocalRelations (trained centroids), and fixed-ID vector
+# slices (probes / hyperplanes / the declared all-pairs scaffolding).
+# This test walks the ANALYZED logical plan of every batch catalog
+# query: for each ResolvedHint(broadcast) subtree, every path to an
+# sf-proportional base relation must pass through a bounding node.
+
+_HINT_BOUNDING_NODES = {
+    # nodes whose output cardinality does not scale with their input
+    "Aggregate",        # post-aggregation tables (offsets, stats, df, scalars)
+    "GlobalLimit",
+    "Deduplicate",
+    "LocalRelation",    # driver-side constants (trained centroids)
+    "OneRowRelation",
+    "Range",
+}
+
+# fixed-ID slices of the embeddings table (probes, hyperplanes,
+# centroid seeds, the declared 300-vector all-pairs scaffolding): a
+# literal equality/membership/upper-bound on vec_id fixes cardinality.
+_HINT_BOUNDED_FILTER = re.compile(r"vec_id#\d+L?( as bigint\))? (IN \(|<=? |= )")
+
+_SF_PROPORTIONAL_MARKERS = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_linenumber": "lineitem",
+    "doc_id": "documents",
+    "embedding#": "embeddings",
+}
+
+
+def _jchildren(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _collect_broadcast_hints(node, acc):
+    if node.getClass().getSimpleName() == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+        acc.append(node)
+    for k in _jchildren(node):
+        _collect_broadcast_hints(k, acc)
+
+
+def _unbounded_big_tables(node, acc):
+    cls = node.getClass().getSimpleName()
+    if cls in _HINT_BOUNDING_NODES:
+        return
+    if cls == "Filter" and _HINT_BOUNDED_FILTER.search(node.condition().toString()):
+        return
+    kids = _jchildren(node)
+    if not kids:
+        leaf = node.toString()
+        for marker, table in _SF_PROPORTIONAL_MARKERS.items():
+            if marker in leaf:
+                acc.add(table)
+        return
+    for k in kids:
+        _unbounded_big_tables(k, acc)
+
+
+def test_no_broadcast_hint_on_sf_proportional_side(spark, sf_dir):
+    violations = []
+    for name, spec in SPECS.items():
+        if name.startswith("streaming_"):
+            continue  # streaming fns execute a stream to build their result
+        df = spec.spark(spark, sf_dir)
+        hints = []
+        _collect_broadcast_hints(df._jdf.queryExecution().analyzed(), hints)
+        for h in hints:
+            bad: set = set()
+            _unbounded_big_tables(h, bad)
+            for table in sorted(bad):
+                violations.append(f"{name}: broadcast hint covers unbounded {table}")
+    assert not violations, (
+        "explicit F.broadcast on sf-proportional sides (forces a GB-scale "
+        "broadcast at 100 TB, bypassing autoBroadcastJoinThreshold):\n  "
+        + "\n  ".join(violations)
+    )
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Runtime bloom-filter join reduction: with a selective dim and a
     non-broadcastable plan, the optimizer must inject a bloom_filter_agg
