@@ -113,13 +113,18 @@ def scalar_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # Nullable Int64, NOT int64: .str.len() yields NaN for NULL text
+    # and a plain int64 cast raises on the first null row, where the
+    # SQL semantics (and the UDTF twin's explicit None branch) return
+    # NULL. Fixture docs happen to be all non-null — nullable dtype
+    # keeps the UDF correct on a real corpus.
     @pandas_udf("long")
     def n_tokens(s: pd.Series) -> pd.Series:
-        return s.str.strip(" ").str.split(r"\s+", regex=True).str.len().astype("int64")
+        return s.str.strip(" ").str.split(r"\s+", regex=True).str.len().astype("Int64")
 
     @pandas_udf("long")
     def n_trim_chars(s: pd.Series) -> pd.Series:
-        return s.str.strip(" ").str.len().astype("int64")
+        return s.str.strip(" ").str.len().astype("Int64")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(

@@ -41,11 +41,24 @@ PACK_BUDGET = 512
 PACK_BLOCK = 64
 
 
-def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BLOCK) -> DataFrame:
+def packed_docs(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    block: int = PACK_BLOCK,
+    strata: tuple[str, ...] = ("lang",),
+) -> DataFrame:
     """Per-document shard assignment via the two-level distributed
     prefix sum (see sequence_packing's docstring for the scale
-    argument). Returns (doc_id, lang, n_tokens, shard_id); reused by
-    the sequence_packing query and the sources/shards.py sink."""
+    argument). Returns (doc_id, *strata, n_tokens, shard_id); reused by
+    the sequence_packing query and the sources/shards.py sink.
+
+    ``strata`` are the independent packing partitions — shard ids
+    restart at 0 and pack contiguously WITHIN each stratum. The
+    standalone query packs per ("lang",); the shard sink packs per
+    ("split", "lang") so each split's shards are gap-free full-budget
+    packs (packing corpus-wide and splitting afterwards would slice
+    shards across splits: under-budget shards with doc gaps where the
+    other splits' documents were removed)."""
     # The (lang, block) repartition makes the window branch and the
     # block-offsets branch read ONE exchange (ReusedExchange,
     # plan-test pinned) — the tokenizer below it runs once; only
@@ -55,18 +68,22 @@ def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BL
     # constraint inference pushes them asymmetrically per branch) and
     # the offsets derive FROM the windowed output (block_sum = last
     # row's running total) instead of a separate aggregate lineage.
+    strata = tuple(strata)
+    not_null = F.col("block").isNotNull()
+    for k in strata:
+        not_null = not_null & F.col(k).isNotNull()
     base = (
         docs.select(
             "doc_id",
-            "lang",
+            *strata,
             F.size(tokens()).alias("n_tokens"),
             F.expr(f"doc_id DIV {block}").alias("block"),
         )
-        .filter(F.col("lang").isNotNull() & F.col("block").isNotNull())
-        .repartition("lang", "block")
+        .filter(not_null)
+        .repartition(*strata, "block")
     )
     w_local = (
-        Window.partitionBy("lang", "block")
+        Window.partitionBy(*strata, "block")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -74,25 +91,25 @@ def packed_docs(docs: DataFrame, budget: int = PACK_BUDGET, block: int = PACK_BL
         "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
     w_block = (
-        Window.partitionBy("lang")
+        Window.partitionBy(*strata)
         .orderBy("block")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        local.groupBy("lang", "block")
+        local.groupBy(*strata, "block")
         .agg(F.max(F.col("local_before") + F.col("n_tokens")).alias("block_sum"))
         .select(
-            "lang",
+            *strata,
             "block",
             F.coalesce(F.sum("block_sum").over(w_block), F.lit(0)).alias("block_offset"),
         )
     )
     return (
-        local.join(F.broadcast(offsets), ["lang", "block"])
+        local.join(F.broadcast(offsets), [*strata, "block"])
         .withColumn(
             "shard_id", F.floor((F.col("block_offset") + F.col("local_before")) / budget)
         )
-        .select("doc_id", "lang", "n_tokens", "shard_id")
+        .select("doc_id", *strata, "n_tokens", "shard_id")
     )
 
 

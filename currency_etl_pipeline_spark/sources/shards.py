@@ -43,6 +43,14 @@ def write_training_shards(
     as `path/split=*/lang=*/part-*.parquet`, each file sorted by
     (shard_id, doc_id).
 
+    The split is assigned FIRST and the packer runs per (split, lang)
+    stratum, so within each split every shard is a contiguous,
+    gap-free, full-budget pack — the token-budget contract a
+    dataloader reading only `split=train` relies on. (Packing the
+    whole corpus and splitting afterwards would slice shards across
+    splits: a "train" shard could be far under budget with doc_id
+    gaps where its val/test documents were carved out.)
+
     ``docs`` must carry (doc_id, lang, text) with doc_id and lang
     non-null; all other columns ride along into the shards. Null keys
     are rejected up front — packed_docs filters them and the
@@ -57,9 +65,10 @@ def write_training_shards(
             f"{n_bad} document(s) have null doc_id/lang; clean or quarantine "
             "them explicitly before sharding (they would be silently dropped)"
         )
-    assigned = (
-        docs.join(packed_docs(docs, budget=budget, block=block), ["doc_id", "lang"])
-        .withColumn("split", _split_expr())
+    with_split = docs.withColumn("split", _split_expr())
+    assigned = with_split.join(
+        packed_docs(with_split, budget=budget, block=block, strata=("split", "lang")),
+        ["doc_id", "split", "lang"],
     )
     (
         assigned.repartition("split", "lang")

@@ -31,6 +31,74 @@ def test_all_queries_have_docstrings():
         assert spec.doc.strip(), f"{name} lacks a docstring"
 
 
+def test_scalar_pandas_udf_null_text_yields_null(spark, tmp_path):
+    """NULL text must map to NULL counts (SQL semantics, matching the
+    oracle and the UDTF twin) — pandas .str.len() yields NaN for None
+    and a plain .astype('int64') RAISES on it; the nullable Int64 path
+    must survive a corpus with null documents (fixture has none)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b  c", None, " x "], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([6, 0, 3], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["n_trim_chars"])
+        for r in SPECS["scalar_pandas_udf_tokens"].spark(spark, str(tmp_path)).collect()
+    }
+    assert rows[0] == (3, 6)
+    assert rows[1] == (None, None), "null text must produce NULL, not crash"
+    assert rows[2] == (1, 1)
+
+
+def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
+    """Singleton and zero-variance event types must NOT diverge between
+    engines (n-1 = 0: Spark x/0 → NULL, DuckDB double x/0 → inf;
+    zero variance: NULL vs NaN). Both now define z as NULL there and
+    filter it — so only the healthy group's rows survive, identically.
+    Fixture data never exercises this (every type has many rows)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, 1, "single", 5.0),
+        (1, 1, "const", 2.0),
+        (2, 2, "const", 2.0),
+        (3, 3, "const", 2.0),
+        (4, 1, "spread", 1.0),
+        (5, 2, "spread", 2.0),
+        (6, 3, "spread", 3.0),
+        (7, 4, "spread", 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "ts": pa.array([1_700_000_000_000_000 + r[0] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = SPECS["events_anomaly_zscore"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    compare(df, con, spec.oracle)
+    got = {r["event_type"] for r in df.collect()}
+    assert got == {"spread"}, "degenerate groups must drop out, healthy group must stay"
+
+
 def test_dedup_consensus_gate_bites(spark, sf_dir):
     """The consensus cosine gate must actually adjudicate — at least
     one LSH candidate pair survives it AND at least one is rejected.

@@ -41,12 +41,52 @@ def test_shard_write_layout_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "split" in m.group(1), "split filter did not become a partition filter"
 
-    # Shard ids must agree with the query-side assignment.
+    # Shard ids must agree with the query-side per-(split, lang)
+    # assignment: each split's shards are packed over that split's own
+    # documents only.
+    from currency_etl_pipeline_spark.queries.llm_prep import _split_expr
+
+    with_split = docs.withColumn("split", _split_expr())
     expect = {
-        (r["doc_id"], r["shard_id"]) for r in packed_docs(docs).collect()
+        (r["doc_id"], r["shard_id"])
+        for r in packed_docs(with_split, strata=("split", "lang")).collect()
     }
     got = {(r["doc_id"], r["shard_id"]) for r in back.collect()}
     assert got == expect
+
+
+def test_shards_pack_per_split_no_cross_split_slicing(spark, sf_dir, tmp_path):
+    """The token-budget contract must hold WITHIN the advertised read
+    path (one split): packing just the train documents from scratch
+    reproduces exactly the shard assignment the sink wrote for
+    split=train — i.e. shards are contiguous full-budget packs of the
+    split's own doc sequence, not corpus-wide shards with val/test
+    docs carved out (under-budget, gap-riddled)."""
+    from currency_etl_pipeline_spark.queries.llm_prep import _split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards3")
+    write_training_shards(docs, path)
+    train = read_training_shards(spark, path, split="train")
+
+    train_only = docs.withColumn("split", _split_expr()).filter(F.col("split") == "train")
+    repacked = {
+        (r["doc_id"], r["shard_id"]) for r in packed_docs(train_only).collect()
+    }
+    written = {(r["doc_id"], r["shard_id"]) for r in train.collect()}
+    assert written == repacked, "train shards are not a standalone packing of train docs"
+    # and shard ids per (split, lang) are a contiguous 0..max range
+    per_stratum = (
+        train.groupBy("lang")
+        .agg(
+            F.min("shard_id").alias("lo"),
+            F.max("shard_id").alias("hi"),
+            F.countDistinct("shard_id").alias("n"),
+        )
+        .collect()
+    )
+    for r in per_stratum:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1, f"shard id gaps in lang={r['lang']}"
 
 
 def test_shard_files_sorted_by_shard_then_doc(spark, sf_dir, tmp_path):
