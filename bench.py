@@ -3,10 +3,18 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "calibration": <sec>, "sf": <float>}
 
 Each query is fully materialized via the noop sink (no driver collect,
 no disk write — pure engine throughput).
+
+``calibration`` is a FIXED, never-changing probe (lineitem scan + one
+hash agg, defined inline below — independent of the query catalog)
+timed exactly like the headline queries. Cross-round comparisons must
+be read as (query_time / calibration_time) ratios: round 4 measured a
+uniform 1.5-1.7x wall inflation on byte-identical queries that was
+pure sandbox drift, indistinguishable from a regression without an
+anchor. See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -62,6 +70,29 @@ HEADLINE = [
 ]
 
 
+def _calibration_df(spark, sf_dir: str):
+    """The fixed probe. DO NOT EDIT: its timings anchor every BENCH_r*
+    file from round 5 on; any change breaks cross-round ratios."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def _timed(build, warm: bool = True) -> float:
+    if warm:
+        build().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):  # min-of-2: measure the engine, not host noise
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,17 +105,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
+    calibration = _timed(lambda: _calibration_df(spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = specs[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: JIT + parquet footer cache
-        best = float("inf")
-        for _ in range(2):  # min-of-2: measure the engine, not host noise
-            t0 = time.perf_counter()
-            df = specs[name].spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _timed(lambda: specs[name].spark(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -92,6 +117,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": calibration,
         "sf": sf,
     }))
 
