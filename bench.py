@@ -67,6 +67,13 @@ HEADLINE = [
     "doc_repetition_score",
     "ngram_contamination",
     "embedding_dedup_clusters",
+    # round 5 additions (appended; rows above stay byte-identical so the
+    # cross-round shared prefix — now read as calibration ratios — holds):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promotion_suppliers",
+    "redact_pii_documents",
 ]
 
 

@@ -17,5 +17,6 @@ from currency_etl_pipeline_spark.queries import multimodal_queries  # noqa: F401
 from currency_etl_pipeline_spark.queries import advanced  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import stats  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
+from currency_etl_pipeline_spark.queries import tpch_partsupp  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import grouped_map  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import llm_prep  # noqa: F401, E402

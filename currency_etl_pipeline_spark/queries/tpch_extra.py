@@ -2,12 +2,10 @@
 shapes over the driver tables.
 
 These complete the classic ad-hoc query classes the catalog can
-express on the available schema (the testdata has no partsupp table,
-so Q2/Q11/Q16/Q20 — all partsupp-centric — are out of reach by data,
-not by engine; every operator they need (min-per-group rejoin, semi
-joins, grouped HAVING) is already exercised elsewhere). Where the
-testdata lacks a TPC-H column the predicate is adapted and the
-docstring says how.
+express on the available schema. The partsupp-centric four
+(Q2/Q11/Q16/Q20) live in ``tpch_partsupp.py`` over a derived
+partsupp table. Where the testdata lacks a TPC-H column the
+predicate is adapted and the docstring says how.
 
 The reference's only ad-hoc engine was BigQuery SQL (app.py:156,
 SURVEY §2.F: "same query capabilities at 100 TB"); each query here is

@@ -467,6 +467,50 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q2_window_min_single_pass(spark, sf_dir):
+    """Q2's correlated min-per-part compiles to a window min over ONE
+    pass of the Europe-filtered partsupp rows: lineitem (the partsupp
+    source) scanned exactly once, no per-row subquery shape, and the
+    top-100 is a top-k, not a global sort."""
+    plan = executed_plan_of(SPECS["tpch_q2_min_cost_supplier"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "partsupp derivation scanned twice"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_shares_scoped_subtree(spark, sf_dir):
+    """Q11's per-part aggregate and global total both read the
+    nation-scoped value rows: the subtree must be computed once
+    (ReusedExchange) with a single lineitem scan; the global total
+    rides back as a 1-row broadcast crossJoin (the only nested loop
+    allowed)."""
+    plan = executed_plan_of(SPECS["tpch_q11_important_stock"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "scoped subtree re-derived partsupp"
+    assert "ReusedExchange" in plan, "per-part agg and total no longer share the scope"
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN (non-null key) must compile to a LEFT ANTI join
+    with the part filters pushed to the part scan."""
+    plan = plan_of(SPECS["tpch_q16_supplier_cnt"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT IN did not become an anti join"
+    assert "Not(EqualTo(p_brand,Brand#21))" in plan, "brand filter not pushed"
+
+
+def test_q20_correlated_sum_aggregates_once(spark, sf_dir):
+    """Q20's correlated per-pair quantity sum is ONE aggregate of the
+    year-filtered lineitem (plus the partsupp derivation scan — two
+    lineitem scans total, the inherent cost of deriving partsupp
+    inline; at scale partsupp is materialized). No nested-loop shape;
+    the part IN-list is a semi join."""
+    plan = executed_plan_of(SPECS["tpch_q20_promotion_suppliers"].spark(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 2, "extra lineitem rescan crept in"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, "IN subqueries should compile to semi joins"
+
+
 # --- no-sf-proportional-broadcast-hint sweep -------------------------------
 #
 # An explicit F.broadcast hint BYPASSES autoBroadcastJoinThreshold, so a
