@@ -345,6 +345,176 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_temperature_resample",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_TOKS_DUCK}) AS n_tokens FROM documents
+    ), by_domain AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tok
+        FROM t GROUP BY source
+    ), planned AS (
+        SELECT source, n_docs, tok,
+               least(1.0, sqrt((SELECT min(tok) FROM by_domain) * 1.0 / tok)) AS keep_p
+        FROM by_domain
+    ), thresholds AS (
+        SELECT source, n_docs, tok, keep_p,
+               lpad(lower(to_hex(CAST(floor(keep_p * 16777216) AS BIGINT))), 6, '0') AS thr
+        FROM planned
+    )
+    SELECT p.source, p.n_docs, p.tok AS total_tokens,
+           round(p.keep_p, 6) AS keep_p,
+           CAST(sum(CASE WHEN p.keep_p >= 1.0
+                          OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6) < p.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN p.keep_p >= 1.0
+                          OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6) < p.thr
+                         THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM t JOIN thresholds p USING (source)
+    GROUP BY p.source, p.n_docs, p.tok, p.keep_p
+    """,
+)
+def domain_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain resampling (the multilingual /
+    multi-domain mixing step: downsample overrepresented sources
+    toward a alpha = 0.5 tempered distribution). With token counts
+    tok_d per source, the keep probability is
+    ``p_d = min(1, sqrt(min_e tok_e / tok_d))`` — the smallest domain
+    is kept whole, larger domains shrink as the square root of their
+    overrepresentation (the total-share normalizers cancel out of the
+    ratio, and sqrt is IEEE-correctly-rounded, so both engines compute
+    the identical double — a pow(x, alpha) form would not be portable).
+
+    Per-document keeps are DETERMINISTIC, not rand(): doc_id's md5
+    prefix (a uniform 24-bit integer in hex) is compared against
+    floor(p_d * 2^24) rendered as a fixed-width hex string —
+    lexicographic hex compare == numeric compare, reproducible across
+    engines, runs, and cluster sizes, and consistent with the
+    md5-prefix split family (train_val_test_split).
+
+    Plan: one scan tokenizes and aggregates per-source token totals
+    (counters only shuffle); the scalar min rides a 1-row broadcast;
+    the per-source thresholds table (|sources| rows) broadcasts back
+    onto the docs for the keep flag — map-side, no second shuffle of
+    documents. At 100 TB the same keep flag feeds the shard sink
+    filter directly.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
+    t = docs.select("source", "doc_id", F.size(tokens()).alias("n_tokens"))
+    by_domain = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tok")
+    )
+    min_tok = by_domain.agg(F.min("tok").alias("min_tok"))
+    planned = by_domain.crossJoin(F.broadcast(min_tok)).withColumn(
+        "keep_p", F.least(F.lit(1.0), F.sqrt(F.col("min_tok") * 1.0 / F.col("tok")))
+    )
+    thresholds = planned.withColumn(
+        "thr",
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("keep_p") * 16777216).cast("long"))), 6, "0"
+        ),
+    ).select("source", "n_docs", "tok", "keep_p", "thr")
+    kept = F.when(
+        (F.col("keep_p") >= 1.0)
+        | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < F.col("thr")),
+        1,
+    ).otherwise(0)
+    return (
+        t.join(F.broadcast(thresholds), "source")
+        .groupBy("source", "n_docs", "tok", "keep_p")
+        .agg(
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_tokens")).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("tok").alias("total_tokens"),
+            F.round("keep_p", 6).alias("keep_p"),
+            "n_kept",
+            "kept_tokens",
+        )
+    )
+
+
+_PII_GRAFT_DUCK = """text || CASE
+        WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com for details'
+        WHEN doc_id % 7 = 1 THEN ' call +1 555-00' || CAST(doc_id AS VARCHAR) || ' now'
+        WHEN doc_id % 7 = 2 THEN ' account 9021000' || CAST(doc_id AS VARCHAR) || ' ref'
+        ELSE '' END"""
+
+
+def _pii_graft():
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), d, F.lit("@mail.example.com for details")),
+        )
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit(" call +1 555-00"), d, F.lit(" now")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit(" account 9021000"), d, F.lit(" ref")))
+        .otherwise(F.lit("")),
+    )
+
+
+def _redact_pii_oracle() -> str:
+    from currency_etl_pipeline_spark.functions.redact import (
+        pii_counts_duck,
+        redact_pii_duck,
+    )
+
+    ne, np_, ni = pii_counts_duck("pii_text")
+    return f"""
+    WITH grafted AS (
+        SELECT doc_id, lang, {_PII_GRAFT_DUCK} AS pii_text FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST({ne} AS INT) AS n_emails,
+           CAST({np_} AS INT) AS n_phones,
+           CAST({ni} AS INT) AS n_ids,
+           {redact_pii_duck("pii_text")} AS redacted
+    FROM grafted
+    """
+
+
+@query("redact_pii_documents", oracle=_redact_pii_oracle())
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus: per-document email / phone /
+    numeric-ID counts plus the fully masked text — the hygiene step a
+    training pipeline runs between the quality gate and the shard sink
+    (functions/redact.py holds the shared patterns; the streaming
+    ingest gate composes the same operator).
+
+    The fixture corpus contains no organic PII (no digits at all), so
+    the query GRAFTS a deterministic synthetic layer first — emails on
+    doc_id % 7 == 0, phone numbers on % 7 == 1, account IDs on
+    % 7 == 2, built by identical string concatenation in both engines
+    — making the oracle comparison adjudicate real redactions (~43% of
+    documents change), not a vacuous no-op pass.
+
+    Plan: pure per-row codegen (concat + three regexp_replace stages +
+    three regexp_extract_all counts) over one scan — no shuffle, no
+    UDF, scan-bandwidth bound at any scale, trivially parallel.
+    """
+    from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    grafted = docs.select("doc_id", "lang", _pii_graft().alias("pii_text"))
+    n_emails, n_phones, n_ids = pii_counts(F.col("pii_text"))
+    return grafted.select(
+        "doc_id",
+        "lang",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ids.alias("n_ids"),
+        redact_pii(F.col("pii_text")).alias("redacted"),
+    )
+
+
 def _split_expr():
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return F.when(digit <= "c", "train").when(digit <= "e", "val").otherwise("test")

@@ -343,17 +343,30 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, output_mode="complete")
 
 
-@query(
-    "streaming_corpus_ingest",
-    oracle="""
+def _ingest_oracle() -> str:
+    from currency_etl_pipeline_spark.functions.redact import (
+        pii_counts_duck,
+        redact_pii_duck,
+    )
+
+    ne, np_, ni = pii_counts_duck("text")
+    return f"""
     WITH t AS (
         SELECT doc_id, lang, source, n_chars,
                regexp_split_to_array(trim(text), '\\s+') AS toks,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+               md5(regexp_replace(lower(trim({redact_pii_duck("text")})), '\\s+', ' ', 'g'))
+                 AS fingerprint,
+               CAST({ne} + {np_} + {ni} AS INT) AS pii_hits
         FROM documents
     )
-    SELECT doc_id, lang, source, fingerprint,
-           len(toks) AS n_tokens,
+    SELECT doc_id, lang, source, fingerprint, pii_hits,
+           len(toks) AS n_tokens,"""
+
+
+@query(
+    "streaming_corpus_ingest",
+    oracle=_ingest_oracle()
+    + """
            round(0.4 * least(len(toks) / 100.0, 1.0)
                + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
                               / len(toks))
@@ -374,6 +387,15 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, its normalized-text fingerprint attached. The batch oracle
     is the gated single-copy corpus.
 
+    The gate composes the PII redaction operator (functions/redact.py):
+    the fingerprint is computed over the REDACTED text — two documents
+    identical up to their PII must collapse downstream — and a
+    pii_hits count rides along so the batch stage can quarantine
+    PII-heavy documents. The fixture corpus carries no organic PII, so
+    here the redaction is structurally exercised but value-neutral;
+    its value semantics are adjudicated non-vacuously by
+    ``redact_pii_documents``'s grafted oracle and the unit tests.
+
     The delivery dedup deliberately keys on doc_id, NOT the
     fingerprint: streaming dropDuplicates keeps an arbitrary
     first-arrival, so collapsing DISTINCT documents that share a
@@ -392,6 +414,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
     from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
     from currency_etl_pipeline_spark.tables import load_table
 
@@ -416,7 +439,8 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
         6,
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(redact_pii(F.col("text")))), r"\s+", " ")
+    ne, np_, ni = pii_counts(F.col("text"))
 
     def gated(stream: DataFrame) -> DataFrame:
         return (
@@ -425,6 +449,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id", "lang", "source",
                 F.md5(norm).alias("fingerprint"),
+                (ne + np_ + ni).alias("pii_hits"),
                 n_tokens.alias("n_tokens"),
                 "quality_score",
             )

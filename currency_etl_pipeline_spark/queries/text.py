@@ -70,6 +70,12 @@ _SHINGLES_DUCK = (
 )
 _TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
 
+# DuckDB twin of functions.redact.redact_pii over the raw text column
+# (used by training_shard_prep's PII-insensitive dedup hash).
+from currency_etl_pipeline_spark.functions.redact import redact_pii_duck as _rpd  # noqa: E402
+
+_REDACTED_DUCK = _rpd("text")
+
 
 @query(
     "exact_dedup_documents",
@@ -515,11 +521,11 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM scored WHERE lang IN ('en', 'de') AND round(q, 6) >= 0.5
     ),
     deduped AS (
-        SELECT md5(text) AS text_hash, lang, source, n_chars,
+        SELECT md5({_REDACTED_DUCK}) AS text_hash, lang, source, n_chars,
                min(doc_id) AS keeper_doc_id,
                any_value(len({_TOKS_DUCK})) AS n_tokens
         FROM gated
-        GROUP BY md5(text), lang, source, n_chars, text
+        GROUP BY md5({_REDACTED_DUCK}), lang, source, n_chars, text
     )
     SELECT lang, source,
            count(*) AS n_docs,
@@ -536,6 +542,13 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a doubled corpus exactly like ``exact_dedup_documents``) →
     per-(lang, source) token/char budget accounting. Demonstrates that
     the catalog's operators compose without materialization barriers.
+
+    The dedup hash is computed over the PII-REDACTED text
+    (functions/redact.py, same operator the streaming ingest gate
+    composes): two documents identical up to their PII are the same
+    training document and must collapse. Value-neutral on the PII-free
+    fixture; the redaction semantics are adjudicated by
+    ``redact_pii_documents``'s grafted oracle.
 
     Plan: the quality score and hash are per-row codegen over one
     scan; ONE shuffle for the dedup groupBy on the digest (32-char
@@ -558,10 +571,12 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1.0 - stop_ratio)
         + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
     )
+    from currency_etl_pipeline_spark.functions.redact import redact_pii
+
     gated = corpus.filter(F.col("lang").isin("en", "de")).filter(F.round(q, 6) >= 0.5)
     deduped = (
         gated.select(
-            F.md5("text").alias("text_hash"),
+            F.md5(redact_pii(F.col("text"))).alias("text_hash"),
             "lang",
             "source",
             "n_chars",
@@ -578,10 +593,10 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE sh AS (
+# Recursive-CTE transitive closure over the exact-Jaccard pair graph —
+# shared by dedup_clusters and dedup_cluster_keepers (the closure is
+# identical; the keeper query composes a ranking on top).
+_CLUSTERS_DUCK_CTES = f"""WITH RECURSIVE sh AS (
         SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
         FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
     ), sizes AS (
@@ -602,9 +617,14 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    """,
+    ), clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_DUCK_CTES + "\n    SELECT doc_id, cluster_id FROM clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER formation: connected components over the
@@ -626,6 +646,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_cluster_keepers",
+    oracle=_CLUSTERS_DUCK_CTES
+    + f""",
+    scored AS (
+        SELECT doc_id,
+               round(0.4 * least(len({_TOKS_DUCK}) / 100.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter({_TOKS_DUCK}, x -> x IN {_STOP_SQL})) * 1.0
+                                  / len({_TOKS_DUCK}))
+                   + 0.3 * least(n_chars / 500.0, 1.0), 6) AS q
+        FROM documents
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id, q AS keeper_quality, n_members
+    FROM (
+        SELECT c.cluster_id, c.doc_id, s.q,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.q DESC, c.doc_id) AS rn
+        FROM clusters c JOIN scored s USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNING step after clustering: per duplicate cluster, keep
+    the highest-quality member (blended quality score, ties to the
+    lowest doc_id) — the decision a training pipeline actually acts on
+    ("drop the other n_members - 1 docs"), composed from
+    ``dedup_clusters``'s iterative components and ``quality_filter``'s
+    score in one lazy plan.
+
+    Plan: cluster labels come from the CC loop (one shuffle per
+    superstep, star-contraction fallback for giant diameters); the
+    quality score is per-row codegen over the documents scan; keeper
+    selection is a row_number window partitioned by cluster_id —
+    millions of small partitions, embarrassingly parallel, the
+    clustered subset being a tiny fraction of the corpus. The oracle
+    replays closure + ranking in one recursive-CTE statement, so the
+    driver adjudicates the full iterative-plus-ranking composition.
+    """
+    from pyspark.sql.window import Window
+
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    q = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select("doc_id", q.alias("q"))
+    w_cnt = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("q").alias("keeper_quality"),
+            "n_members",
+        )
     )
 
 

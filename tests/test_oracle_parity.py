@@ -99,6 +99,67 @@ def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
     assert got == {"spread"}, "degenerate groups must drop out, healthy group must stay"
 
 
+def test_redact_pii_semantics_and_engine_parity(spark):
+    """The redaction chain must mask real PII correctly AND produce
+    byte-identical output in Spark and DuckDB (the fixture corpus has
+    no organic PII, so this is where the value semantics are pinned).
+    Counts follow the staged rule: emails on raw, phones on
+    email-redacted, ids on phone-redacted — disjoint."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.redact import (
+        pii_counts,
+        pii_counts_duck,
+        redact_pii,
+        redact_pii_duck,
+    )
+
+    cases = [
+        ("mail john.doe+spam@corp.example.org today", "mail [EMAIL] today", (1, 0, 0)),
+        ("call +44 20-7946 0958 or +1 555-0100 now", "call [PHONE] or [PHONE] now", (0, 2, 0)),
+        ("order 123456789 shipped, ref 55555", "order [ID] shipped, ref 55555", (0, 0, 1)),
+        ("id 12345 stays (five digits)", "id 12345 stays (five digits)", (0, 0, 0)),
+        ("x@y.io then 9876543 then +1 2345678", "[EMAIL] then [ID] then [PHONE]", (1, 1, 1)),
+        ("no pii at all", "no pii at all", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "text string")
+    ne, np_, ni = pii_counts(F.col("text"))
+    got = df.select(
+        "text", redact_pii(F.col("text")).alias("red"),
+        ne.alias("ne"), np_.alias("np"), ni.alias("ni"),
+    ).collect()
+    by_text = {r["text"]: r for r in got}
+    con = duckdb.connect()
+    dne, dnp, dni = pii_counts_duck("t")
+    for text, want_red, (we, wp, wi) in cases:
+        r = by_text[text]
+        assert r["red"] == want_red, f"spark redaction wrong for {text!r}: {r['red']!r}"
+        assert (r["ne"], r["np"], r["ni"]) == (we, wp, wi), f"counts wrong for {text!r}"
+        duck = con.execute(
+            f"SELECT {redact_pii_duck('t')}, {dne}, {dnp}, {dni} FROM (SELECT ? AS t)",
+            [text],
+        ).fetchone()
+        assert duck[0] == want_red, f"duckdb redaction diverges for {text!r}: {duck[0]!r}"
+        assert tuple(duck[1:]) == (we, wp, wi)
+
+
+def test_redact_pii_documents_nonvacuous(spark, sf_dir):
+    """The grafted catalog query must actually redact: roughly 3/7 of
+    documents carry synthetic PII and every grafted doc reports
+    exactly one hit of its kind."""
+    rows = SPECS["redact_pii_documents"].spark(spark, sf_dir).collect()
+    hits = [r for r in rows if (r["n_emails"] + r["n_phones"] + r["n_ids"]) > 0]
+    assert len(hits) > 0.3 * len(rows), "graft did not take — redaction vacuous"
+    for r in rows:
+        mod = r["doc_id"] % 7
+        want = {0: (1, 0, 0), 1: (0, 1, 0), 2: (0, 0, 1)}.get(mod, (0, 0, 0))
+        assert (r["n_emails"], r["n_phones"], r["n_ids"]) == want, f"doc {r['doc_id']}"
+        assert ("[EMAIL]" in r["redacted"]) == (mod == 0)
+        assert ("[PHONE]" in r["redacted"]) == (mod == 1)
+        assert ("[ID]" in r["redacted"]) == (mod == 2)
+
+
 def test_dedup_consensus_gate_bites(spark, sf_dir):
     """The consensus cosine gate must actually adjudicate — at least
     one LSH candidate pair survives it AND at least one is rejected.
