@@ -254,6 +254,42 @@ def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
     assert not (tmp_path / "wh" / "current_rates_delta").exists()
 
 
+def test_delta_merge_branch_equivalence_when_available(spark, tmp_path):
+    """When a Delta-enabled session IS present (delta jars + SQL
+    extension), the MERGE INTO route must produce exactly the snapshot
+    the operator-level fold defines: strict `>` newest-wins, equal-ts
+    keeps current, unmatched inserts. Skipped in this container (no
+    delta jars — probe False, see test above); the skip marker turns
+    into a real equivalence gate the moment the dependency appears, so
+    the ``_delta_merge`` branch never ships unproven on a lakehouse
+    deployment."""
+    from currency_etl_pipeline_spark.operators.upsert import (
+        latest_per_key,
+        upsert_newest_wins,
+    )
+    from currency_etl_pipeline_spark.sources.warehouse import (
+        KEYS,
+        Warehouse,
+        merge_into_available,
+    )
+
+    if not merge_into_available(spark):
+        pytest.skip("delta-spark + DeltaSparkSessionExtension not on this session")
+
+    wh = Warehouse(spark, str(tmp_path / "whd"))
+    b1 = _batch(spark, T0)
+    b2 = _batch(spark, T1, quotes={"GBPUSD": "1.3000", "GBPAUD": "1.9000"}).unionByName(
+        _batch(spark, T0, quotes={"GBPEUR": "9.9999"})
+    )
+    wh.upsert_current(b1)
+    wh.upsert_current(b2)
+    expected = upsert_newest_wins(
+        latest_per_key(b1, KEYS, "timestamp"), b2, KEYS, "timestamp"
+    )
+    got = wh.current().select(*expected.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
     """JSONL sink/source round-trip preserves every row and value, and
     FAILFAST surfaces malformed lines instead of dropping them."""

@@ -140,6 +140,76 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 30, 40: 30}
 
 
+def _union_find_components(pairs):
+    """Ground-truth CC: plain driver-side union-find, min-id labels."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+# Random small graphs: node ids up to 30, up to 25 edges (self-loops
+# and parallel edges included — both must be harmless).
+cc_edge = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+)
+
+
+@given(pairs=st.lists(cc_edge, min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_star_contraction_matches_union_find(spark, pairs):
+    """The large-star/small-star path must produce exactly the same
+    (node -> min-id component) labeling as driver-side union-find for
+    ANY small graph — including self-loops, parallel edges, and
+    reversed duplicates."""
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(pairs, "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "s", "d", algorithm="star").collect()
+    }
+    assert got == _union_find_components(pairs)
+
+
+def test_cc_auto_falls_back_to_star_on_giant_diameter(spark):
+    """A 60-node path has diameter 59 > max_iter=20 supersteps:
+    'propagate' must raise, 'star' must solve it in O(log n) rounds,
+    and the default 'auto' must fall back to star instead of failing —
+    the max_iter raise is retired for callers."""
+    import pytest as _pytest
+
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(59)], "s long, d long")
+    want = {i: 0 for i in range(60)}
+
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(path, "s", "d", algorithm="star").collect()
+    }
+    assert star == want
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "s", "d", max_iter=5, algorithm="propagate").collect()
+
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(path, "s", "d", max_iter=5).collect()
+    }
+    assert auto == want
+
+
 # A packing corpus row: (doc_id, lang, n_tokens). Small doc_ids force
 # multi-doc blocks; token counts larger than the budget exercise the
 # oversized-document case (a doc longer than the budget must still
