@@ -85,3 +85,43 @@ def upsert_newest_wins(
         .filter(F.col(_RN) == 1)
         .select(*cols)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """CDC view between two snapshots of the same keyed table: one row
+    per key whose state changed, with ``change_type`` in
+    (insert, update, delete) and the full old/new value structs.
+
+    Both inputs must be unique per key (snapshots — what SnapshotStore
+    versions hold by construction). The comparison is a null-safe
+    struct equality over every non-key column, so a column flipping to
+    or from NULL registers as an update.
+
+    Plan: ONE full-outer shuffle join on the keys, then a codegen
+    filter dropping unchanged rows — |old| + |new| narrow rows, no
+    window, no second pass. At 100 TB snapshot scale this is the
+    standard "what changed between version A and B" incremental-feed
+    primitive a downstream consumer polls instead of re-reading the
+    snapshot.
+    """
+    keys = list(keys)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*val_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*val_cols).alias("_new"))
+    return (
+        o.join(n, keys, "full_outer")
+        .filter(~F.col("_old").eqNullSafe(F.col("_new")))
+        .select(
+            *keys,
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("_old").alias("old"),
+            F.col("_new").alias("new"),
+        )
+    )

@@ -133,6 +133,39 @@ class SnapshotStore:
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
         self._prune(n + 1)
 
+    def version(self) -> int | None:
+        """The live version number (None before the first commit)."""
+        latest = self._latest()
+        return int(latest[1:]) if latest else None
+
+    def read_version(self, version: int) -> DataFrame:
+        """Read a specific RETAINED version (time travel within the
+        ``retain`` window). Raises for pruned/orphan versions with the
+        same guards as ``rollback``."""
+        name = f"v{version:08d}"
+        vdir = os.path.join(self.base, name)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {name} not on disk under {self.base} (pruned? raise retain)"
+            )
+        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"version {name} has no _SUCCESS marker — partially-written orphan"
+            )
+        return self.spark.read.parquet(vdir)
+
+    def diff(self, old_version: int, new_version: int, keys: list[str]) -> DataFrame:
+        """CDC between two retained versions: (keys, change_type,
+        old struct, new struct) for every key whose state changed —
+        see ``operators.upsert.snapshot_diff``. The incremental-feed
+        read path: a consumer polls ``version()`` and pulls only the
+        delta instead of re-reading the snapshot."""
+        from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+
+        return snapshot_diff(
+            self.read_version(old_version), self.read_version(new_version), keys
+        )
+
     def latest_tag(self) -> str | None:
         """The tag committed with the live version (None if untagged)."""
         latest = self._latest()

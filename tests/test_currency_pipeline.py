@@ -254,6 +254,39 @@ def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
     assert not (tmp_path / "wh" / "current_rates_delta").exists()
 
 
+def test_snapshot_store_version_diff_cdc(spark, tmp_path):
+    """Versioned snapshots expose a CDC read path: diff(v1, v2) emits
+    exactly the changed keys as insert/update/delete with old/new
+    structs, null-safe (a value flipping to NULL is an update), and
+    unchanged keys never appear."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    v1 = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 2.0), ("JPY", 3.0), ("GBP", None)],
+        "ccy string, rate double",
+    )
+    v2 = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 2.5), ("AUD", 9.0), ("GBP", 4.0)],
+        "ccy string, rate double",
+    )
+    store.commit(v1)
+    store.commit(v2)
+    assert store.version() == 2
+    got = {
+        r["ccy"]: (r["change_type"], r["old"], r["new"])
+        for r in store.diff(1, 2, ["ccy"]).collect()
+    }
+    assert set(got) == {"EUR", "JPY", "AUD", "GBP"}, "unchanged USD must not appear"
+    assert got["EUR"][0] == "update" and got["EUR"][2]["rate"] == 2.5
+    assert got["JPY"][0] == "delete" and got["JPY"][2] is None
+    assert got["AUD"][0] == "insert" and got["AUD"][1] is None
+    assert got["GBP"][0] == "update", "NULL -> value must register as update"
+    # reverse direction flips insert/delete
+    rev = {r["ccy"]: r["change_type"] for r in store.diff(2, 1, ["ccy"]).collect()}
+    assert rev["JPY"] == "insert" and rev["AUD"] == "delete"
+
+
 def test_delta_merge_branch_equivalence_when_available(spark, tmp_path):
     """When a Delta-enabled session IS present (delta jars + SQL
     extension), the MERGE INTO route must produce exactly the snapshot
