@@ -325,23 +325,45 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (boilerplate, keyword stuffing, decode loops) every
     training-data quality gate includes.
 
-    Plan: explode → two stacked aggregations, each with map-side
-    partial combine, so the first shuffle carries (doc_id, token,
-    count) partials (bounded by distinct pairs per partition, not
-    token occurrences) and the second one row per document; ratios
-    divide exact integers once per doc at the edge. No O(tokens²)
-    per-row array scan — the naive `transform(toks, t ->
-    size(filter(toks, ...)))` form is quadratic per document and
-    melts on long documents.
+    Plan: ZERO-shuffle map-only codegen. The per-doc statistics are
+    array-local: sort the token array (O(n log n) per doc), then one
+    linear `aggregate` scan counts the longest equal-run — which IS
+    the max token frequency in a sorted array — while
+    `array_distinct` sizes the vocabulary. Nothing leaves the row.
+    The previous explode → groupBy(doc_id, tok) form shuffled every
+    distinct (doc, token) pair — nearly one row per corpus token,
+    the dominant cost at any scale (and measurably so at sf0.1); the
+    naive `transform(toks, t -> size(filter(...)))` form is O(n²) per
+    doc and melts on long documents. This is the shape that survives
+    100 TB: scan-bound, embarrassingly parallel, no exchange at all.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    ex = exploded(docs, ["doc_id"], tokens(), "tok")
-    counts = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.round(F.count(F.lit(1)) * 1.0 / F.sum("cnt"), 6).alias("distinct_ratio"),
-        F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top_token_share"),
+    toks = tokens()
+    sorted_toks = F.array_sort(toks)
+    run_scan = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("maxrun"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev.eqNullSafe(x), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.maxrun,
+                F.when(acc.prev.eqNullSafe(x), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("maxrun"),
+        ),
+    )
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(n_distinct * 1.0 / n_tokens, 6).alias("distinct_ratio"),
+        F.round(run_scan.maxrun * 1.0 / n_tokens, 6).alias("top_token_share"),
     )
 
 

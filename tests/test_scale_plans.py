@@ -467,6 +467,17 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_doc_repetition_is_map_only(spark, sf_dir):
+    """doc_repetition_score's statistics are array-local (sorted-run
+    scan + array_distinct): the plan must carry NO hash shuffle — the
+    previous explode → groupBy(doc_id, tok) form shuffled ~one row per
+    corpus token. The only allowed exchange is spread()'s round-robin
+    (a no-op once the input has enough splits)."""
+    plan = plan_of(SPECS["doc_repetition_score"].spark(spark, sf_dir))
+    assert "hashpartitioning" not in plan, "per-token shuffle crept back in"
+    assert "Generate" not in plan, "explode crept back in"
+
+
 def test_q2_window_min_single_pass(spark, sf_dir):
     """Q2's correlated min-per-part compiles to a window min over ONE
     pass of the Europe-filtered partsupp rows: lineitem (the partsupp
