@@ -612,6 +612,30 @@ def test_no_broadcast_hint_on_sf_proportional_side(spark, sf_dir):
     )
 
 
+# Queries ALLOWED to plan a CartesianProduct — each a declared
+# fixed-size scaffolding slice, never a corpus-scale cross join.
+_CARTESIAN_ALLOWED = {
+    "near_dup_embeddings",  # declared all-pairs baseline on a fixed 300-vector slice
+}
+
+
+def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
+    """Catalog-wide lint: no query's physical plan may contain a
+    CartesianProduct (the quadratic scale-killer) unless it is on the
+    declared-scaffolding allowlist. Broadcast nested loops are allowed
+    (the 1-row scalar / bounded-probe crossJoins are legitimate);
+    Cartesian means BOTH sides were too big to broadcast — at real
+    scale that is always a bug."""
+    offenders = []
+    for name, spec in SPECS.items():
+        if name.startswith("streaming_") or name in _CARTESIAN_ALLOWED:
+            continue
+        plan = plan_of(spec.spark(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct planned by: {offenders}"
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Runtime bloom-filter join reduction: with a selective dim and a
     non-broadcastable plan, the optimizer must inject a bloom_filter_agg
