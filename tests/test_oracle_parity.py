@@ -160,6 +160,20 @@ def test_redact_pii_documents_nonvacuous(spark, sf_dir):
         assert ("[ID]" in r["redacted"]) == (mod == 2)
 
 
+def test_gap_fill_produces_real_gaps_and_ffills(spark, sf_dir):
+    """The sparse slice must yield genuine empty hours (else the
+    query proves nothing) and every gap row must carry a forward-
+    filled value — the grid starts at each type's first active hour,
+    so no gap can precede all data."""
+    rows = SPECS["hourly_gap_fill_forward"].spark(spark, sf_dir).collect()
+    gaps = [r for r in rows if r["n_events"] == 0]
+    assert gaps, "no empty hours — gap-fill is vacuous on this fixture"
+    assert all(r["sum_value"] is None for r in gaps)
+    assert all(r["ffill_sum_value"] is not None for r in gaps), "gap without forward fill"
+    filled = [r for r in rows if r["n_events"] > 0]
+    assert all(r["ffill_sum_value"] == r["sum_value"] for r in filled)
+
+
 def test_dedup_consensus_gate_bites(spark, sf_dir):
     """The consensus cosine gate must actually adjudicate — at least
     one LSH candidate pair survives it AND at least one is rejected.
