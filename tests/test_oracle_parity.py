@@ -26,6 +26,39 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     compare(df, duck, spec.oracle)
 
 
+# The join-heaviest catalog queries: at test scale AQE broadcasts most
+# of their sides; at 100 TB those sides outgrow the threshold and every
+# join becomes shuffle/sort-merge. Forcing threshold = -1 runs THAT
+# regime here — answers must be identical, or a query is silently
+# depending on broadcast semantics (e.g. build-side null handling,
+# join-order effects) that won't hold at scale.
+_JOIN_HEAVY = [
+    "revenue_by_region",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
+    "purchases_within_1h_before_click",
+    "customer_order_stats",
+]
+
+
+@pytest.mark.parametrize("name", _JOIN_HEAVY)
+def test_join_heavy_queries_correct_without_broadcast(spark, sf_dir, duck, name):
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spec = SPECS[name]
+        compare(spec.spark(spark, sf_dir), duck, spec.oracle)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_all_queries_have_docstrings():
     for name, spec in SPECS.items():
         assert spec.doc.strip(), f"{name} lacks a docstring"
