@@ -485,6 +485,54 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cms_user_event_counts")  # no oracle: CMS sketch bytes are engine-specific
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for a fixed watchlist of
+    user ids, side-by-side with exact counts — completing the sketch
+    family (HLL cardinality → ``hll_user_cardinality``, quantile
+    sketch → ``lineitem_percentiles_approx``, frequency sketch →
+    here). The use case: a bounded-memory per-key counter over a
+    stream/corpus whose key universe is too big to groupBy, probed for
+    a known watchlist.
+
+    At 100 TB the sketch is THE viable form: a ~10 KB mergeable
+    partial aggregate per partition (one reduce to the driver),
+    versus a full shuffle of every distinct key for exact counts. The
+    driver handles only the sketch bytes and the fixed watchlist —
+    never data rows. CMS guarantees estimate >= exact and
+    estimate <= exact + eps * N at the configured confidence; both
+    bounds are pinned in tests/test_stats.py. No oracle twin: the
+    sketch layout is engine-specific (rows-only driver check), which
+    is why the exact counts ride along in the output.
+    """
+    watchlist = list(range(20))  # fixed known keys to probe
+    ev = load_table(spark, sf_dir, "events")
+    sketch_bytes = ev.agg(
+        F.count_min_sketch("user_id", F.lit(0.005), F.lit(0.99), F.lit(42)).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    )
+    est = [
+        (u, int(cms.estimateCount(jvm.java.lang.Long.valueOf(u)))) for u in watchlist
+    ]
+    est_df = spark.createDataFrame(est, "user_id long, est_events long")
+    exact = (
+        ev.filter(F.col("user_id").isin(*watchlist))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_events"))
+    )
+    return (
+        est_df.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "est_events",
+            F.coalesce("exact_events", F.lit(0)).alias("exact_events"),
+        )
+    )
+
+
 @query(
     "hourly_gap_fill_forward",
     oracle="""
@@ -532,15 +580,34 @@ def hourly_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    # The explicit notnull filters mirror what join-key constraint
+    # inference would add to ONLY the join branch — applying them below
+    # the aggregate keeps the bounds branch and the join branch
+    # bit-identical so they share one exchange (ReusedExchange,
+    # plan-test pinned; the SKILL.md ReusedExchange rule).
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 97 == 0)
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.date_trunc("hour", "ts").isNotNull()
+    )
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).alias("sv"),
     )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    # The filter is vacuously true (every group has n_events >= 1) but
+    # NOT provable by the optimizer, so it (a) stops the bounds
+    # aggregate from collapsing onto the raw scan and (b) references
+    # sv so column pruning cannot specialize the bounds branch's scan
+    # to fewer columns than the join branch's — both subtrees stay
+    # bit-identical below the hourly exchange and AQE reuses it
+    # (ReusedExchange, plan-test pinned): events is scanned ONCE.
+    bounds = (
+        hourly.filter((F.col("n_events") > 0) | (F.col("sv") > 0))
+        .groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     )
     grid = bounds.select(
         "event_type",

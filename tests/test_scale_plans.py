@@ -467,6 +467,16 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_gap_fill_aggregates_before_grid(spark, sf_dir):
+    """Gap-fill must collapse events to (type, hour) aggregates before
+    any grid work: one events scan feeding both the hourly aggregate
+    and its bounds (ReusedExchange), never a per-event grid join."""
+    plan = executed_plan_of(SPECS["hourly_gap_fill_forward"].spark(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, "events scanned more than once"
+    assert "ReusedExchange" in plan, "bounds re-derive the hourly aggregate"
+    assert "CartesianProduct" not in plan
+
+
 def test_doc_repetition_is_map_only(spark, sf_dir):
     """doc_repetition_score's statistics are array-local (sorted-run
     scan + array_distinct): the plan must carry NO hash shuffle — the

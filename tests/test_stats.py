@@ -25,6 +25,22 @@ def test_hll_within_relative_error(spark, sf_dir):
         assert rel_err < 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"
 
 
+def test_cms_bounds_hold(spark, sf_dir):
+    """Count-min-sketch contract: estimates never undercount, and
+    overcount by at most eps * N (eps = 0.005) at the configured
+    confidence; absent watchlist keys estimate (near) zero."""
+    from currency_etl_pipeline_spark.queries.stats import cms_user_event_counts
+
+    rows = cms_user_event_counts(spark, sf_dir).collect()
+    assert rows and any(r.exact_events > 0 for r in rows), "watchlist hit nothing"
+    n_total = load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.est_events >= r.exact_events, f"CMS undercounted user {r.user_id}"
+        assert r.est_events - r.exact_events <= 0.005 * n_total, (
+            f"user {r.user_id}: est {r.est_events} vs exact {r.exact_events}"
+        )
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The approx_percentile scale twin must stay within a tight rank
     bound of the exact percentiles. With accuracy=10000 the sketch's
