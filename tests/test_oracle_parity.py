@@ -26,6 +26,38 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     compare(df, duck, spec.oracle)
 
 
+# Aggregation-heavy queries whose values would drift under double
+# partial sums: the exact-DECIMAL / two-level-prefix-sum discipline
+# claims their results are IDENTICAL at any partition count — the
+# property that makes a 1000-executor run reproduce a 32-thread run.
+_PARTITION_SENSITIVE = [
+    "tpch_q1_pricing_summary",
+    "lineitem_corr_moments",
+    "events_anomaly_zscore",
+    "sequence_packing",
+    "domain_temperature_resample",
+    "monthly_revenue_momentum",
+]
+
+
+@pytest.mark.parametrize("name", _PARTITION_SENSITIVE)
+def test_results_identical_across_partition_counts(spark, sf_dir, name):
+    spec = SPECS[name]
+
+    def run():
+        return sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        many = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert few == many, f"{name} result depends on partition count"
+
+
 # The join-heaviest catalog queries: at test scale AQE broadcasts most
 # of their sides; at 100 TB those sides outgrow the threshold and every
 # join becomes shuffle/sort-merge. Forcing threshold = -1 runs THAT
