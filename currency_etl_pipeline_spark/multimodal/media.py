@@ -203,6 +203,47 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     return assets.select("asset_id", "media", "meta").mapInPandas(_sample, FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def dhash_assets(assets: DataFrame) -> DataFrame:
+    """64-bit difference-hash (dHash) per asset — the perceptual
+    fingerprint used for image near-duplicate detection: decode to the
+    declared raster, average channels to grayscale, sample an 8×9
+    grid, emit the 64 horizontal-gradient sign bits as one long.
+
+    FAKE1 decode is np.frombuffer + np.resize (deterministic); a real
+    deployment swaps in Pillow's `Image.open(...).convert('L')` with
+    the identical downstream math. Output is (asset_id, phash) — 16
+    bytes per asset — so the wide binary column dies at this map stage
+    and everything downstream (banding, joins) is JVM-side codegen.
+    """
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"asset_id": [], "phash": []}
+            for aid, m, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                raw = np.frombuffer(m, dtype=np.uint8)
+                img = np.resize(raw, (h, w, c)).mean(axis=2)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = img[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+                # two's-complement int64 via packbits (MSB-first per byte)
+                v = int(np.packbits(bits).view(">i8")[0])
+                out["asset_id"].append(aid)
+                out["phash"].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media", "meta").mapInPandas(_dhash, PHASH_SCHEMA)
+
+
 AUDIO_RMS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
