@@ -15,9 +15,11 @@ no join blow-up, skew handled by AQE. This is the plan that survives
 a 100 TB event log (the inequality-join oracle twin is only viable at
 test scale).
 
-Semantics: backward as-of, inclusive (quote at exactly probe.ts with
-tie_breaker <= probe's matches). Probes with no earlier quote keep NULL
-(left-join semantics).
+Semantics: backward as-of (default), inclusive (quote at exactly
+probe.ts with tie_breaker <= probe's matches); ``direction="forward"``
+flips to first-quote-at-or-after via the mirrored window
+(first(ignorenulls) over rowsBetween(0, unboundedFollowing)). Probes
+with no matching quote keep NULL (left-join semantics).
 """
 
 from __future__ import annotations
@@ -35,27 +37,44 @@ def asof_join(
     ts_col: str,
     value_col: str,
     tie_breaker: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of probes against quotes on a single key.
+    """As-of join of probes against quotes on a single key.
 
     probes: columns [on, ts_col, tie_breaker, ...extra]
     quotes: columns [on, ts_col, tie_breaker, value_col]
-    Returns probes + value_col (NULL where no quote precedes).
+    Returns probes + value_col (NULL where no quote matches).
+    ``direction``: "backward" = most recent quote at-or-before each
+    probe; "forward" = earliest quote at-or-after it.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     probe_cols = probes.columns
     tagged = quotes.select(on, ts_col, tie_breaker, value_col).withColumn(_SIDE, F.lit(0)).unionByName(
         probes.select(on, ts_col, tie_breaker).withColumn(value_col, F.lit(None).cast(quotes.schema[value_col].dataType)).withColumn(_SIDE, F.lit(1)),
     )
-    # At equal (ts, tie_breaker) a quote sorts before the probe is
+    # At equal (ts, tie_breaker) a quote colliding with the probe is
     # impossible (tie_breaker unique across rows); ordering by
     # (ts, tie_breaker) makes "quote.ts == probe.ts AND quote.tb <=
-    # probe.tb" count as preceding — inclusive backward as-of.
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col(tie_breaker).asc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = tagged.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
+    # probe.tb" count as preceding (backward) / ">= probe.tb" as
+    # following (forward) — inclusive both ways. The side key only
+    # breaks exact collisions: quote first for backward frames, probe
+    # first for forward frames, so the boundary quote stays in frame.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col).asc(), F.col(tie_breaker).asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last(value_col, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col).asc(), F.col(tie_breaker).asc(), F.col(_SIDE).desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first(value_col, ignorenulls=True).over(w)
+    filled = tagged.withColumn(value_col, fill)
     out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
     # Re-attach any extra probe columns (beyond key/ts/tie) via the
     # unique tie_breaker if the caller had more columns.

@@ -409,6 +409,46 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "asof_next_purchase_after_click",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc,
+           p."value" AS next_purchase_value
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id >= c.event_id))
+    WHERE c.event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC, p.event_id ASC) = 1
+    """,
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's next
+    purchase value at-or-after it — the attribution-window twin of
+    ``asof_last_purchase_before_click`` ("did this click convert, and
+    to what amount"), exercising the operator's mirrored direction.
+
+    Same scale argument as the backward form: union-tag +
+    first(ignorenulls) over a FOLLOWING frame — ONE shuffle on
+    user_id, O(n log n), while the oracle's inequality join is
+    O(clicks × purchases) per user and only viable at test scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("__asof_value")
+    )
+    probes = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        probes, quotes, on="user_id", ts_col="ts", value_col="__asof_value",
+        tie_breaker="event_id", direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", ts_str("ts").alias("ts_utc"),
+        F.col("__asof_value").alias("next_purchase_value"),
+    )
+
+
+@query(
     "customer_order_stats",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
