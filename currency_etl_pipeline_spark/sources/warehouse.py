@@ -232,6 +232,45 @@ class Warehouse:
     def historical(self) -> DataFrame:
         return self.spark.read.parquet(self.historical_path).drop("rate_date")
 
+    def compact_historical(self, rate_date: str, target_files: int = 1) -> tuple[int, int]:
+        """Small-files compaction for one date partition of the
+        append-only history — every micro-batch append lands its own
+        file(s), and at streaming cadence a partition accumulates
+        thousands of KB-files whose open/footer overhead dominates
+        scans (the classic small-files problem). Rewrite the partition
+        into ``target_files`` files; returns (files_before, files_after).
+
+        Safety: the compacted copy is written to a sibling tmp dir and
+        row-count-verified BEFORE the old directory is removed — a
+        failed rewrite never destroys data. The final rm+rename is a
+        brief non-atomic window (documented: plain parquet dirs have
+        no pointer indirection; the SnapshotStore's versioned commit is
+        the atomic pattern, and on a lakehouse format this maps to
+        OPTIMIZE/rewrite_data_files which layer the same idea over a
+        transaction log). Run it when the partition is cold — i.e.
+        after its date has passed, which for an event-time-partitioned
+        history is every partition but today's.
+        """
+        part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
+        if not os.path.isdir(part_dir):
+            raise FileNotFoundError(f"no partition dir {part_dir}")
+        files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        df = self.spark.read.parquet(part_dir)
+        n_before = df.count()
+        tmp = part_dir + "__compact_tmp"
+        df.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
+        n_after = self.spark.read.parquet(tmp).count()
+        if n_after != n_before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row count mismatch ({n_before} -> {n_after}); "
+                "original partition left untouched"
+            )
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        return (len(files_before), len(files_after))
+
     def _migrate_legacy_current(self) -> None:
         """One-time adoption of a pre-SnapshotStore layout: earlier
         versions wrote the snapshot's parquet part-files directly under

@@ -254,6 +254,30 @@ def test_merge_into_probe_false_and_fallback_used(spark, tmp_path):
     assert not (tmp_path / "wh" / "current_rates_delta").exists()
 
 
+def test_compact_historical_merges_small_files(spark, tmp_path):
+    """Repeated appends leave one file set per batch; compaction must
+    rewrite a date partition into the target file count with zero row
+    loss, leave other partitions untouched, and keep partition pruning
+    intact. A mismatching rewrite must refuse before deleting."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(4):
+        wh.append_historical(
+            _batch(spark, "2024-03-01 10:00:00", quotes={f"GBPX{i}": "1.5"})
+        )
+    wh.append_historical(_batch(spark, "2024-03-02 10:00:00", quotes={"GBPUSD": "1.2"}))
+    total_before = wh.historical().count()
+
+    before, after = wh.compact_historical("2024-03-01")
+    assert before >= 4 and after == 1, f"expected 4+ files -> 1, got {before} -> {after}"
+    assert wh.historical().count() == total_before, "compaction lost rows"
+    # the other partition is untouched and pruning still works
+    import os as _os
+
+    assert _os.path.isdir(str(tmp_path / "wh" / "historical_rates" / "rate_date=2024-03-02"))
+    pruned = spark.read.parquet(wh.historical_path).filter(F.col("rate_date") == "2024-03-01")
+    assert pruned.count() == 4
+
+
 def test_snapshot_store_version_diff_cdc(spark, tmp_path):
     """Versioned snapshots expose a CDC read path: diff(v1, v2) emits
     exactly the changed keys as insert/update/delete with old/new
