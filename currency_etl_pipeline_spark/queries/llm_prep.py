@@ -415,15 +415,22 @@ def domain_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, runs, and cluster sizes, and consistent with the
     md5-prefix split family (train_val_test_split).
 
-    Plan: one scan tokenizes and aggregates per-source token totals
-    (counters only shuffle); the scalar min rides a 1-row broadcast;
-    the per-source thresholds table (|sources| rows) broadcasts back
-    onto the docs for the keep flag — map-side, no second shuffle of
+    Plan: the corpus is tokenized ONCE — the narrow (source, doc_id,
+    n_tokens) projection is pinned with localCheckpoint (~24 bytes/doc;
+    the same lineage-cut the CC loop uses) because three consumers
+    read it (per-source totals, the global min, the per-doc keep
+    flags) and without the pin each branch would re-scan and
+    re-tokenize the text corpus (measured 3 scans). Counters only
+    shuffle; the scalar min rides a 1-row broadcast; the per-source
+    thresholds table (|sources| rows) broadcasts back onto the pinned
+    rows for the keep flag — map-side, no second shuffle of
     documents. At 100 TB the same keep flag feeds the shard sink
     filter directly.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("source", "doc_id", "text"))
-    t = docs.select("source", "doc_id", F.size(tokens()).alias("n_tokens"))
+    t = docs.select("source", "doc_id", F.size(tokens()).alias("n_tokens")).localCheckpoint(
+        eager=True
+    )
     by_domain = t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tok")
     )

@@ -124,7 +124,11 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = assets.unionByName(
         assets.withColumn("asset_id", F.col("asset_id") + F.lit(10000000))
     )
-    hashes = dhash_assets(doubled)
+    # Hash ONCE: both self-join sides read the checkpointed
+    # (asset_id, phash) table (16 bytes/asset) — without the pin each
+    # side re-runs the mapInPandas decode+hash over the binary corpus
+    # (measured 4 documents scans; the CC-loop lineage-cut pattern).
+    hashes = dhash_assets(doubled).localCheckpoint(eager=True)
     bands = hashes.select(
         "asset_id",
         "phash",
