@@ -226,3 +226,99 @@ def pandas_udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_udaf("value").alias("median_value"),
         count_udaf("value").alias("n"),
     )
+
+
+SHARD_STREAM_SCHEMA = (
+    "lang string, shard_id long, n_docs long, total_tokens long, "
+    "first_doc long, last_doc long, stream_md5 string"
+)
+
+
+def _shard_stream(pdf: pd.DataFrame) -> pd.DataFrame:
+    import hashlib
+    import re
+
+    pdf = pdf.sort_values("doc_id")
+    toks: list[str] = []
+    for text in pdf["text"]:
+        # mirror the engine's tokenizer exactly: trim SPACES only,
+        # split on \s+ (the _TOKS_DUCK twin) — same list both engines.
+        toks.extend(re.split(r"\s+", text.strip(" ")))
+    stream = " ".join(toks)
+    return pd.DataFrame(
+        [
+            {
+                "lang": pdf["lang"].iloc[0],
+                "shard_id": int(pdf["shard_id"].iloc[0]),
+                "n_docs": len(pdf),
+                "total_tokens": len(toks),
+                "first_doc": int(pdf["doc_id"].min()),
+                "last_doc": int(pdf["doc_id"].max()),
+                "stream_md5": hashlib.md5(stream.encode()).hexdigest(),
+            }
+        ]
+    )
+
+
+def _shard_stream_oracle() -> str:
+    from currency_etl_pipeline_spark.queries.llm_prep import PACK_BUDGET
+
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {toks} AS toks,
+               len({toks}) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, toks, n_tokens,
+               CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) / {PACK_BUDGET}.0) AS BIGINT) AS shard_id
+        FROM t
+    )
+    SELECT lang, shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           md5(array_to_string(flatten(list(toks ORDER BY doc_id)), ' ')) AS stream_md5
+    FROM c GROUP BY lang, shard_id
+    """
+
+
+@query("shard_token_streams", oracle=_shard_stream_oracle())
+def shard_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader-facing end of the packing pipeline: for every
+    (lang, shard) from ``sequence_packing``'s assignment, the ORDERED
+    concatenated token stream each training sequence would be built
+    from — materialized as an md5 of the exact stream (content-pinned
+    without shipping megabytes through the comparison) plus doc/token
+    bookkeeping.
+
+    This is the ordered grouped-map shape (§2.J): each shard's docs
+    shuffle to one executor, arrive as a pandas frame, are sorted by
+    doc_id and concatenated — logic that genuinely needs an ordered
+    per-group sequence, which is exactly when applyInPandas is the
+    right tool (a collect_list(ORDER BY) + flatten could express the
+    concat, but the real op this stands in for — tokenize-and-write
+    one shard file per group — needs imperative per-group code). The
+    oracle replays it relationally with DuckDB's ordered list
+    aggregation, so the driver hash-checks the full assignment AND the
+    byte-exact stream content.
+
+    Scale: groups are token-budget-bounded by construction (~512
+    tokens), so per-group pandas state is tiny regardless of corpus
+    size; the only shuffle is the groupBy on (lang, shard_id).
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import packed_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    assigned = docs.join(
+        packed_docs(docs).select("doc_id", "lang", "shard_id"), ["doc_id", "lang"]
+    )
+    return assigned.groupBy("lang", "shard_id").applyInPandas(
+        _shard_stream, SHARD_STREAM_SCHEMA
+    )
