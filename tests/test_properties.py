@@ -140,6 +140,58 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 30, 40: 30}
 
 
+# An as-of row: (key, minutes offset, is_probe, value). Row ids are
+# assigned by position (unique across BOTH sides — the operator's
+# tie_breaker contract); few keys/minutes force same-timestamp ties.
+asof_row = st.tuples(
+    st.sampled_from(["k1", "k2"]),
+    st.integers(min_value=0, max_value=4),
+    st.booleans(),
+    st.integers(min_value=-5, max_value=5),
+)
+
+
+@given(
+    rows=st.lists(asof_row, min_size=1, max_size=14),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_join_matches_bruteforce(spark, rows, direction):
+    """Both as-of directions must agree with the obvious per-probe
+    scan for ANY input: backward = newest quote at-or-before by
+    (ts, id); forward = earliest quote at-or-after. Includes equal-ts
+    ties resolved by the tie_breaker and probes with no match (NULL)."""
+    from currency_etl_pipeline_spark.operators.asof import asof_join
+
+    data = [
+        (k, T0 + timedelta(minutes=m), i, float(v), probe)
+        for i, (k, m, probe, v) in enumerate(rows)
+    ]
+    quotes = [(k, ts, i, v) for (k, ts, i, v, probe) in data if not probe]
+    probes = [(k, ts, i) for (k, ts, i, v, probe) in data if probe]
+    if not probes or not quotes:
+        return
+    qdf = spark.createDataFrame(quotes, "key string, ts timestamp, rid long, val double")
+    pdf = spark.createDataFrame(probes, "key string, ts timestamp, rid long")
+    got = {
+        r["rid"]: r["val"]
+        for r in asof_join(
+            pdf, qdf, on="key", ts_col="ts", value_col="val",
+            tie_breaker="rid", direction=direction,
+        ).collect()
+    }
+    want = {}
+    for k, ts, i in probes:
+        if direction == "backward":
+            cands = [q for q in quotes if q[0] == k and (q[1], q[2]) <= (ts, i)]
+            pick = max(cands, key=lambda q: (q[1], q[2]), default=None)
+        else:
+            cands = [q for q in quotes if q[0] == k and (q[1], q[2]) >= (ts, i)]
+            pick = min(cands, key=lambda q: (q[1], q[2]), default=None)
+        want[i] = pick[3] if pick else None
+    assert got == want
+
+
 def _union_find_components(pairs):
     """Ground-truth CC: plain driver-side union-find, min-id labels."""
     parent: dict = {}
