@@ -74,6 +74,11 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_promotion_suppliers",
     "redact_pii_documents",
+    "domain_temperature_resample",
+    "hourly_gap_fill_forward",
+    "shard_token_streams",
+    "media_phash_near_dup",
+    "dedup_cluster_keepers",
 ]
 
 

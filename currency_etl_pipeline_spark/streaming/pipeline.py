@@ -311,3 +311,75 @@ def stream_rollup_snapshot(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_corpus_to_lake(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming corpus ingest → lake appender: the quality gate + PII
+    redaction applied per micro-batch, the REDACTED text landed in the
+    lake as one immutable directory PER EPOCH (``epoch=N/lang=*``).
+
+    Idempotency: foreachBatch is at-least-once — after a crash the
+    last epoch replays. A plain append would duplicate it; here each
+    epoch OVERWRITES its own ``epoch=<id>`` directory, so a replay
+    converges to the identical state (the epoch dir is the commit
+    unit — the same principle as SnapshotStore's immutable version
+    dirs and the rollup's epoch tag). Readers see
+    ``epoch``/``lang`` as partition columns: lang filters prune at
+    file-listing level, and cross-delivery dedup stays a BATCH concern
+    (`training_shard_prep`'s fingerprint stage), exactly as
+    streaming_corpus_ingest documents.
+
+    The lake stores text post-redaction: PII never reaches disk — the
+    ingest boundary is where a training pipeline must drop it.
+    """
+    from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
+    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.tables import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "documents.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    q = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    ne, np_, ni = pii_counts(F.col("text"))
+    gated = (
+        stream.withColumn("quality_score", q)
+        .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            redact_pii(F.col("text")).alias("text"),
+            (ne + np_ + ni).alias("pii_hits"),
+            n_tokens.alias("n_tokens"),
+            "quality_score",
+        )
+    )
+
+    def _land(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(f"{out_path}/epoch={epoch_id}")
+        )
+
+    writer = gated.writeStream.outputMode("append").foreachBatch(_land).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

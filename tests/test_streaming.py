@@ -408,3 +408,70 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
         f"expected k1 deduped within the watermark and re-emitted after "
         f"state eviction; got {counts}"
     )
+
+
+def test_stream_corpus_to_lake_epoch_idempotent(spark, sf_dir, tmp_path):
+    """The streaming corpus sink must (a) land exactly the batch gate's
+    output (gate + redaction equivalence), (b) be idempotent under
+    foreachBatch replay — rewriting an epoch converges instead of
+    duplicating, (c) expose epoch/lang as prunable partition columns,
+    and (d) store text post-redaction so PII never reaches the lake."""
+    import re
+
+    from currency_etl_pipeline_spark.functions.redact import redact_pii
+    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_corpus_to_lake
+
+    out = str(tmp_path / "corpus_lake")
+    q = stream_corpus_to_lake(
+        spark, sf_dir, out, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(out)
+    assert {"doc_id", "lang", "source", "text", "pii_hits", "n_tokens", "quality_score", "epoch"} <= set(
+        landed.columns
+    )
+
+    # (a) equivalence with the batch gate over the same corpus
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    score = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
+        6,
+    )
+    expected = (
+        docs.withColumn("q", score)
+        .filter(F.col("lang").isin("en", "de") & (F.col("q") >= 0.5))
+        .select("doc_id", redact_pii(F.col("text")).alias("text"))
+    )
+    got = {(r["doc_id"], r["text"]) for r in landed.select("doc_id", "text").collect()}
+    want = {(r["doc_id"], r["text"]) for r in expected.collect()}
+    assert got == want, "lake content diverges from the batch gate + redaction"
+
+    # (b) replaying an epoch's write must not duplicate. Materialize
+    # the batch first: a real foreachBatch replay re-reads the SOURCE,
+    # not the sink (writing a lazily-self-read path is a different,
+    # known Spark hazard this test is not about).
+    n_before = landed.count()
+    epoch0_df = landed.filter(F.col("epoch") == 0).drop("epoch")
+    replay = spark.createDataFrame(epoch0_df.collect(), epoch0_df.schema)
+    replay.write.mode("overwrite").partitionBy("lang").parquet(f"{out}/epoch=0")
+    assert spark.read.parquet(out).count() == n_before, "epoch replay duplicated rows"
+
+    # (c) lang filter prunes at the partition level
+    pruned = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), "lang did not become a partition filter"
+
+    # (d) no un-redacted digit runs survive in the landed text
+    # (fresh read: `landed`'s file list predates the replay overwrite)
+    fresh = spark.read.parquet(out)
+    assert fresh.filter(F.col("text").rlike("[0-9]{6,}")).count() == 0
