@@ -66,6 +66,39 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, output_mode="complete")
 
 
+@query("streaming_window_approx_users")  # no oracle: HLL sketch values are engine-specific
+def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches inside STATEFUL streaming: per tumbling hour and event
+    type, the HyperLogLog++ distinct-user estimate computed on a live
+    stream — the composition a real-time dashboard needs (exact
+    streaming count-distinct would keep every distinct key in state;
+    the sketch keeps ~1.5 KB per group, mergeable across micro-batches
+    by construction, which is exactly why it is the only viable form
+    at stream scale).
+
+    Rows-only by design (sketch estimates are engine-specific);
+    tests/test_streaming.py pins (a) the estimate against the batch
+    exact distinct per window within the rsd bound and (b) streaming ==
+    batch-sketch equality — HLL register merges are commutative maxes,
+    so the estimate is identical no matter how micro-batches sliced
+    the stream.
+    """
+    from pyspark.sql import functions as F
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "approx_users",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
 @query(
     "streaming_stateful_first_seen",
     oracle="""

@@ -475,3 +475,34 @@ def test_stream_corpus_to_lake_epoch_idempotent(spark, sf_dir, tmp_path):
     # (fresh read: `landed`'s file list predates the replay overwrite)
     fresh = spark.read.parquet(out)
     assert fresh.filter(F.col("text").rlike("[0-9]{6,}")).count() == 0
+
+
+def test_streaming_window_sketch_matches_batch(spark, sf_dir):
+    """The streaming windowed HLL estimate must (a) equal the batch
+    sketch over the same data exactly — register merges are
+    commutative maxes, so micro-batch slicing cannot move it — and
+    (b) track the exact distinct count within 5% per window."""
+    from currency_etl_pipeline_spark.queries import all_queries
+
+    got = {
+        (r["window_start"], r["event_type"]): r["approx_users"]
+        for r in all_queries()["streaming_window_approx_users"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert got and len(got) == len(batch)
+    for r in batch:
+        est = got[(r["w"], r["event_type"])]
+        assert est == r["approx"], "streaming sketch diverged from batch sketch"
+        assert abs(est - r["exact"]) <= max(1, 0.05 * r["exact"]), (
+            f"window {r['w']}/{r['event_type']}: {est} vs exact {r['exact']}"
+        )
