@@ -58,6 +58,7 @@ def _star_contraction(und: DataFrame, max_rounds: int = 40) -> DataFrame:
         ).distinct()
 
     edges = und  # symmetric (a, b)
+    converged = False
     for _ in range(max_rounds):
         gamma_plus = edges.unionByName(
             edges.select(F.col("a").alias("a"), F.col("a").alias("b")).distinct()
@@ -88,8 +89,17 @@ def _star_contraction(und: DataFrame, max_rounds: int = 40) -> DataFrame:
         e2 = _sym(small.filter(F.col("a") != F.col("b"))).localCheckpoint(eager=True)
         if e2.exceptAll(edges).isEmpty() and edges.exceptAll(e2).isEmpty():
             edges = e2
+            converged = True
             break
         edges = e2
+    if not converged:
+        # Mid-contraction labels are NOT component minima — returning
+        # them would silently merge/split clusters. 40 rounds covers
+        # > 2^40 nodes, so this fires only on malformed input.
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds — "
+            "malformed edge ids (e.g. unstable/non-comparable keys)?"
+        )
     # At the fixed point every edge is (node, center) ∪ (center, node);
     # the label of a node is its minimum neighbor (center <= all its
     # leaves), and centers label themselves.

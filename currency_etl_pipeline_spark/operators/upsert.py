@@ -109,6 +109,18 @@ def snapshot_diff(
     snapshot.
     """
     keys = list(keys)
+    if set(old.columns) != set(new.columns):
+        # Versions can legally carry different schemas (SnapshotStore
+        # accepts any DataFrame per commit); comparing only the
+        # intersection would silently drop changes in the missing
+        # columns from the CDC feed, and selecting new-only columns
+        # from old would throw an opaque AnalysisException. Fail with
+        # the actual drift instead.
+        raise ValueError(
+            "snapshot_diff requires identical column sets; "
+            f"old-only={sorted(set(old.columns) - set(new.columns))}, "
+            f"new-only={sorted(set(new.columns) - set(old.columns))}"
+        )
     val_cols = [c for c in new.columns if c not in keys]
     o = old.select(*keys, F.struct(*val_cols).alias("_old"))
     n = new.select(*keys, F.struct(*val_cols).alias("_new"))

@@ -337,7 +337,14 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc and melts on long documents. This is the shape that survives
     100 TB: scan-bound, embarrassingly parallel, no exchange at all.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NULL-text docs emit no row — the oracle's unnest() yields zero
+    # rows for them, and the previous explode-based form matched that;
+    # the map-only form must filter explicitly or it invents a row.
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     toks = tokens()
     sorted_toks = F.array_sort(toks)
     run_scan = F.aggregate(

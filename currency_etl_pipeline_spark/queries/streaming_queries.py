@@ -382,7 +382,10 @@ def _ingest_oracle() -> str:
         redact_pii_duck,
     )
 
+    from currency_etl_pipeline_spark.queries.text import quality_duck
+
     ne, np_, ni = pii_counts_duck("text")
+    q = quality_duck("toks")
     return f"""
     WITH t AS (
         SELECT doc_id, lang, source, n_chars,
@@ -393,25 +396,15 @@ def _ingest_oracle() -> str:
         FROM documents
     )
     SELECT doc_id, lang, source, fingerprint, pii_hits,
-           len(toks) AS n_tokens,"""
-
-
-@query(
-    "streaming_corpus_ingest",
-    oracle=_ingest_oracle()
-    + """
-           round(0.4 * least(len(toks) / 100.0, 1.0)
-               + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-                              / len(toks))
-               + 0.3 * least(n_chars / 500.0, 1.0), 6) AS quality_score
+           len(toks) AS n_tokens,
+           round({q}, 6) AS quality_score
     FROM t
     WHERE lang IN ('en', 'de')
-      AND round(0.4 * least(len(toks) / 100.0, 1.0)
-              + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-                             / len(toks))
-              + 0.3 * least(n_chars / 500.0, 1.0), 6) >= 0.5
-    """,
-)
+      AND round({q}, 6) >= 0.5
+    """
+
+
+@query("streaming_corpus_ingest", oracle=_ingest_oracle())
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING training-corpus ingest gate: documents arrive on two
     identical file streams (every doc delivered at least twice,
@@ -448,7 +441,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
-    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.queries.text import blended_quality, tokens
     from currency_etl_pipeline_spark.tables import load_table
 
     schema = load_table(spark, sf_dir, "documents").schema
@@ -463,15 +456,8 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir)
         )
 
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    q = F.round(
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
-        6,
-    )
+    n_tokens = F.size(tokens())
+    q = F.round(blended_quality(), 6)
     norm = F.regexp_replace(F.lower(F.trim(redact_pii(F.col("text")))), r"\s+", " ")
     ne, np_, ni = pii_counts(F.col("text"))
 

@@ -77,6 +77,34 @@ from currency_etl_pipeline_spark.functions.redact import redact_pii_duck as _rpd
 _REDACTED_DUCK = _rpd("text")
 
 
+def blended_quality():
+    """THE quality score (un-rounded Column over text/n_chars):
+    0.4·min(tokens/100, 1) + 0.3·(1 − stopword ratio) +
+    0.3·min(chars/500, 1). Single source of truth for every gate —
+    quality_filter, training_shard_prep, dedup_cluster_keepers, the
+    streaming ingest gate, and the streaming lake sink — so a weight
+    tweak can never desynchronize the batch and streaming gates.
+    Rounding/thresholding stays at each call site."""
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
+    return (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    )
+
+
+def quality_duck(toks: str = _TOKS_DUCK) -> str:
+    """DuckDB SQL twin of ``blended_quality`` over a token-array
+    expression (pass the CTE alias when the oracle pre-tokenizes)."""
+    return (
+        f"0.4 * least(len({toks}) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - len(list_filter({toks}, x -> x IN {_STOP_SQL})) * 1.0 / len({toks}))"
+        " + 0.3 * least(n_chars / 500.0, 1.0)"
+    )
+
+
 @query(
     "exact_dedup_documents",
     oracle="""
@@ -207,9 +235,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, lang, source, n_chars, {_TOKS_DUCK} AS toks FROM documents),
     scored AS (
         SELECT doc_id, lang, source, n_chars,
-               round(0.4 * least(len(toks) / 100.0, 1.0)
-                   + 0.3 * (1.0 - len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks))
-                   + 0.3 * least(n_chars / 500.0, 1.0), 6) AS quality_score
+               round({quality_duck("toks")}, 6) AS quality_score
         FROM t
     )
     SELECT doc_id, lang, source, n_chars, quality_score
@@ -222,15 +248,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data-pipeline gate (length, stopword ratio, char budget
     blended into one score; filter on lang ∈ {en,de} ∧ score ≥ 0.5)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    score = F.round(
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
-        6,
-    )
+    score = F.round(blended_quality(), 6)
     return (
         docs.select("doc_id", "lang", "source", "n_chars", score.alias("quality_score"))
         .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
@@ -511,10 +529,7 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, lang, source, n_chars, text,
-               0.4 * least(len({_TOKS_DUCK}) / 100.0, 1.0)
-             + 0.3 * (1.0 - len(list_filter({_TOKS_DUCK}, x -> x IN {_STOP_SQL})) * 1.0
-                            / len({_TOKS_DUCK}))
-             + 0.3 * least(n_chars / 500.0, 1.0) AS q
+               {quality_duck()} AS q
         FROM corpus
     ),
     gated AS (
@@ -525,7 +540,7 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(doc_id) AS keeper_doc_id,
                any_value(len({_TOKS_DUCK})) AS n_tokens
         FROM gated
-        GROUP BY md5({_REDACTED_DUCK}), lang, source, n_chars, text
+        GROUP BY md5({_REDACTED_DUCK}), lang, source, n_chars
     )
     SELECT lang, source,
            count(*) AS n_docs,
@@ -563,14 +578,8 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "lang", "source", "n_chars", "text")
     )
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    q = (
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
-    )
+    n_tokens = F.size(tokens())
+    q = blended_quality()
     from currency_etl_pipeline_spark.functions.redact import redact_pii
 
     gated = corpus.filter(F.col("lang").isin("en", "de")).filter(F.round(q, 6) >= 0.5)
@@ -654,11 +663,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_CLUSTERS_DUCK_CTES
     + f""",
     scored AS (
-        SELECT doc_id,
-               round(0.4 * least(len({_TOKS_DUCK}) / 100.0, 1.0)
-                   + 0.3 * (1.0 - len(list_filter({_TOKS_DUCK}, x -> x IN {_STOP_SQL})) * 1.0
-                                  / len({_TOKS_DUCK}))
-                   + 0.3 * least(n_chars / 500.0, 1.0), 6) AS q
+        SELECT doc_id, round({quality_duck()}, 6) AS q
         FROM documents
     )
     SELECT cluster_id, doc_id AS keeper_doc_id, q AS keeper_quality, n_members
@@ -697,16 +702,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    q = F.round(
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
-        6,
-    )
-    scored = docs.select("doc_id", q.alias("q"))
+    scored = docs.select("doc_id", F.round(blended_quality(), 6).alias("q"))
     w_cnt = Window.partitionBy("cluster_id")
     w_rank = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id").asc())
     return (

@@ -339,7 +339,7 @@ def stream_corpus_to_lake(
     ingest boundary is where a training pipeline must drop it.
     """
     from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
-    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.queries.text import blended_quality, tokens
     from currency_etl_pipeline_spark.tables import load_table
 
     schema = load_table(spark, sf_dir, "documents").schema
@@ -348,15 +348,8 @@ def stream_corpus_to_lake(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
 
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    q = F.round(
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
-        6,
-    )
+    n_tokens = F.size(tokens())
+    q = F.round(blended_quality(), 6)
     ne, np_, ni = pii_counts(F.col("text"))
     gated = (
         stream.withColumn("quality_score", q)

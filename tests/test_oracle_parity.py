@@ -123,6 +123,72 @@ def test_scalar_pandas_udf_null_text_yields_null(spark, tmp_path):
     assert rows[2] == (1, 1)
 
 
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_shard_prep_collapses_pii_differing_duplicates(spark, tmp_path):
+    """Two gated docs identical up to their PII must land in ONE dedup
+    group in BOTH engines (the redacted-hash semantics the docstring
+    promises). Regression: the oracle used to also GROUP BY raw text,
+    keeping PII-variants apart while Spark merged them — latent on the
+    PII-free fixture."""
+    import duckdb
+
+    base = "the fast data table join merge sort " * 8  # passes the gate
+    _write_docs(
+        tmp_path,
+        [
+            (1, base + "call +1 555-0101 now", "en", "s"),
+            (2, base + "call +1 555-0202 now", "en", "s"),
+            (3, base + "a different tail entirely", "en", "s"),
+        ],
+    )
+    spec = SPECS["training_shard_prep"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    row = df.collect()[0]
+    # 3 docs ×2 (doubled corpus) → PII-twins 1&2 collapse with their
+    # copies into ONE group; doc 3 + copy into another → n_docs == 2.
+    assert row["n_docs"] == 2, f"PII-differing duplicates did not collapse: {row}"
+
+
+def test_doc_repetition_null_text_matches_oracle(spark, tmp_path):
+    """NULL-text docs must be ABSENT from doc_repetition_score in both
+    engines (the oracle's unnest yields no rows for them). Regression:
+    the map-only rewrite emitted a garbage row for them until the
+    explicit notnull filter."""
+    import duckdb
+
+    _write_docs(
+        tmp_path,
+        [(0, "a a b", "en", "s"), (1, None, "en", "s"), (2, "x y z z", "en", "s")],
+    )
+    spec = SPECS["doc_repetition_score"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    ids = {r["doc_id"] for r in df.collect()}
+    assert ids == {0, 2}, "null-text doc must drop out, not crash or emit a row"
+
+
 def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
     """Singleton and zero-variance event types must NOT diverge between
     engines (n-1 = 0: Spark x/0 → NULL, DuckDB double x/0 → inf;

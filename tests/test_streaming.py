@@ -419,7 +419,7 @@ def test_stream_corpus_to_lake_epoch_idempotent(spark, sf_dir, tmp_path):
     import re
 
     from currency_etl_pipeline_spark.functions.redact import redact_pii
-    from currency_etl_pipeline_spark.queries.text import STOPWORDS, tokens
+    from currency_etl_pipeline_spark.queries.text import blended_quality
     from currency_etl_pipeline_spark.streaming.pipeline import stream_corpus_to_lake
 
     out = str(tmp_path / "corpus_lake")
@@ -435,15 +435,7 @@ def test_stream_corpus_to_lake_epoch_idempotent(spark, sf_dir, tmp_path):
 
     # (a) equivalence with the batch gate over the same corpus
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) * 1.0 / n_tokens
-    score = F.round(
-        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.col("n_chars") / 500.0, F.lit(1.0)),
-        6,
-    )
+    score = F.round(blended_quality(), 6)
     expected = (
         docs.withColumn("q", score)
         .filter(F.col("lang").isin("en", "de") & (F.col("q") >= 0.5))
