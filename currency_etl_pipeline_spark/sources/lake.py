@@ -57,3 +57,40 @@ def read_zone_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     (FAILFAST) — a training corpus with silently dropped documents is
     worse than a failed job."""
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_zone_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL source with a QUARANTINE channel: (good_rows, bad_rows).
+
+    The third ingest stance, between FAILFAST (read_zone_jsonl — right
+    when any corruption should stop the job) and silent DROPMALFORMED
+    (never right for a training corpus): PERMISSIVE mode routes each
+    malformed line's raw text into a `_corrupt_record` column, and the
+    two returned frames split on it — good rows typed by the declared
+    schema, bad rows as (corrupt_record) for a quarantine sink an
+    operator can inspect and replay. At 100 TB this is one scan; the
+    split is a codegen filter, and Spark evaluates the corrupt column
+    only when referenced.
+
+    Spark (since 2.3) refuses a query whose scan references ONLY the
+    corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN); the documented pattern is to cache the parsed
+    frame first, which this reader does. That makes it a per-ingest-
+    batch tool (the zone directory being landed, not the whole lake):
+    quarantining runs at the ingest boundary where batches are
+    bounded, and the cache is what lets one scan feed both channels.
+    """
+    col = "_corrupt_record"
+    read_schema = T.StructType(list(schema.fields) + [T.StructField(col, T.StringType())])
+    raw = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(col).isNull()).select(*[f.name for f in schema.fields])
+    bad = raw.filter(F.col(col).isNotNull()).select(F.col(col).alias("corrupt_record"))
+    return good, bad

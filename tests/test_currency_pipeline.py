@@ -371,3 +371,32 @@ def test_jsonl_zone_roundtrip(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_zone_jsonl(spark, str(bad), schema).collect()
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """The quarantine reader must deliver every valid row fully typed,
+    every malformed line verbatim in the quarantine frame, and lose
+    NOTHING — good + bad row counts sum to the input line count."""
+    from currency_etl_pipeline_spark.sources.lake import read_zone_jsonl_quarantine
+
+    zone = tmp_path / "mixed_jsonl"
+    zone.mkdir()
+    (zone / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "not-a-number", "text": "gamma"}\n'
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = read_zone_jsonl_quarantine(spark, str(zone), schema)
+    good_rows = {(r["doc_id"], r["text"]) for r in good.collect()}
+    bad_rows = [r["corrupt_record"] for r in bad.collect()]
+    assert good_rows == {(1, "alpha"), (2, "beta")}
+    assert len(bad_rows) == 2, f"expected 2 quarantined lines, got {bad_rows}"
+    assert any("not json" in b for b in bad_rows)
+    assert any("not-a-number" in b for b in bad_rows), "type-mismatch line must quarantine"
+    assert good.columns == ["doc_id", "text"], "good frame must not leak the corrupt column"
