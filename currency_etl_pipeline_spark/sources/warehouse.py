@@ -271,6 +271,58 @@ class Warehouse:
         files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         return (len(files_before), len(files_after))
 
+    def delete_current(self, keys_df: DataFrame) -> int:
+        """DML DELETE on the snapshot: remove every key present in
+        ``keys_df`` (columns must be exactly the KEYS pair) and commit
+        the survivor set as a new version — an anti join plus one
+        versioned commit, so the delete is atomic for readers and the
+        removed rows appear as ``delete`` change rows in a subsequent
+        ``SnapshotStore.diff``. Returns the number of keys removed.
+        """
+        self._migrate_legacy_current()
+        if set(keys_df.columns) != set(KEYS):
+            raise ValueError(f"keys_df must have exactly columns {KEYS}")
+        if not self._store.exists():
+            return 0
+        cur = self._store.read()
+        survivors = cur.join(keys_df, KEYS, "left_anti")
+        removed = cur.count() - survivors.count()
+        if removed:
+            self._store.commit(survivors.localCheckpoint(eager=True))
+        return removed
+
+    def delete_from_historical(self, rate_date: str, predicate) -> int:
+        """Hard-delete matching rows from ONE date partition of the
+        append-only history — the right-to-be-forgotten operation an
+        append-only lake still must support. Rewrites the partition
+        WITHOUT the matching rows using the same
+        tmp-write → count-verify → swap machinery as
+        ``compact_historical`` (a failed rewrite never destroys data;
+        the deletion is verified exact: survivors == before − matches).
+        ``predicate`` is a Column over the partition's rows. Returns
+        the number of rows deleted.
+        """
+        part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
+        if not os.path.isdir(part_dir):
+            raise FileNotFoundError(f"no partition dir {part_dir}")
+        df = self.spark.read.parquet(part_dir)
+        n_before = df.count()
+        n_match = df.filter(predicate).count()
+        if n_match == 0:
+            return 0
+        tmp = part_dir + "__delete_tmp"
+        df.filter(~predicate).write.mode("overwrite").parquet(tmp)
+        n_after = self.spark.read.parquet(tmp).count()
+        if n_after != n_before - n_match:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"delete row count mismatch ({n_before} - {n_match} != {n_after}); "
+                "original partition left untouched"
+            )
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        return n_match
+
     def _migrate_legacy_current(self) -> None:
         """One-time adoption of a pre-SnapshotStore layout: earlier
         versions wrote the snapshot's parquet part-files directly under

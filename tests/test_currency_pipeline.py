@@ -400,3 +400,43 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     assert any("not json" in b for b in bad_rows)
     assert any("not-a-number" in b for b in bad_rows), "type-mismatch line must quarantine"
     assert good.columns == ["doc_id", "text"], "good frame must not leak the corrupt column"
+
+
+def test_delete_current_and_cdc_shows_deletes(spark, tmp_path):
+    """Snapshot DELETE: the keyed anti-join removes exactly the listed
+    pairs in one atomic versioned commit, and the CDC diff between the
+    pre/post versions reports them as delete rows."""
+    from currency_etl_pipeline_spark.sources.warehouse import KEYS
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.load_batch(_batch(spark, T0))
+    v_before = wh._store.version()
+    kill = spark.createDataFrame([("GBP", "USD"), ("GBP", "JPY")], KEYS)
+    assert wh.delete_current(kill) == 2
+    left = {r["target_currency"] for r in wh.current().collect()}
+    assert left == {"EGP", "EUR"}
+    diff = wh._store.diff(v_before, wh._store.version(), KEYS)
+    changes = {r["target_currency"]: r["change_type"] for r in diff.collect()}
+    assert changes == {"USD": "delete", "JPY": "delete"}
+    # idempotent: deleting the same keys again removes nothing
+    assert wh.delete_current(kill) == 0
+
+
+def test_delete_from_historical_is_exact_and_safe(spark, tmp_path):
+    """Right-to-be-forgotten on the append-only history: only the
+    matching rows leave the partition, everything else is untouched,
+    and a no-match predicate is a no-op that rewrites nothing."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b = _batch(spark, T0)
+    wh.append_historical(b)
+    n_total = wh.historical().count()
+
+    removed = wh.delete_from_historical(
+        "2024-03-01", F.col("target_currency") == "USD"
+    )
+    assert removed == 1
+    after = wh.historical()
+    assert after.count() == n_total - 1
+    assert after.filter(F.col("target_currency") == "USD").count() == 0
+
+    assert wh.delete_from_historical("2024-03-01", F.col("target_currency") == "ZZZ") == 0
