@@ -140,6 +140,53 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 30, 40: 30}
 
 
+# A snapshot row: (key 0..5, value or None). Small key space forces
+# overlaps; None values exercise the null-safe struct compare.
+snap_row = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+)
+
+
+def _snap(rows):
+    # unique per key: last write wins (dict semantics)
+    return dict(rows)
+
+
+@given(
+    old=st.lists(snap_row, min_size=0, max_size=8),
+    new=st.lists(snap_row, min_size=0, max_size=8),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_snapshot_diff_applies_back_to_new(spark, old, new):
+    """The CDC contract: applying diff(old, new) onto old must
+    reconstruct new EXACTLY — inserts added, deletes removed, updates
+    replaced, untouched keys carried over — for any pair of snapshots,
+    including None-valued columns."""
+    from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+
+    o, n = _snap(old), _snap(new)
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in o.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in n.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    changes = snapshot_diff(odf, ndf, ["k"]).collect()
+    rebuilt = dict(o)
+    for r in changes:
+        if r["change_type"] == "delete":
+            del rebuilt[r["k"]]
+        else:
+            rebuilt[r["k"]] = r["new"]["v"]
+    assert rebuilt == n, f"diff does not transport old -> new: {changes}"
+    # and unchanged keys never appear in the feed
+    changed_keys = {r["k"] for r in changes}
+    for k in set(o) & set(n):
+        if o[k] == n[k]:
+            assert k not in changed_keys
+
+
 # An as-of row: (key, minutes offset, is_probe, value). Row ids are
 # assigned by position (unique across BOTH sides — the operator's
 # tie_breaker contract); few keys/minutes force same-timestamp ties.
