@@ -504,6 +504,12 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are pinned in tests/test_stats.py. No oracle twin: the
     sketch layout is engine-specific (rows-only driver check), which
     is why the exact counts ride along in the output.
+
+    NOTE: building this query EXECUTES the sketch aggregation (the
+    driver-side probe needs the bytes) — it is eager at construction,
+    like the connected-components and checkpoint-pinned queries.
+    Plan-only catalog sweeps skip it (tests/test_scale_plans.py
+    _EAGER_BUILD).
     """
     watchlist = list(range(20))  # fixed known keys to probe
     ev = load_table(spark, sf_dir, "events")

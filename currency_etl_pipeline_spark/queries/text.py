@@ -536,11 +536,12 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM scored WHERE lang IN ('en', 'de') AND round(q, 6) >= 0.5
     ),
     deduped AS (
-        SELECT md5({_REDACTED_DUCK}) AS text_hash, lang, source, n_chars,
+        SELECT md5({_REDACTED_DUCK}) AS text_hash, lang, source,
                min(doc_id) AS keeper_doc_id,
-               any_value(len({_TOKS_DUCK})) AS n_tokens
+               min_by(n_chars, doc_id) AS n_chars,
+               min_by(len({_TOKS_DUCK}), doc_id) AS n_tokens
         FROM gated
-        GROUP BY md5({_REDACTED_DUCK}), lang, source, n_chars
+        GROUP BY md5({_REDACTED_DUCK}), lang, source
     )
     SELECT lang, source,
            count(*) AS n_docs,
@@ -561,15 +562,21 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dedup hash is computed over the PII-REDACTED text
     (functions/redact.py, same operator the streaming ingest gate
     composes): two documents identical up to their PII are the same
-    training document and must collapse. Value-neutral on the PII-free
-    fixture; the redaction semantics are adjudicated by
-    ``redact_pii_documents``'s grafted oracle.
+    training document and must collapse. The group key is therefore
+    ONLY (hash, lang, source) — raw n_chars must NOT be a key, or
+    different-length PII (the common case) would keep the duplicates
+    apart — and the surviving n_chars/n_tokens are the KEEPER's own
+    values via min_by(·, doc_id), which is deterministic where
+    any_value over a now-heterogeneous group is not. Value-neutral on
+    the PII-free fixture; the redaction semantics are adjudicated by
+    ``redact_pii_documents``'s grafted oracle and the PII-duplicate
+    regression test.
 
     Plan: the quality score and hash are per-row codegen over one
     scan; ONE shuffle for the dedup groupBy on the digest (32-char
     keys, never full texts); the budget rollup re-aggregates the
     deduped keys (partial aggs map-side). Token counts ride through
-    the dedup as any_value so the text column dies at the first
+    the dedup as min_by so the text column dies at the first
     aggregation boundary — at 100 TB only hashes and counters shuffle.
     """
     docs = load_table(spark, sf_dir, "documents").select(
@@ -592,8 +599,12 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n_tokens.alias("n_toks"),
         )
-        .groupBy("text_hash", "lang", "source", "n_chars")
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.any_value("n_toks").alias("n_tokens"))
+        .groupBy("text_hash", "lang", "source")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+            F.min_by("n_toks", "doc_id").alias("n_tokens"),
+        )
     )
     return deduped.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

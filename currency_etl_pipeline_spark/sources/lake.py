@@ -93,4 +93,10 @@ def read_zone_jsonl_quarantine(
     )
     good = raw.filter(F.col(col).isNull()).select(*[f.name for f in schema.fields])
     bad = raw.filter(F.col(col).isNotNull()).select(F.col(col).alias("corrupt_record"))
+    # Pin both channels, then release the parent cache — without this,
+    # every ingest call leaks one InMemoryRelation the caller has no
+    # handle to unpersist (the returned frames no longer reference it).
+    good = good.localCheckpoint(eager=True)
+    bad = bad.localCheckpoint(eager=True)
+    raw.unpersist()
     return good, bad

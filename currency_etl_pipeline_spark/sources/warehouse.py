@@ -299,8 +299,13 @@ class Warehouse:
         tmp-write → count-verify → swap machinery as
         ``compact_historical`` (a failed rewrite never destroys data;
         the deletion is verified exact: survivors == before − matches).
-        ``predicate`` is a Column over the partition's rows. Returns
-        the number of rows deleted.
+        ``predicate`` is a Column over the partition's rows (the
+        partition column itself is not present — it lives in the dir
+        name). Returns the number of rows deleted. SQL DELETE
+        semantics: only rows where the predicate is TRUE are removed —
+        rows where it evaluates to NULL are RETAINED (a bare
+        ``~predicate`` filter would silently drop them AND trip the
+        count verification).
         """
         part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
         if not os.path.isdir(part_dir):
@@ -311,7 +316,7 @@ class Warehouse:
         if n_match == 0:
             return 0
         tmp = part_dir + "__delete_tmp"
-        df.filter(~predicate).write.mode("overwrite").parquet(tmp)
+        df.filter(~predicate | predicate.isNull()).write.mode("overwrite").parquet(tmp)
         n_after = self.spark.read.parquet(tmp).count()
         if n_after != n_before - n_match:
             shutil.rmtree(tmp, ignore_errors=True)

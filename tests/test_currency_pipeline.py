@@ -440,3 +440,22 @@ def test_delete_from_historical_is_exact_and_safe(spark, tmp_path):
     assert after.filter(F.col("target_currency") == "USD").count() == 0
 
     assert wh.delete_from_historical("2024-03-01", F.col("target_currency") == "ZZZ") == 0
+
+    # SQL DELETE semantics: rows where the predicate is NULL are
+    # RETAINED (and must not trip the count verification).
+    nullrow = spark.createDataFrame(
+        [("GBP", None, 1.0, "2024-03-01 12:00:00", "2024-03-01 12:00:00")],
+        "base_currency string, target_currency string, rate double, timestamp string, retrieved_at string",
+    ).selectExpr(
+        "base_currency", "target_currency", "rate",
+        "CAST(timestamp AS timestamp) AS timestamp",
+        "CAST(retrieved_at AS timestamp) AS retrieved_at",
+    )
+    wh.append_historical(nullrow)
+    n_with_null = wh.historical().count()
+    assert wh.delete_from_historical("2024-03-01", F.col("target_currency") == "EUR") == 1
+    after2 = wh.historical()
+    assert after2.count() == n_with_null - 1
+    assert after2.filter(F.col("target_currency").isNull()).count() == 1, (
+        "NULL-predicate row must survive a keyed delete"
+    )

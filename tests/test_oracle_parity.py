@@ -153,8 +153,13 @@ def test_shard_prep_collapses_pii_differing_duplicates(spark, tmp_path):
     _write_docs(
         tmp_path,
         [
+            # DIFFERENT-length PII (the common case): n_chars and raw
+            # token counts differ between the twins, so this also pins
+            # that neither is part of the dedup key and that the
+            # surviving counts are the keeper's own (min_by), not an
+            # arbitrary member's.
             (1, base + "call +1 555-0101 now", "en", "s"),
-            (2, base + "call +1 555-0202 now", "en", "s"),
+            (2, base + "call +44 20 7946 0958 123 now", "en", "s"),
             (3, base + "a different tail entirely", "en", "s"),
         ],
     )

@@ -602,10 +602,19 @@ def _unbounded_big_tables(node, acc):
         _unbounded_big_tables(k, acc)
 
 
+# Queries whose DataFrame BUILD already executes Spark jobs (driver-
+# probed sketches, iterative CC loops, checkpoint-pinned derivations).
+# The plan sweeps skip the driver-probe one (its returned frame is a
+# trivial small join; running a full aggregation twice per lint test
+# buys no plan coverage) but keep the checkpoint/CC queries — their
+# FINAL plans are exactly what the lints must see.
+_EAGER_BUILD_SKIP = {"cms_user_event_counts"}
+
+
 def test_no_broadcast_hint_on_sf_proportional_side(spark, sf_dir):
     violations = []
     for name, spec in SPECS.items():
-        if name.startswith("streaming_"):
+        if name.startswith("streaming_") or name in _EAGER_BUILD_SKIP:
             continue  # streaming fns execute a stream to build their result
         df = spec.spark(spark, sf_dir)
         hints = []
@@ -638,7 +647,7 @@ def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
     scale that is always a bug."""
     offenders = []
     for name, spec in SPECS.items():
-        if name.startswith("streaming_") or name in _CARTESIAN_ALLOWED:
+        if name.startswith("streaming_") or name in _CARTESIAN_ALLOWED or name in _EAGER_BUILD_SKIP:
             continue
         plan = plan_of(spec.spark(spark, sf_dir))
         if "CartesianProduct" in plan:
