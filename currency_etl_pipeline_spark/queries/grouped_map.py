@@ -14,7 +14,6 @@ DuckDB agree bit-for-bit (no float accumulation anywhere).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

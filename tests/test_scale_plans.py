@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 from pyspark.sql import functions as F
 
 from currency_etl_pipeline_spark.queries import all_queries
