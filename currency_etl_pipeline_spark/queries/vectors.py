@@ -339,3 +339,56 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "embedding_l2_normalize",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, dv,
+               sqrt(list_inner_product(dv, dv)) AS norm
+        FROM v
+    ), u AS (
+        SELECT vec_id, label, norm,
+               list_transform(dv, x -> x / norm) AS uv
+        FROM n WHERE norm > 0
+    )
+    SELECT vec_id, label,
+           round(norm, 6) AS pre_norm,
+           round(sqrt(list_inner_product(uv, uv)), 6) AS post_norm,
+           round(uv[1], 6) AS u0
+    FROM u
+    """,
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the preprocessing
+    step every cosine-based ANN index assumes (unit vectors turn
+    cosine into a plain dot product, halving the per-candidate math in
+    the LSH/IVF probes). Zero-norm vectors are dropped explicitly
+    (division would produce NaN/NULL junk downstream).
+
+    Output pins the contract: pre-norm, post-norm (must be 1 within
+    rounding — checked value-exactly against the oracle, which replays
+    the identical transform/aggregate lambda math), and the first
+    normalized component as a spot value. Per-row double division and
+    the `aggregate` dot product are IEEE-deterministic, so both
+    engines agree bit-for-bit before the 6dp edge rounding.
+
+    Plan: pure map-side codegen over one scan — transform() + the
+    zip_with/aggregate dot, no shuffle at all; at 100 TB this runs at
+    scan bandwidth and the normalized corpus writes straight back out.
+    """
+    v = _vecs(spark, sf_dir)
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    n = v.select("vec_id", "label", "v", norm.alias("norm")).filter(F.col("norm") > 0)
+    uv = F.transform(F.col("v"), lambda x: x / F.col("norm"))
+    u = n.select("vec_id", "label", "norm", uv.alias("uv"))
+    return u.select(
+        "vec_id",
+        "label",
+        F.round("norm", 6).alias("pre_norm"),
+        F.round(F.sqrt(dot(F.col("uv"), F.col("uv"))), 6).alias("post_norm"),
+        F.round(F.element_at("uv", 1), 6).alias("u0"),
+    )
