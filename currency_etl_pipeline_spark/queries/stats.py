@@ -485,6 +485,53 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(least(floor("value" / 10.0), 9) AS INT) AS bucket
+        FROM events WHERE "value" IS NOT NULL AND "value" >= 0
+    )
+    SELECT event_type, bucket,
+           count(*) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS share
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (10-unit buckets,
+    top bucket open-ended) with each bucket's share of its type — the
+    distribution profile a metrics consumer reads before choosing
+    alert thresholds (completes the §2.F shape family next to exact
+    and approximate percentiles).
+
+    Plan: the bucket id is per-row integer codegen (floor-divide and
+    clamp — portable arithmetic, no width_bucket dependency), then one
+    partial+final hash agg on (type, bucket); the share window runs
+    over the ~types×10-row aggregate, a no-op at any scale. Exact
+    integer counts make the oracle bit-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    bucket = F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    counts = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("type_total"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
 @query("cms_user_event_counts")  # no oracle: CMS sketch bytes are engine-specific
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for a fixed watchlist of
