@@ -554,9 +554,10 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: building this query EXECUTES the sketch aggregation (the
     driver-side probe needs the bytes) — it is eager at construction,
-    like the connected-components and checkpoint-pinned queries.
-    Plan-only catalog sweeps skip it (tests/test_scale_plans.py
-    _EAGER_BUILD).
+    like the connected-components and checkpoint-pinned queries. The
+    catalog-wide plan lints build each query once and share the
+    DataFrame (tests/test_scale_plans.py::_built_df) so the eager
+    work isn't paid per lint.
     """
     watchlist = list(range(20))  # fixed known keys to probe
     ev = load_table(spark, sf_dir, "events")

@@ -61,8 +61,9 @@ def read_zone_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> Dat
 
 def read_zone_jsonl_quarantine(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """JSONL source with a QUARANTINE channel: (good_rows, bad_rows).
+):
+    """JSONL source with a QUARANTINE channel:
+    (good_rows, bad_rows, release).
 
     The third ingest stance, between FAILFAST (read_zone_jsonl — right
     when any corruption should stop the job) and silent DROPMALFORMED
@@ -77,10 +78,14 @@ def read_zone_jsonl_quarantine(
     Spark (since 2.3) refuses a query whose scan references ONLY the
     corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
     RECORD_COLUMN); the documented pattern is to cache the parsed
-    frame first, which this reader does. That makes it a per-ingest-
-    batch tool (the zone directory being landed, not the whole lake):
-    quarantining runs at the ingest boundary where batches are
-    bounded, and the cache is what lets one scan feed both channels.
+    frame first, which this reader does — a CACHE, not a checkpoint:
+    the lineage stays recomputable from the source files if an
+    executor holding cached blocks is lost (localCheckpoint would make
+    the frames unrecoverable, which Spark's docs flag as unsafe under
+    dynamic allocation), and nothing executes until the caller acts.
+    The returned ``release()`` unpersists the parent cache; call it
+    after both channels are consumed, or each ingest batch leaks one
+    InMemoryRelation the caller otherwise has no handle to.
     """
     col = "_corrupt_record"
     read_schema = T.StructType(list(schema.fields) + [T.StructField(col, T.StringType())])
@@ -93,10 +98,8 @@ def read_zone_jsonl_quarantine(
     )
     good = raw.filter(F.col(col).isNull()).select(*[f.name for f in schema.fields])
     bad = raw.filter(F.col(col).isNotNull()).select(F.col(col).alias("corrupt_record"))
-    # Pin both channels, then release the parent cache — without this,
-    # every ingest call leaks one InMemoryRelation the caller has no
-    # handle to unpersist (the returned frames no longer reference it).
-    good = good.localCheckpoint(eager=True)
-    bad = bad.localCheckpoint(eager=True)
-    raw.unpersist()
-    return good, bad
+
+    def release(blocking: bool = False) -> None:
+        raw.unpersist(blocking)
+
+    return good, bad, release

@@ -392,9 +392,10 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    good, bad = read_zone_jsonl_quarantine(spark, str(zone), schema)
+    good, bad, release = read_zone_jsonl_quarantine(spark, str(zone), schema)
     good_rows = {(r["doc_id"], r["text"]) for r in good.collect()}
     bad_rows = [r["corrupt_record"] for r in bad.collect()]
+    release()
     assert good_rows == {(1, "alpha"), (2, "beta")}
     assert len(bad_rows) == 2, f"expected 2 quarantined lines, got {bad_rows}"
     assert any("not json" in b for b in bad_rows)

@@ -601,21 +601,26 @@ def _unbounded_big_tables(node, acc):
         _unbounded_big_tables(k, acc)
 
 
-# Queries whose DataFrame BUILD already executes Spark jobs (driver-
+# Several queries EXECUTE Spark jobs at DataFrame build time (driver-
 # probed sketches, iterative CC loops, checkpoint-pinned derivations).
-# The plan sweeps skip the driver-probe one (its returned frame is a
-# trivial small join; running a full aggregation twice per lint test
-# buys no plan coverage) but keep the checkpoint/CC queries — their
-# FINAL plans are exactly what the lints must see.
-_EAGER_BUILD_SKIP = {"cms_user_event_counts"}
+# The two catalog-wide lints below both need every query's DataFrame,
+# so they share ONE build per query per session instead of paying the
+# eager work twice.
+_BUILT_DF_CACHE: dict = {}
+
+
+def _built_df(name, spark, sf_dir):
+    if name not in _BUILT_DF_CACHE:
+        _BUILT_DF_CACHE[name] = SPECS[name].spark(spark, sf_dir)
+    return _BUILT_DF_CACHE[name]
 
 
 def test_no_broadcast_hint_on_sf_proportional_side(spark, sf_dir):
     violations = []
     for name, spec in SPECS.items():
-        if name.startswith("streaming_") or name in _EAGER_BUILD_SKIP:
+        if name.startswith("streaming_"):
             continue  # streaming fns execute a stream to build their result
-        df = spec.spark(spark, sf_dir)
+        df = _built_df(name, spark, sf_dir)
         hints = []
         _collect_broadcast_hints(df._jdf.queryExecution().analyzed(), hints)
         for h in hints:
@@ -646,9 +651,9 @@ def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
     scale that is always a bug."""
     offenders = []
     for name, spec in SPECS.items():
-        if name.startswith("streaming_") or name in _CARTESIAN_ALLOWED or name in _EAGER_BUILD_SKIP:
+        if name.startswith("streaming_") or name in _CARTESIAN_ALLOWED:
             continue
-        plan = plan_of(spec.spark(spark, sf_dir))
+        plan = plan_of(_built_df(name, spark, sf_dir))
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct planned by: {offenders}"
