@@ -88,3 +88,68 @@ def read_training_shards(
     if split is not None:
         df = df.filter(df.split == split)
     return df
+
+
+def build_training_corpus(docs: DataFrame) -> DataFrame:
+    """The cleaning half of the end-to-end pipeline: quality gate →
+    PII redaction → exact dedup on the redacted text (min-doc_id
+    keeper). Returns the cleaned corpus with the SAME columns as the
+    input documents table — text already redacted, n_chars recomputed
+    over the redacted text — ready for ``write_training_shards``.
+
+    Every stage is the same operator the catalog queries pin
+    individually (quality_filter / redact_pii_documents /
+    training_shard_prep); this function is their composition as ONE
+    lazy plan: gate and redaction are per-row codegen on the scan, the
+    dedup is a single row_number window over the 32-char digest (the
+    text itself never shuffles as a key), keeper rows pass through
+    unchanged.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from currency_etl_pipeline_spark.functions.redact import redact_pii
+    from currency_etl_pipeline_spark.queries.text import blended_quality
+
+    gated = docs.filter(
+        F.col("lang").isin("en", "de") & (F.round(blended_quality(), 6) >= 0.5)
+    )
+    redacted = gated.withColumn("text", redact_pii(F.col("text"))).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        redacted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def run_training_data_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    budget: int = PACK_BUDGET,
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """END-TO-END training-data pipeline in one call — the training
+    twin of the reference's fetch→transform→load entry point (EP1):
+    load documents → quality gate → PII redaction → exact dedup →
+    deterministic split → per-(split, lang) token packing →
+    hive-partitioned shard sink. Returns the manifest: per
+    (split, lang) shard/doc/token totals, read back from the written
+    shards so the manifest reports what actually landed.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = build_training_corpus(docs)
+    write_training_shards(cleaned, path, budget=budget, block=block)
+    landed = read_training_shards(spark, path)
+    return landed.groupBy("split", "lang").agg(
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
