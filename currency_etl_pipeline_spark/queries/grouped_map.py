@@ -321,3 +321,71 @@ def shard_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("lang", "shard_id").applyInPandas(
         _shard_stream, SHARD_STREAM_SCHEMA
     )
+
+
+@query(
+    "udtf_user_activity_profile",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rt
+        FROM events
+    ), agg AS (
+        SELECT user_id, count(*) AS n_events,
+               min_by(event_type, rn) AS first_type,
+               max_by(event_type, rn) AS last_type
+        FROM o GROUP BY user_id
+    ), runs AS (
+        SELECT user_id, count(*) AS run_len
+        FROM o GROUP BY user_id, event_type, rn - rt
+    ), mx AS (
+        SELECT user_id, CAST(max(run_len) AS INT) AS max_run FROM runs GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, a.first_type, a.last_type, m.max_run
+    FROM agg a JOIN mx m USING (user_id)
+    """,
+)
+def udtf_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J's TABLE-ARGUMENT UDTF surface (Spark 4's
+    ``my_udtf(TABLE(t) PARTITION BY k ORDER BY ...)``): each user's
+    ordered event sequence arrives at ONE Python class instance via
+    eval() calls, terminate() emits the per-user profile — n_events,
+    first/last event type, and the longest consecutive same-type run
+    (genuinely sequential logic).
+
+    Like ``udtf_token_positions``, this exists to PIN the surface, not
+    to recommend it: rows cross into Python one at a time (no Arrow
+    batching), so the identical computation's hot path is the
+    gaps-and-islands window form — which is exactly what the DuckDB
+    oracle runs, making this a cross-paradigm check (imperative
+    per-partition Python vs relational windows). The PARTITION BY
+    shuffle is the same single exchange applyInPandas would pay;
+    per-user state is bounded by the heaviest key.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, first_type string, last_type string, max_run int")
+    class Profile:
+        def __init__(self):
+            self.rows = []
+
+        def eval(self, row):
+            self.rows.append((row["ts"], row["event_id"], row["user_id"], row["event_type"]))
+
+        def terminate(self):
+            if not self.rows:
+                return
+            rows = sorted(self.rows)  # defensive; ORDER BY already sorts
+            max_run = run = 1
+            for i in range(1, len(rows)):
+                run = run + 1 if rows[i][3] == rows[i - 1][3] else 1
+                max_run = max(max_run, run)
+            yield rows[0][2], len(rows), rows[0][3], rows[-1][3], max_run
+
+    spark.udtf.register("user_activity_profile", Profile)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        "SELECT * FROM user_activity_profile(TABLE(events_udtf_src) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
