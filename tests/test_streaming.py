@@ -498,3 +498,34 @@ def test_streaming_window_sketch_matches_batch(spark, sf_dir):
         assert abs(est - r["exact"]) <= max(1, 0.05 * r["exact"]), (
             f"window {r['w']}/{r['event_type']}: {est} vs exact {r['exact']}"
         )
+
+
+def test_stream_lake_feeds_shard_sink(spark, sf_dir, tmp_path):
+    """The full streaming → batch handoff: documents stream through
+    the gate+redaction into epoch dirs, the batch stage dedups the
+    at-least-once deliveries by doc_id and lands training shards —
+    proving the lake sink's output schema is directly consumable by
+    the packing sink with nothing lost in between."""
+    from currency_etl_pipeline_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_corpus_to_lake
+
+    lake = str(tmp_path / "lake")
+    q = stream_corpus_to_lake(spark, sf_dir, lake, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(lake)
+    # the packer recomputes n_tokens; drop the gate's copy to avoid a
+    # duplicate column in the shard sink's assignment join
+    batch_stage = landed.dropDuplicates(["doc_id"]).drop("epoch", "n_tokens")
+    shards = str(tmp_path / "shards")
+    write_training_shards(batch_stage, shards)
+
+    back = read_training_shards(spark, shards)
+    assert back.count() == batch_stage.count(), "shard sink lost or duplicated docs"
+    assert back.select("doc_id").distinct().count() == back.count()
+    # gate metadata from the stream rides through to the shards
+    assert {"pii_hits", "quality_score", "shard_id", "split"} <= set(back.columns)
+    assert back.filter(F.col("text").rlike("[0-9]{6,}")).count() == 0
