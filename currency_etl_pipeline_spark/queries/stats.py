@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from currency_etl_pipeline_spark.functions.scalars import dec, ts_str
-from currency_etl_pipeline_spark.queries.registry import query
+from currency_etl_pipeline_spark.queries.registry import ANCHOR, query
 from currency_etl_pipeline_spark.tables import load_table
 
 
@@ -482,6 +482,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zscore").isNotNull())
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(50)
+    )
+
+
+@query(
+    "user_feature_snapshot",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', max(ts), TIMESTAMP '{ANCHOR}') AS BIGINT)
+             AS recency_s,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+           count(DISTINCT event_type) AS n_types,
+           round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS purchase_ratio,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST("value" AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS purchase_value_sum
+    FROM events
+    WHERE ts < TIMESTAMP '{ANCHOR}'
+    GROUP BY user_id
+    """.replace("{ANCHOR}", ANCHOR),
+)
+def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature snapshot per user — the feature-store
+    query a model training job runs against the event log: activity
+    volume, recency (seconds since last event at the anchor), 7-day
+    trailing count, type diversity, purchase propensity and spend.
+    The literal anchor (never now()) makes the snapshot reproducible
+    and LEAK-FREE: only events strictly before the anchor contribute,
+    which is exactly the discipline point-in-time-correct training
+    features require.
+
+    Plan: one scan with the anchor filter pushed, one partial+final
+    hash agg on user_id — every feature is a conditional aggregate in
+    the SAME pass (no per-feature scans, no joins); monetary sums go
+    through exact DECIMAL. At 100 TB this is a single shuffle of
+    per-user counters.
+    """
+    anchor = F.lit(ANCHOR).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < anchor)
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (anchor.cast("long") - F.max("ts").cast("long")).alias("recency_s"),
+        F.sum(
+            F.when(F.col("ts") >= anchor - F.expr("INTERVAL 7 DAYS"), 1).otherwise(0)
+        ).alias("n_events_7d"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(
+            F.sum(F.when(is_purchase, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("purchase_ratio"),
+        F.sum(F.when(is_purchase, dec("value", 18, 2)))
+        .cast("double")
+        .alias("purchase_value_sum"),
     )
 
 
