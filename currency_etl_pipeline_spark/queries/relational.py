@@ -696,6 +696,63 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'quantity_in_range' AS check, CAST(sum(CASE WHEN l_quantity > 0 AND l_quantity <= 60 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_unit_interval', CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null', CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'unique(o_orderkey)', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'fk(l_orderkey)', CAST(count(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'fk(o_custkey)', CAST(count(*) AS BIGINT) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over the warehouse star schema
+    (operators/validate.py): value-range and null row checks on
+    lineitem (ONE shared aggregation pass for all three), orderkey
+    uniqueness, and two referential-integrity checks (lineitem→orders,
+    orders→customer) as anti-join counts — the publish gate a real
+    warehouse runs before exposing a load, expressed as a lazily
+    composed (check, n_violations) report. All six checks pass with 0
+    violations on the fixture, and the oracle recomputes each check
+    independently so a data regression OR a checker bug both surface.
+    """
+    from currency_etl_pipeline_spark.operators.validate import (
+        fk_check,
+        quality_report,
+        row_checks,
+        unique_check,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows = row_checks(
+        li,
+        {
+            "quantity_in_range": (F.col("l_quantity") > 0) & (F.col("l_quantity") <= 60),
+            "discount_in_unit_interval": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    return quality_report(
+        [
+            rows,
+            unique_check(o, ["o_orderkey"]),
+            fk_check(li, ["l_orderkey"], o, ["o_orderkey"], name="fk(l_orderkey)"),
+            fk_check(o, ["o_custkey"], c, ["c_custkey"], name="fk(o_custkey)"),
+        ]
+    )
+
+
+@query(
     "tpch_q13_customer_distribution",
     oracle="""
     SELECT c_count, count(*) AS custdist

@@ -296,6 +296,49 @@ def test_redact_pii_documents_nonvacuous(spark, sf_dir):
         assert ("[ID]" in r["redacted"]) == (mod == 2)
 
 
+def test_validation_checks_actually_bite(spark):
+    """The catalog's data_quality_report is all-zeros on the healthy
+    fixture, so this pins that every check class genuinely counts
+    violations when they exist: range breaks, NULL conditions (an
+    unevaluable expectation is a violation), duplicate keys, orphaned
+    and NULL foreign keys."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.operators.validate import (
+        fk_check,
+        quality_report,
+        row_checks,
+        unique_check,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, None), (3, 7.0), (None, 1.0)],
+        "k int, v double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    rows = row_checks(
+        child,
+        {
+            "v_positive": F.col("v") > 0,  # -5 fails; NULL v counts too
+            "k_not_null": F.col("k").isNotNull(),
+        },
+    )
+    report = {
+        r["check"]: r["n_violations"]
+        for r in quality_report(
+            [
+                rows,
+                unique_check(child, ["k"]),
+                fk_check(child, ["k"], parent, ["k"]),
+            ]
+        ).collect()
+    }
+    assert report["v_positive"] == 2, "range + NULL-condition rows must both count"
+    assert report["k_not_null"] == 1
+    assert report["unique(k)"] == 2, "5 rows, 3 distinct non-null + NULL bucket"
+    assert report["fk(k)"] == 2, "k=3 orphan and NULL key are both broken refs"
+
+
 def test_gap_fill_produces_real_gaps_and_ffills(spark, sf_dir):
     """The sparse slice must yield genuine empty hours (else the
     query proves nothing) and every gap row must carry a forward-
