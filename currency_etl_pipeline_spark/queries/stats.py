@@ -486,6 +486,57 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weekly_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), contrib AS (
+        SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+                 AS target_day,
+               user_id
+        FROM du
+    ), grid AS (SELECT DISTINCT day FROM du)
+    SELECT strftime(g.day, '%Y-%m-%d') AS day,
+           count(DISTINCT c.user_id) AS wau
+    FROM grid g JOIN contrib c ON c.target_day = g.day
+    GROUP BY g.day
+    """,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU) — the engagement
+    metric whose naive form is a DISTINCT over a sliding range window,
+    which SQL windows cannot express and a range join makes quadratic.
+
+    The scalable shape: collapse events to distinct (day, user) rows
+    first (the corpus dies at this aggregate), then EXPLODE each row
+    into the 7 future days it keeps the user active for — a map-side
+    ×7 expansion of already-collapsed rows — and count distinct users
+    per target day, restricted to days that actually occur. Linear in
+    |days × active users|, one distinct-count shuffle; no
+    BETWEEN-join, no per-day rescan. The oracle replays the identical
+    contribution model with generate_series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("target_day"),
+        "user_id",
+    )
+    grid = du.select("day").distinct()
+    return (
+        contrib.join(grid, contrib.target_day == grid.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+@query(
     "user_feature_snapshot",
     oracle="""
     SELECT user_id,
