@@ -659,6 +659,29 @@ def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
     assert not offenders, f"CartesianProduct planned by: {offenders}"
 
 
+def test_max_partition_bytes_controls_scan_parallelism(spark):
+    """The knob the 100 TB sizing notes lean on: a single large file
+    must split into multiple input partitions when
+    spark.sql.files.maxPartitionBytes shrinks below the file size —
+    the difference between one core and the whole cluster scanning a
+    fat file. (openCostInBytes is lowered too so tiny split packing
+    doesn't mask the effect.)"""
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        wide = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        narrow = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert narrow > wide, f"1MB splits gave {narrow} partitions vs {wide} at 128MB"
+    assert narrow >= 4, f"a multi-MB file should yield several 1MB splits, got {narrow}"
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """Runtime bloom-filter join reduction: with a selective dim and a
     non-broadcastable plan, the optimizer must inject a bloom_filter_agg
