@@ -33,16 +33,30 @@ REPORT_COLS = ("check", "n_violations")
 def row_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """(check, n_violations) for named per-row conditions that must be
     TRUE; NULL condition results count as violations (an expectation
-    that cannot be evaluated is not satisfied)."""
+    that cannot be evaluated is not satisfied). An EMPTY table reports
+    0 violations per check (sum over no rows is NULL — coalesced, so a
+    gate's `n_violations == 0` holds for an empty-but-valid load).
+    Check names are carried as literals, never interpolated into SQL,
+    so any string is a valid name."""
     if not checks:
         raise ValueError("no checks given")
     aggs = [
-        F.sum(F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)).alias(name)
-        for name, cond in checks.items()
+        F.coalesce(
+            F.sum(F.when(cond.eqNullSafe(F.lit(True)), 0).otherwise(1)), F.lit(0)
+        ).alias(f"__chk{i}")
+        for i, cond in enumerate(checks.values())
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{n}', `{n}`" for n in checks)
-    return wide.selectExpr(f"stack({len(checks)}, {stack}) AS (check, n_violations)")
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"__chk{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(checks)
+        ]
+    )
+    return wide.select(F.explode(kv).alias("kv")).select("kv.check", "kv.n_violations")
 
 
 def unique_check(df: DataFrame, keys: Sequence[str], name: str | None = None) -> DataFrame:
@@ -66,6 +80,11 @@ def fk_check(
     has no parent row (NULL child keys count as violations — an
     unresolvable reference is a broken reference)."""
     keys, parent_keys = list(keys), list(parent_keys)
+    if len(keys) != len(parent_keys):
+        raise ValueError(
+            f"child keys {keys} and parent keys {parent_keys} differ in length — "
+            "a truncated zip would under-count orphans silently"
+        )
     name = name or f"fk({', '.join(keys)})"
     p = parent.select(
         *[F.col(pk).alias(k) for k, pk in zip(keys, parent_keys)]

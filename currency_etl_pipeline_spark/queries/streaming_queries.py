@@ -382,10 +382,11 @@ def _ingest_oracle() -> str:
         redact_pii_duck,
     )
 
-    from currency_etl_pipeline_spark.queries.text import quality_duck
+    from currency_etl_pipeline_spark.queries.text import gate_duck, quality_duck
 
     ne, np_, ni = pii_counts_duck("text")
     q = quality_duck("toks")
+    gate = gate_duck("toks")
     return f"""
     WITH t AS (
         SELECT doc_id, lang, source, n_chars,
@@ -399,8 +400,7 @@ def _ingest_oracle() -> str:
            len(toks) AS n_tokens,
            round({q}, 6) AS quality_score
     FROM t
-    WHERE lang IN ('en', 'de')
-      AND round({q}, 6) >= 0.5
+    WHERE {gate}
     """
 
 
@@ -441,7 +441,11 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
-    from currency_etl_pipeline_spark.queries.text import blended_quality, tokens
+    from currency_etl_pipeline_spark.queries.text import (
+        blended_quality,
+        corpus_gate,
+        tokens,
+    )
     from currency_etl_pipeline_spark.tables import load_table
 
     schema = load_table(spark, sf_dir, "documents").schema
@@ -464,7 +468,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gated(stream: DataFrame) -> DataFrame:
         return (
             stream.withColumn("quality_score", q)
-            .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+            .filter(corpus_gate())
             .select(
                 "doc_id", "lang", "source",
                 F.md5(norm).alias("fingerprint"),

@@ -105,6 +105,28 @@ def quality_duck(toks: str = _TOKS_DUCK) -> str:
     )
 
 
+GATE_LANGS = ("en", "de")
+GATE_MIN_QUALITY = 0.5
+
+
+def corpus_gate():
+    """THE corpus admission predicate (lang ∈ GATE_LANGS ∧
+    round(blended_quality, 6) ≥ GATE_MIN_QUALITY) — single source of
+    truth for every ingest surface (quality_filter,
+    training_shard_prep, the streaming ingest gate, the streaming lake
+    sink, the shard pipeline), so a threshold or language change can
+    never desynchronize them."""
+    return F.col("lang").isin(*GATE_LANGS) & (
+        F.round(blended_quality(), 6) >= GATE_MIN_QUALITY
+    )
+
+
+def gate_duck(toks: str = _TOKS_DUCK) -> str:
+    """DuckDB SQL twin of ``corpus_gate``."""
+    langs = ", ".join(f"'{lang}'" for lang in GATE_LANGS)
+    return f"lang IN ({langs}) AND round({quality_duck(toks)}, 6) >= {GATE_MIN_QUALITY}"
+
+
 @query(
     "exact_dedup_documents",
     oracle="""
@@ -240,7 +262,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, source, n_chars, quality_score
     FROM scored
-    WHERE lang IN ('en', 'de') AND quality_score >= 0.5
+    WHERE lang IN ({", ".join(f"'{lang}'" for lang in GATE_LANGS)})
+      AND quality_score >= {GATE_MIN_QUALITY}
     """,
 )
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,9 +272,8 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blended into one score; filter on lang ∈ {en,de} ∧ score ≥ 0.5)."""
     docs = load_table(spark, sf_dir, "documents")
     score = F.round(blended_quality(), 6)
-    return (
-        docs.select("doc_id", "lang", "source", "n_chars", score.alias("quality_score"))
-        .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+    return docs.filter(corpus_gate()).select(
+        "doc_id", "lang", "source", "n_chars", score.alias("quality_score")
     )
 
 
@@ -533,7 +555,9 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM corpus
     ),
     gated AS (
-        SELECT * FROM scored WHERE lang IN ('en', 'de') AND round(q, 6) >= 0.5
+        SELECT * FROM scored
+        WHERE lang IN ({", ".join(f"'{lang}'" for lang in GATE_LANGS)})
+          AND round(q, 6) >= {GATE_MIN_QUALITY}
     ),
     deduped AS (
         SELECT md5({_REDACTED_DUCK}) AS text_hash, lang, source,
@@ -586,10 +610,9 @@ def training_shard_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "lang", "source", "n_chars", "text")
     )
     n_tokens = F.size(tokens())
-    q = blended_quality()
     from currency_etl_pipeline_spark.functions.redact import redact_pii
 
-    gated = corpus.filter(F.col("lang").isin("en", "de")).filter(F.round(q, 6) >= 0.5)
+    gated = corpus.filter(corpus_gate())
     deduped = (
         gated.select(
             F.md5(redact_pii(F.col("text"))).alias("text_hash"),

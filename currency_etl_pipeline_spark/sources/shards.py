@@ -109,15 +109,16 @@ def build_training_corpus(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     from currency_etl_pipeline_spark.functions.redact import redact_pii
-    from currency_etl_pipeline_spark.queries.text import blended_quality
+    from currency_etl_pipeline_spark.queries.text import corpus_gate
 
-    gated = docs.filter(
-        F.col("lang").isin("en", "de") & (F.round(blended_quality(), 6) >= 0.5)
-    )
+    gated = docs.filter(corpus_gate())
     redacted = gated.withColumn("text", redact_pii(F.col("text"))).withColumn(
         "n_chars", F.length("text").cast("long")
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Same dedup key as training_shard_prep: (redacted hash, lang,
+    # source) — hashing alone would collapse identical texts ACROSS
+    # languages/sources and silently drop the other stratum's copy.
+    w = Window.partitionBy(F.md5("text"), "lang", "source").orderBy("doc_id")
     return (
         redacted.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -145,8 +146,15 @@ def run_training_data_pipeline(
     from currency_etl_pipeline_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = build_training_corpus(docs)
-    write_training_shards(cleaned, path, budget=budget, block=block)
+    # The cleaning plan (regex redaction + dedup window) feeds the
+    # sink's null-key guard count AND the two-branch packing write —
+    # persist it once so the corpus isn't re-cleaned per consumer
+    # (cache, not checkpoint: recomputable lineage on executor loss).
+    cleaned = build_training_corpus(docs).persist()
+    try:
+        write_training_shards(cleaned, path, budget=budget, block=block)
+    finally:
+        cleaned.unpersist()
     landed = read_training_shards(spark, path)
     return landed.groupBy("split", "lang").agg(
         F.countDistinct("shard_id").alias("n_shards"),

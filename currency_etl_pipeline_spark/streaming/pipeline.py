@@ -339,7 +339,7 @@ def stream_corpus_to_lake(
     ingest boundary is where a training pipeline must drop it.
     """
     from currency_etl_pipeline_spark.functions.redact import pii_counts, redact_pii
-    from currency_etl_pipeline_spark.queries.text import blended_quality, tokens
+    from currency_etl_pipeline_spark.queries.text import blended_quality, corpus_gate, tokens
     from currency_etl_pipeline_spark.tables import load_table
 
     schema = load_table(spark, sf_dir, "documents").schema
@@ -353,7 +353,7 @@ def stream_corpus_to_lake(
     ne, np_, ni = pii_counts(F.col("text"))
     gated = (
         stream.withColumn("quality_score", q)
-        .filter(F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5))
+        .filter(corpus_gate())
         .select(
             "doc_id",
             "lang",

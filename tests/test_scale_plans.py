@@ -666,7 +666,15 @@ def test_max_partition_bytes_controls_scan_parallelism(spark):
     the difference between one core and the whole cluster scanning a
     fat file. (openCostInBytes is lowered too so tiny split packing
     doesn't mask the effect.)"""
-    path = "/root/testdata/sf0.1/lineitem.parquet"
+    import os
+
+    from tests.conftest import SF_DIR
+
+    path = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1", "lineitem.parquet")
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip(f"no sf0.1 testdata next to {SF_DIR}")
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     try:

@@ -174,3 +174,56 @@ def test_end_to_end_training_pipeline(spark, sf_dir, tmp_path):
         .collect()
     }
     assert m == check
+
+
+def _write_pii_docs(tmp_path, rows):
+    """documents.parquet with (doc_id, text, lang, source) rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_pipeline_on_pii_corpus_redacts_and_dedups_correctly(spark, tmp_path):
+    """Non-vacuous pipeline semantics on a corpus that actually has
+    PII and duplicates: length-differing PII twins collapse (same
+    lang/source), identical text across lang or source does NOT
+    collapse (stratum-scoped dedup key), gated-out docs never land,
+    and NO digit run survives on disk — deleting the redaction step
+    would fail this test."""
+    from pyspark.sql import functions as F2
+
+    from currency_etl_pipeline_spark.sources.shards import run_training_data_pipeline
+
+    base = "the fast data table join merge sort " * 8
+    _write_pii_docs(
+        tmp_path,
+        [
+            (1, base + "call +1 555-0101 now", "en", "s1"),
+            (2, base + "call +44 20 7946 0958 123 now", "en", "s1"),  # PII twin of 1
+            (3, base + "call +1 555-0101 now", "de", "s1"),  # same text, other lang
+            (4, base + "call +1 555-0101 now", "en", "s2"),  # same text, other source
+            (5, base + "account 90210001234 ref", "en", "s1"),  # distinct after redact
+            (6, base + "contact user6@mail.example.com now", "fr", "s1"),  # lang-gated out
+        ],
+    )
+    out = str(tmp_path / "shards")
+    run_training_data_pipeline(spark, str(tmp_path), out)
+    landed = read_training_shards(spark, str(out))
+    got = {
+        (r["doc_id"], r["lang"], r["source"]) for r in landed.collect()
+    }
+    assert got == {(1, "en", "s1"), (3, "de", "s1"), (4, "en", "s2"), (5, "en", "s1")}, got
+    # redaction proven: the grafted phones/ids are gone from disk
+    assert landed.filter(F2.col("text").rlike("[0-9]{6,}")).count() == 0
+    assert landed.filter(F2.col("text").contains("[PHONE]")).count() == 3
+    assert landed.filter(F2.col("text").contains("[ID]")).count() == 1

@@ -528,4 +528,7 @@ def test_stream_lake_feeds_shard_sink(spark, sf_dir, tmp_path):
     assert back.select("doc_id").distinct().count() == back.count()
     # gate metadata from the stream rides through to the shards
     assert {"pii_hits", "quality_score", "shard_id", "split"} <= set(back.columns)
+    # (vacuous on the digit-free fixture — the non-vacuous redaction
+    # proof on a PII-bearing corpus is
+    # tests/test_shards.py::test_pipeline_on_pii_corpus_redacts_and_dedups_correctly)
     assert back.filter(F.col("text").rlike("[0-9]{6,}")).count() == 0
