@@ -79,6 +79,9 @@ HEADLINE = [
     "shard_token_streams",
     "media_phash_near_dup",
     "dedup_cluster_keepers",
+    "user_feature_snapshot",
+    "weekly_active_users",
+    "data_quality_report",
 ]
 
 
