@@ -715,3 +715,87 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("token_share"),
         share_lang.alias("share_within_lang"),
     )
+
+
+def _cross_split_leakage_oracle() -> str:
+    from currency_etl_pipeline_spark.queries.text import _SHINGLES_DUCK
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks, {_SPLIT_DUCK} AS split FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN sigarr sa ON sa.doc_id = c.id_a
+      JOIN sigarr sb ON sb.doc_id = c.id_b
+    )
+    SELECT CASE WHEN ta.split = 'train' THEN s.id_a ELSE s.id_b END AS train_doc,
+           CASE WHEN ta.split = 'train' THEN s.id_b ELSE s.id_a END AS test_doc,
+           s.est_jaccard
+    FROM scored s
+    JOIN toks ta ON ta.doc_id = s.id_a
+    JOIN toks tb ON tb.doc_id = s.id_b
+    WHERE (ta.split = 'train' AND tb.split = 'test')
+       OR (ta.split = 'test' AND tb.split = 'train')
+    """
+
+
+@query("cross_split_near_dup_leakage", oracle=_cross_split_leakage_oracle())
+def cross_split_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate eval-set contamination: MinHash-LSH candidate
+    pairs that straddle the train/test split boundary, with estimated
+    Jaccard — the stronger sibling of ``ngram_contamination`` (exact
+    n-gram overlap misses paraphrased/perturbed leaks; near-dup
+    detection at the split boundary is what production decontamination
+    actually runs before training).
+
+    Plan: the full-corpus MinHash pipeline runs ONCE (shingle → 8
+    md5-derived minhashes → 4 band keys → band-bucket equi-join —
+    linear, the same machinery as minhash_lsh_near_dup); the split
+    labels are a pure doc_id hash attached by broadcast-size joins on
+    the CANDIDATE pairs (tiny), and only train×test pairs survive. At
+    100 TB nothing beyond the existing LSH cost is added — the split
+    filter is free relative to candidate generation.
+    """
+    from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from currency_etl_pipeline_spark.queries.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shingled = exploded(
+        docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
+    )
+    pairs = minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _split_expr().alias("split")
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+    )
+    return j.select(
+        F.when(F.col("split_a") == "train", F.col("id_a")).otherwise(F.col("id_b")).alias("train_doc"),
+        F.when(F.col("split_a") == "train", F.col("id_b")).otherwise(F.col("id_a")).alias("test_doc"),
+        "est_jaccard",
+    )
