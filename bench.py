@@ -82,6 +82,8 @@ HEADLINE = [
     "user_feature_snapshot",
     "weekly_active_users",
     "data_quality_report",
+    "passage_dedup_rewrite",
+    "ann_int8_rerank_topk",
 ]
 
 

@@ -799,3 +799,87 @@ def cross_split_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("split_a") == "train", F.col("id_b")).otherwise(F.col("id_a")).alias("test_doc"),
         "est_jaccard",
     )
+
+
+# Non-overlapping passage width for passage-level dedup: one regex
+# match grabs up to 16 whitespace-separated words, scanning
+# left-to-right — a single codegen pass per row in BOTH engines (no
+# per-element re-tokenization; cf. the shingles() zip_with note).
+_PASSAGE_WORDS = 16
+_PASSAGE_PAT = r"\S+(?:\s+\S+){0,15}"
+_PASSAGES_DUCK = rf"regexp_extract_all(trim(coalesce(text, '')), '\S+(?:\s+\S+){{0,15}}')"
+
+
+def _passage_dedup_oracle() -> str:
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest({_PASSAGES_DUCK}) AS passage,
+               generate_subscripts({_PASSAGES_DUCK}, 1) - 1 AS pidx
+        FROM documents
+    ), marked AS (
+        SELECT doc_id, pidx, passage,
+               row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rn
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(passage, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '')
+               AS clean_text
+    FROM marked GROUP BY doc_id
+    """
+
+
+@query("passage_dedup_rewrite", oracle=_passage_dedup_oracle())
+def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup that REWRITES documents: split each
+    doc into non-overlapping 16-word passages, keep only the globally
+    FIRST occurrence of each distinct passage (ordered by doc_id, then
+    position), and reassemble the surviving passages in order — the
+    sub-document sibling of ``exact_dedup_documents`` (which drops
+    whole docs) and the rewrite counterpart of ``doc_repetition_score``
+    (which only scores). This is the boilerplate/refrain-removal pass a
+    corpus pipeline runs between doc-level dedup and shard packing; the
+    fixture corpus carries ~8% naturally duplicated passages (planted
+    near-dup docs share chunks), so the rewrite is non-vacuous.
+
+    Plan — text is shuffled ONCE, not twice: the keep/drop decision
+    travels as (md5, doc_id, pidx) digests only (a window over the
+    passage TEXT would shuffle the corpus by passage and then again by
+    doc_id). Winners per digest come from one min(struct) hash-agg on
+    the digest (map-side partial, ~40-byte rows); the winning positions
+    fold to a per-doc index list (second narrow shuffle); the final
+    sort-merge join on doc_id re-derives passages from the original
+    text with the same single-pass regex — recompute-over-reshuffle,
+    the cheap side of the tradeoff since the regex is scan-bandwidth
+    bound while a corpus reshuffle is network bound. Left join +
+    coalesce keeps fully-duplicated docs as empty rewrites instead of
+    dropping them silently.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passages = F.regexp_extract_all(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
+    )
+    keys = (
+        spread(docs)
+        .select("doc_id", F.posexplode_outer(passages).alias("pidx", "p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "pidx", F.md5("p").alias("h"))
+    )
+    winners = keys.groupBy("h").agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
+    kept = (
+        winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.pidx").alias("pidx"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pidx")).alias("kept_idx"))
+    )
+    empty_idx = F.array().cast("array<int>")
+    kept_idx = F.coalesce(F.col("kept_idx"), empty_idx)
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size(passages).cast("bigint").alias("n_passages"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(passages, i + 1)), " "
+        ).alias("clean_text"),
+    )

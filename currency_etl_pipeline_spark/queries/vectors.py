@@ -392,3 +392,95 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(dot(F.col("uv"), F.col("uv"))), 6).alias("post_norm"),
         F.round(F.element_at("uv", 1), 6).alias("u0"),
     )
+
+
+# int8 quantization: per-vector symmetric scale s = 127/max|x|, code =
+# floor(x*s + 0.5) — one explicit rounding rule shared verbatim by both
+# engines (F.round is HALF_UP, DuckDB round() half-away-from-zero; the
+# floor form sidesteps the difference). The scales cancel inside
+# cosine, so quantized scoring needs ONLY integer dot products:
+# cos_q = dot(qa,qb) / (sqrt(dot(qa,qa)) * sqrt(dot(qb,qb))).
+# |dot| <= 127^2 * 64-dim ~ 1.03e6 << 2^53, so double accumulation of
+# the integer-valued codes is exact — bit-identical across engines and
+# partition counts.
+_QUANT_DUCK = (
+    "list_transform(dv, x -> floor(x * (127.0 / "
+    "list_max(list_transform(dv, y -> abs(y)))) + 0.5))"
+)
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 codes as integer-valued doubles."""
+    scale = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    return F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"))
+
+
+@query(
+    "ann_int8_rerank_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings
+        WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+    ),
+    qz AS (SELECT vec_id, label, dv, {_QUANT_DUCK} AS qv FROM v),
+    q AS (SELECT vec_id AS query_id, qv AS qqv, dv AS qdv FROM qz WHERE vec_id IN (0, 1, 2)),
+    cand AS (
+        SELECT q.query_id, z.vec_id, z.label, z.dv, q.qdv,
+               round({_COS_DUCK.format(a="z.qv", b="q.qqv")}, 6) AS qcos_sim
+        FROM qz z CROSS JOIN q
+        WHERE z.vec_id <> q.query_id
+        QUALIFY row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY qcos_sim DESC, z.vec_id ASC) <= 30
+    )
+    SELECT query_id, vec_id, label, qcos_sim,
+           round({_COS_DUCK.format(a="dv", b="qdv")}, 6) AS cos_sim
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """,
+)
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with int8 scalar quantization: score the WHOLE
+    corpus with integer-only dot products on 4x-smaller codes, keep the
+    quantized top-30 per query, then re-rank only those candidates with
+    exact full-precision cosine and emit the top-10 — the standard
+    quantized-scan + exact-re-rank shape (FAISS SQ8 / IVF_SQ8 families,
+    public literature).
+
+    Why it scales: the first stage is the only full-corpus pass and it
+    touches int8 codes — 4x less scan/shuffle bandwidth than the float
+    corpus and no multiplies wider than 16 bits on a real engine; the
+    exact stage reads full vectors for 30 rows/query, not 500M. The
+    quantized score orders by round(qcos, 6) with a vec_id tie-break
+    so candidate sets are engine- and partition-count-independent;
+    recall vs the exact baseline is pinned in tests/test_stats.py.
+    """
+    from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+
+    v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
+    qz = v.select("vec_id", "label", F.col("v").alias("dv"), quantize_int8(F.col("v")).alias("qv"))
+    q = F.broadcast(
+        qz.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("dv").alias("qdv"),
+        )
+    )
+    scored = (
+        qz.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label", "dv", "qdv",
+            F.round(cosine(F.col("qv"), F.col("qqv")), 6).alias("qcos_sim"),
+        )
+    )
+    cand = top_k_per_group(
+        scored, ["query_id"], [F.col("qcos_sim").desc(), F.col("vec_id").asc()], k=30, descending=False
+    )
+    reranked = cand.select(
+        "query_id", "vec_id", "label", "qcos_sim",
+        F.round(cosine(F.col("dv"), F.col("qdv")), 6).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        reranked, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=10, descending=False
+    ).select("query_id", "vec_id", "label", "qcos_sim", "cos_sim")

@@ -724,3 +724,51 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_int8_rerank_recall(spark, sf_dir):
+    """int8-quantized scan + exact top-30 re-rank must recover nearly
+    all of the exact cosine top-10 (measured 1.0 on the testdata at
+    sf0.001 and sf0.01; 0.9 floor catches a broken quantizer or a
+    candidate pool that stopped covering the true neighbors)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SPECS["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    }
+    q8 = {
+        (r["query_id"], r["vec_id"])
+        for r in SPECS["ann_int8_rerank_topk"].spark(spark, sf_dir).collect()
+    }
+    assert len(exact) == 30 and len(q8) == 30
+    recall = len(q8 & exact) / len(exact)
+    assert recall >= 0.9, f"int8 re-rank recall collapsed: {recall:.3f}"
+
+
+def test_passage_dedup_rewrite_nonvacuous(spark, sf_dir):
+    """The rewrite must actually drop duplicated passages (the corpus
+    plants near-dup docs sharing 16-word chunks) while keeping every
+    document present, total passage accounting exact, and the first
+    occurrence of every distinct passage intact."""
+    rows = SPECS["passage_dedup_rewrite"].spark(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    dropped = sum(r["n_passages"] - r["n_kept"] for r in rows)
+    assert dropped > 0, "no duplicate passages dropped — rewrite is vacuous"
+    assert all(r["n_kept"] <= r["n_passages"] for r in rows)
+    # Conservation: distinct passages across the corpus == total kept.
+    kept_total = sum(r["n_kept"] for r in rows)
+    from currency_etl_pipeline_spark.queries.llm_prep import _PASSAGE_PAT
+
+    distinct = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
+                )
+            ).alias("p")
+        )
+        .agg(F.countDistinct("p"))
+        .collect()[0][0]
+    )
+    assert kept_total == distinct

@@ -95,3 +95,31 @@ def test_first_seen_state_spans_micro_batches(spark, sf_dir, tmp_path):
     # minimum: total emitted rows is bounded by batches x keys but must
     # be >= number of keys and < total events (i.e., real suppression).
     assert len(want) <= out.count() < ev.count()
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    """Observation metrics must (a) match a direct aggregate computed
+    separately, (b) arrive from the SAME action that produced the
+    result — no second scan of the input."""
+    import pytest
+
+    from currency_etl_pipeline_spark.operators.observe import (
+        ingest_gate_metrics,
+        observe_metrics,
+    )
+    from currency_etl_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = observe_metrics(docs, ingest_gate_metrics(docs))
+    kept = observed.filter(F.length("text") > 0).count()
+    got = obs.get
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.size(F.split(F.trim("text"), r"\s+")) < 10).cast("long")).alias("n_short_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias("total_tokens"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"] == kept + docs.filter(F.length("text") == 0).count()
+    assert got["n_short_docs"] == direct["n_short_docs"]
+    assert got["total_tokens"] == direct["total_tokens"]
+    with pytest.raises(ValueError):
+        observe_metrics(docs, {})
