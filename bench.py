@@ -84,6 +84,8 @@ HEADLINE = [
     "data_quality_report",
     "passage_dedup_rewrite",
     "ann_int8_rerank_topk",
+    "perplexity_quality_score",
+    "doc_chunk_windows",
 ]
 
 

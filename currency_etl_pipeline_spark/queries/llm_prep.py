@@ -883,3 +883,157 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept_idx, lambda i: F.element_at(passages, i + 1)), " "
         ).alias("clean_text"),
     )
+
+
+# Unigram-LM vocabulary cap. 20 covers ~2/3 of the fixture's 31-token
+# vocabulary so the OOV bucket is genuinely exercised; at corpus scale
+# the cap (top-100k + OOV) is what keeps the LM broadcast-size.
+_LM_VOCAB = 20
+
+
+def _perplexity_oracle() -> str:
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), cnt AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+    ), vocab AS (
+        SELECT term, cnt FROM cnt ORDER BY cnt DESC, term ASC LIMIT {_LM_VOCAB}
+    ), oov AS (
+        SELECT (SELECT total FROM tot) - CAST(sum(cnt) AS BIGINT) AS oov_cnt FROM vocab
+    ), contrib AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(floor(tf.tf * ln(coalesce(v.cnt, o.oov_cnt) * 1.0 / t.total) * 1e12)
+                    AS BIGINT) AS fp,
+               CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END AS oov_toks
+        FROM tf LEFT JOIN vocab v USING (term)
+        CROSS JOIN tot t CROSS JOIN oov o
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(oov_toks) AS BIGINT) AS n_oov,
+           round(-(sum(fp) / 1e12) / sum(tf), 6) AS nll,
+           (-(sum(fp) / 1e12) / sum(tf)) <= 2.66 AS keep
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@query("perplexity_quality_score", oracle=_perplexity_oracle())
+def perplexity_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity filter (the CCNet-style quality gate,
+    public literature): fit token probabilities on the corpus itself —
+    top-20 vocabulary + a single OOV bucket — and score every document
+    by mean negative log-likelihood; low-NLL docs look like the corpus,
+    high-NLL docs are outliers (gibberish, wrong language, boilerplate).
+    The keep flag applies a fixed 2.66-nat threshold (the fixture
+    corpus median NLL; uniform 31-token entropy would be ln 31 ≈ 3.43
+    but the skewed tf mass pulls typical docs lower), so both kept and
+    dropped documents exist at every fixture scale — a production run
+    would calibrate this cut on a held-out slice exactly the same way.
+
+    Scale design: the LM is bounded by construction — top-V selection
+    runs as TakeOrderedAndProject (distributed heap-merge, never a
+    global sort) and broadcasts V+2 narrow rows; scoring is one
+    broadcast left join on the (doc_id, term) tf table. Per-doc
+    aggregation of log-probs must be partition-order-independent, so
+    each contribution is quantized to 1e-12 fixed-point BIGINT
+    (floor-toward--inf in both engines) and summed exactly — the same
+    discipline as the DECIMAL sums (functions/scalars.dec), chosen here
+    because ln outputs are arbitrary doubles, and floor-quantization
+    has no round-half tie ambiguity across engines.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ex = exploded(docs, ["doc_id"], tokens(), "term")
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    vocab = cnt.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(_LM_VOCAB)
+    oov = vocab.agg(F.sum("cnt").cast("bigint").alias("in_vocab_cnt")).crossJoin(
+        F.broadcast(tot)
+    ).select((F.col("total") - F.col("in_vocab_cnt")).alias("oov_cnt"))
+    p = F.coalesce(F.col("cnt"), F.col("oov_cnt")) * 1.0 / F.col("total")
+    contrib = (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(F.col("tf") * F.log(p) * F.lit(1e12)).cast("bigint").alias("fp"),
+            F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov_toks"),
+        )
+    )
+    nll = -(F.sum("fp") / F.lit(1e12)) / F.sum("tf")
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("oov_toks").cast("bigint").alias("n_oov"),
+        F.round(nll, 6).alias("nll"),
+        (nll <= 2.66).alias("keep"),
+    )
+
+
+# Retrieval chunking: 16-token windows advancing by 12 (4-token
+# overlap) — overlap preserves context across chunk boundaries, the
+# standard RAG indexing prep. Distinct from _PASSAGE_PAT's
+# non-overlapping chunks (dedup wants a partition, retrieval wants
+# overlap).
+_CHUNK_WIDTH = 16
+_CHUNK_STRIDE = 12
+
+
+def _chunk_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(len(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIDTH}]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIDTH}], ' ') AS chunk_text
+    FROM idx
+    WHERE chunk_id = 0 OR chunk_id * {_CHUNK_STRIDE} < len(toks)
+    """
+
+
+@query("doc_chunk_windows", oracle=_chunk_oracle())
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking for retrieval indexing: each doc
+    becomes ceil(n/stride)-ish chunks of up to 16 tokens advancing by
+    12 (4-token overlap), with token offsets — the doc → chunk →
+    embed → ANN-index prep stage (the chunks would feed
+    ``embedding_l2_normalize`` + the ANN family).
+
+    Plan: map-only — tokenize once per row, posexplode the chunk-index
+    range, slice per chunk row; no shuffle at all, so the stage
+    pipelines into whatever embeds/writes the chunks downstream. The
+    chunk count per doc is derived arithmetically from the token count
+    (never a while-loop), and empty docs yield no chunks in both
+    engines.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = tokens()
+    n = F.size(toks)
+    # chunk ids 0..floor((n-1)/stride); guard n=0 with an empty range.
+    ids = F.when(
+        n > 0,
+        F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / F.lit(_CHUNK_STRIDE))),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = exploded(docs.select("doc_id", toks.alias("toks"), ids.alias("ids")),
+                  ["doc_id", "toks"], F.col("ids"), "chunk_id")
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    chunk = F.slice(F.col("toks"), start + 1, _CHUNK_WIDTH)
+    return ex.filter((F.col("chunk_id") == 0) | (start < F.size("toks"))).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -772,3 +772,20 @@ def test_passage_dedup_rewrite_nonvacuous(spark, sf_dir):
         .collect()[0][0]
     )
     assert kept_total == distinct
+
+
+def test_perplexity_lm_single_scan_and_bounded_vocab(spark, sf_dir):
+    """The unigram-LM scorer must (a) scan the corpus ONCE — the tf
+    table feeds both the LM-fitting branch and the scoring join via
+    ReusedExchange, (b) select the vocabulary with a distributed top-V
+    (TakeOrderedAndProject), never a global sort, and (c) actually
+    split the corpus at the keep threshold (non-vacuous gate)."""
+    df = SPECS["perplexity_quality_score"].spark(spark, sf_dir)
+    plan = executed_plan_of(df)
+    assert plan.count("FileScan parquet") == 1, "corpus scanned more than once"
+    assert "ReusedExchange" in plan, "tf exchange not shared between LM and scoring"
+    assert "TakeOrderedAndProject" in plan, "vocab cap planned as a global sort"
+    rows = df.collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows), f"keep gate is vacuous: {kept}/{len(rows)}"
+    assert any(r["n_oov"] > 0 for r in rows), "OOV bucket never exercised"
