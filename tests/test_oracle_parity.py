@@ -366,3 +366,88 @@ def test_dedup_consensus_gate_bites(spark, sf_dir):
     if sf_dir.endswith("sf0.001"):
         assert (12, 120) in kept, "known agreeing pair (cos ~0.33) was dropped"
         assert (8, 360) not in kept, "known disagreeing pair (cos ~-0.30) survived"
+
+
+def test_chunk_windows_edge_docs_match_oracle(spark, tmp_path):
+    """Chunking edge cases the fixture never hits: a doc shorter than
+    one window, exactly one window, one-past-a-stride boundary, and a
+    multi-stride doc. Engines must agree AND the chunks must tile the
+    doc: starts advance by the stride, every token lands in >= 1 chunk,
+    and consecutive chunks overlap by width - stride tokens."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.llm_prep import (
+        _CHUNK_STRIDE,
+        _CHUNK_WIDTH,
+    )
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(3)),                 # < width
+        1: " ".join(f"t{i}" for i in range(_CHUNK_WIDTH)),      # == width
+        2: " ".join(f"t{i}" for i in range(_CHUNK_STRIDE + 1)), # one past stride
+        3: " ".join(f"t{i}" for i in range(3 * _CHUNK_STRIDE + 5)),
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    spec = SPECS["doc_chunk_windows"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    by_doc: dict = {}
+    for r in df.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in texts.items():
+        n = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_tok"] == 0
+        covered = set()
+        for c in chunks:
+            assert 1 <= c["n_tokens"] <= _CHUNK_WIDTH
+            assert c["chunk_text"].split() == text.split()[c["start_tok"] : c["start_tok"] + c["n_tokens"]]
+            covered |= set(range(c["start_tok"], c["start_tok"] + c["n_tokens"]))
+        assert covered == set(range(n)), f"doc {doc_id}: chunks do not tile the doc"
+        starts = [c["start_tok"] for c in chunks]
+        assert starts == [i * _CHUNK_STRIDE for i in range(len(chunks))]
+
+
+def test_passage_dedup_rewrite_is_idempotent(spark, tmp_path, sf_dir):
+    """A second pass over the rewritten corpus must be a no-op
+    (n_kept == n_passages for every doc). Note re-chunking shifts
+    window boundaries where passages were dropped, so this holds
+    because the rewritten corpus contains no duplicated 16-word chunk
+    at the NEW boundaries either — the fixed-point property a pipeline
+    relies on when it re-runs dedup over already-cleaned shards. A
+    regression that drops first occurrences (or re-introduces dups in
+    reassembly) breaks the fixed point and fails here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.tables import load_table
+
+    first = SPECS["passage_dedup_rewrite"].spark(spark, sf_dir).collect()
+    rewritten = [(r["doc_id"], r["clean_text"]) for r in first if r["clean_text"]]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rewritten], pa.int64()),
+            "text": pa.array([t for _, t in rewritten], pa.string()),
+            "lang": pa.array(["en"] * len(rewritten), pa.string()),
+            "source": pa.array(["s"] * len(rewritten), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in rewritten], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    second = SPECS["passage_dedup_rewrite"].spark(spark, str(tmp_path)).collect()
+    assert len(second) == len(rewritten)
+    offenders = [r for r in second if r["n_kept"] != r["n_passages"]]
+    assert not offenders, f"second pass still drops passages: {offenders[:3]}"
