@@ -221,16 +221,70 @@ class Warehouse:
 
     def append_historical(self, batch: DataFrame) -> None:
         """S8: append-only history, partitioned by event date so
-        time-range queries prune partitions."""
-        (
-            batch.withColumn("rate_date", F.to_date("timestamp"))
-            .write.mode("append")
-            .partitionBy("rate_date")
-            .parquet(self.historical_path)
-        )
+        time-range queries prune partitions.
+
+        Schema evolution: each append unions the batch's columns into a
+        registry sidecar (``_schema_registry.json`` — underscore files
+        are invisible to parquet reads, like ``_SUCCESS``) so later
+        batches may ADD columns; ``historical()`` then reads with the
+        unified schema and old files surface the new columns as NULL.
+        The registry is what makes evolution O(1) at scale — without
+        it, discovering the unified schema means a footer scan of every
+        file in the table (Spark's ``mergeSchema``), which at 100 TB /
+        millions of files costs more than many queries. Type conflicts
+        (same name, different type) fail the append loudly — silent
+        coercion corrupts history."""
+        batch = batch.withColumn("rate_date", F.to_date("timestamp"))
+        self._register_schema(batch.schema)
+        batch.write.mode("append").partitionBy("rate_date").parquet(self.historical_path)
+
+    @property
+    def _schema_registry_file(self) -> str:
+        return os.path.join(self.historical_path, "_schema_registry.json")
+
+    def _register_schema(self, schema) -> None:
+        import json
+
+        from pyspark.sql import types as T
+
+        merged = list(self._registered_schema() or [])
+        by_name = {f.name: f for f in merged}
+        for f in schema.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                merged.append(f)
+                by_name[f.name] = f
+            elif old.dataType != f.dataType:
+                raise TypeError(
+                    f"historical schema conflict on {f.name!r}: table has "
+                    f"{old.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} — evolution only ADDS columns"
+                )
+        os.makedirs(self.historical_path, exist_ok=True)
+        tmp = self._schema_registry_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(T.StructType(merged).jsonValue(), fh)
+        os.replace(tmp, self._schema_registry_file)
+
+    def _registered_schema(self):
+        import json
+
+        from pyspark.sql import types as T
+
+        try:
+            with open(self._schema_registry_file) as fh:
+                return T.StructType.fromJson(json.load(fh))
+        except FileNotFoundError:
+            return None
 
     def historical(self) -> DataFrame:
-        return self.spark.read.parquet(self.historical_path).drop("rate_date")
+        schema = self._registered_schema()
+        reader = self.spark.read
+        if schema is not None:
+            # Unified schema from the registry: files written before a
+            # column existed return NULL for it; no footer scan.
+            reader = reader.schema(schema)
+        return reader.parquet(self.historical_path).drop("rate_date")
 
     def compact_historical(self, rate_date: str, target_files: int = 1) -> tuple[int, int]:
         """Small-files compaction for one date partition of the

@@ -460,3 +460,36 @@ def test_delete_from_historical_is_exact_and_safe(spark, tmp_path):
     assert after2.filter(F.col("target_currency").isNull()).count() == 1, (
         "NULL-predicate row must survive a keyed delete"
     )
+
+
+def test_historical_schema_evolution_adds_column(spark, tmp_path):
+    """A later batch may ADD a column: the registry sidecar unifies the
+    schema, old partitions read back with NULL for the new column (no
+    mergeSchema footer scan), pushdown on the new column still works,
+    and a same-name/different-type batch is rejected loudly."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    b1 = _batch(spark, "2024-03-01 10:00:00")
+    wh.append_historical(b1)
+    b2 = _batch(spark, "2024-03-02 10:00:00").withColumn("source_feed", F.lit("primary"))
+    wh.append_historical(b2)
+
+    hist = wh.historical()
+    assert "source_feed" in hist.columns
+    old = hist.filter(F.col("timestamp") < "2024-03-02")
+    new = hist.filter(F.col("timestamp") >= "2024-03-02")
+    assert old.count() == b1.count() and new.count() == b2.count()
+    assert old.filter(F.col("source_feed").isNull()).count() == old.count(), (
+        "pre-evolution rows must surface the new column as NULL"
+    )
+    assert new.filter(F.col("source_feed") == "primary").count() == new.count()
+
+    # A column that changes type must be rejected, not coerced.
+    b3 = _batch(spark, "2024-03-03 10:00:00").withColumn("source_feed", F.lit(7))
+    with pytest.raises(TypeError, match="schema conflict"):
+        wh.append_historical(b3)
+    # The failed append must not have landed rows.
+    assert wh.historical().count() == b1.count() + b2.count()
