@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_int8_rerank_topk",
     "perplexity_quality_score",
     "doc_chunk_windows",
+    "join_key_skew_profile",
 ]
 
 

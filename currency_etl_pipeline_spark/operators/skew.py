@@ -75,3 +75,38 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )
     return big_s.join(small_s, keys + [_SALT], "inner").drop(_SALT)
+
+
+def skew_profile(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
+    """Hot-key profile for a prospective join/agg key: top-``k`` keys by
+    row count with each key's share and the cumulative share — the
+    numbers that decide whether a key needs salting (one key at >20%
+    of rows means one reducer owns a fifth of the shuffle) and what
+    ``salt_n`` to pick (≈ hot-key share × shuffle partitions).
+
+    Scale: one hash-agg on the key (map-side partial), a distributed
+    top-k (TakeOrderedAndProject — never a global sort), and a window
+    over the ``k`` surviving rows. Shares divide exact BIGINTs at the
+    output edge, so the profile is partition-count independent.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("total_rows"))
+    order = [F.col("n_rows").desc(), *[F.col(c).asc() for c in keys]]
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # The unpartitioned window runs over exactly k rows (post-limit) —
+    # bounded by construction, never corpus-sized.
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            F.round(F.col("n_rows") * 1.0 / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.sum("n_rows").over(w) * 1.0 / F.col("total_rows"), 6
+            ).alias("cum_share"),
+        )
+    )

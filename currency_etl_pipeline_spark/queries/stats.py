@@ -886,3 +886,34 @@ def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rev - prev) / prev * 100, 6).alias("mom_pct"),
         F.round((rev - prev12) / prev12 * 100, 6).alias("yoy_pct"),
     )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ), total AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM counts
+    ), top AS (
+        SELECT user_id, n_rows FROM counts ORDER BY n_rows DESC, user_id LIMIT 20
+    )
+    SELECT user_id, n_rows,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS INT) AS rank,
+           round(n_rows * 1.0 / t.total_rows, 6) AS share,
+           round(CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 * 1.0 / t.total_rows, 6) AS cum_share
+    FROM top CROSS JOIN total t
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic for the events join/agg key (user_id): top-20
+    keys with per-key and cumulative row share — the profile that
+    decides whether ``operators/skew.salted_aggregate``/``salted_join``
+    are needed and sizes their ``salt_n``. See skew_profile for the
+    plan shape (hash-agg → TakeOrderedAndProject → k-row window)."""
+    from currency_etl_pipeline_spark.operators.skew import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, ["user_id"], k=20)

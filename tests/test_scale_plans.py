@@ -789,3 +789,8 @@ def test_perplexity_lm_single_scan_and_bounded_vocab(spark, sf_dir):
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows), f"keep gate is vacuous: {kept}/{len(rows)}"
     assert any(r["n_oov"] > 0 for r in rows), "OOV bucket never exercised"
+
+
+def test_skew_profile_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(SPECS["join_key_skew_profile"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "hot-key top-20 planned as a global sort"
