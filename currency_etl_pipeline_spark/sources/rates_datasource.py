@@ -1,0 +1,109 @@
+"""`spark.read.format("currency_rates")` — the REST-payload ingest as
+a first-class Spark data source (Python Data Source API, Spark 4).
+
+The reference fetches ONE payload driver-side per DAG run
+(fetch.py:13-85) and `rates_pipeline.quotes_payload_to_rates` mirrors
+that single-dict path. A backfill or multi-source deployment instead
+has a DIRECTORY of landed payload files (one JSON per poll — the raw
+zone); this source turns that directory into a parallel scan:
+
+    spark.dataSource.register(CurrencyRatesDataSource)
+    df = (spark.read.format("currency_rates")
+          .option("path", raw_zone_dir).load())
+
+Each payload file is one InputPartition, so a 10k-file backfill reads
+on 10k-way parallelism with no driver loop, and the executors — not
+the driver — parse JSON and explode quotes to (pair, rate) rows.
+Malformed or failed payloads (success=false) yield an error row
+(err column) instead of killing the scan — a quarantine-friendly
+contract matching sources/lake's JSONL quarantine channel.
+
+Rows leave this source STRING-typed exactly like the single-payload
+path (numeric coercion is transform's job, transform.py:39-46);
+`transform_rates` + `prepare_for_load` compose unchanged downstream.
+A DataSourceStreamReader twin (offset = sorted file list position)
+would make the raw zone tail-able; the batch reader is the tested
+surface here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCHEMA = (
+    "base_currency string, pair string, rate string, "
+    "target_currency string, fetched_at string, payload_file string, err string"
+)
+
+
+class _PayloadPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class CurrencyRatesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("currency_rates source requires .option('path', <dir or file>)")
+        self.path = path
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".json")
+            )
+        else:
+            files = [self.path]
+        # One partition per payload file: a backfill directory scans
+        # with file-count parallelism; Spark schedules them like any
+        # other splits.
+        return [_PayloadPartition(p) for p in files]
+
+    def read(self, partition: _PayloadPartition):
+        fname = os.path.basename(partition.path)
+        try:
+            with open(partition.path) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError) as e:
+            yield (None, None, None, None, None, fname, f"unreadable payload: {e}")
+            return
+        if not payload.get("success", False):
+            err = str(payload.get("error", "success=false"))
+            yield (None, None, None, None, None, fname, f"API error: {err}")
+            return
+        base = str(payload.get("source"))
+        fetched_at = payload.get("fetched_at")
+        fetched_at = None if fetched_at is None else str(fetched_at)
+        quotes = payload.get("quotes") or {}
+        for pair, rate in sorted(quotes.items()):
+            pair = str(pair)
+            target = pair[len(base):] if pair.startswith(base) else None
+            yield (
+                base,
+                pair,
+                None if rate is None else str(rate),
+                target,
+                fetched_at,
+                fname,
+                None,
+            )
+
+
+class CurrencyRatesDataSource(DataSource):
+    """Register once per session: ``spark.dataSource.register(CurrencyRatesDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "currency_rates"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> CurrencyRatesReader:
+        return CurrencyRatesReader(self.options)

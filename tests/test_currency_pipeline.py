@@ -493,3 +493,51 @@ def test_historical_schema_evolution_adds_column(spark, tmp_path):
         wh.append_historical(b3)
     # The failed append must not have landed rows.
     assert wh.historical().count() == b1.count() + b2.count()
+
+
+def test_currency_rates_datasource_matches_payload_path(spark, tmp_path):
+    """The Python Data Source scan over a payload directory must agree
+    with the single-payload entry path (quotes_payload_to_rates +
+    transform + prepare_for_load) on the same data, parallelize one
+    partition per payload file, and quarantine bad payloads as err rows
+    instead of failing the scan."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.sources.rates_datasource import (
+        CurrencyRatesDataSource,
+    )
+
+    raw = tmp_path / "raw_zone"
+    raw.mkdir()
+    p1 = dict(PAYLOAD, fetched_at="2024-03-01 10:00:00")
+    p2 = dict(PAYLOAD, fetched_at="2024-03-02 10:00:00",
+              quotes={"GBPUSD": "1.27", "GBPEGP": "62.05"})
+    (raw / "poll_0001.json").write_text(json.dumps(p1))
+    (raw / "poll_0002.json").write_text(json.dumps(p2))
+    (raw / "poll_0003.json").write_text(json.dumps({"success": False, "error": {"code": 104}}))
+    (raw / "poll_0004.json").write_text("{not json")
+
+    spark.dataSource.register(CurrencyRatesDataSource)
+    df = spark.read.format("currency_rates").option("path", str(raw)).load()
+
+    assert df.rdd.getNumPartitions() == 4, "expected one partition per payload file"
+    good = df.filter(F.col("err").isNull())
+    bad = {r["payload_file"]: r["err"] for r in df.filter(F.col("err").isNotNull()).collect()}
+    assert set(bad) == {"poll_0003.json", "poll_0004.json"}
+    assert "API error" in bad["poll_0003.json"] and "unreadable" in bad["poll_0004.json"]
+
+    # Equivalence with the single-payload path, file by file.
+    for payload, fname in ((p1, "poll_0001.json"), (p2, "poll_0002.json")):
+        via_ds = prepare_for_load(
+            transform_rates(
+                good.filter(F.col("payload_file") == fname)
+                .withColumn("timestamp", F.to_timestamp("fetched_at"))
+                .select("base_currency", "pair", "rate", "target_currency", "timestamp"),
+                processed_at=payload["fetched_at"],
+            ),
+            retrieved_at=payload["fetched_at"],
+        )
+        via_single = _batch(spark, payload["fetched_at"], quotes=payload["quotes"])
+        assert sorted(map(tuple, via_ds.collect())) == sorted(map(tuple, via_single.collect()))
