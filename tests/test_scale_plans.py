@@ -794,3 +794,23 @@ def test_perplexity_lm_single_scan_and_bounded_vocab(spark, sf_dir):
 def test_skew_profile_is_topk_not_global_sort(spark, sf_dir):
     plan = plan_of(SPECS["join_key_skew_profile"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "hot-key top-20 planned as a global sort"
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
+    """Catalog-wide lint: Python may appear in a plan only Arrow-batched
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas / pandas
+    UDAFs) or as a declared UDTF — never as a row-at-a-time
+    BatchEvalPython, which serializes one row per Python call and is
+    the 10-100x slow path the repo bans in hot paths."""
+    offenders = []
+    for name in SPECS:
+        if name.startswith("streaming_"):
+            continue  # streaming fns execute a stream to build their result
+        plan = plan_of(_built_df(name, spark, sf_dir))
+        for line in plan.splitlines():
+            if "BatchEvalPython" in line and "UDTF" not in line:
+                offenders.append(f"{name}: {line.strip()[:120]}")
+    assert not offenders, (
+        "row-at-a-time Python UDF planned (use pandas_udf / mapInPandas):\n  "
+        + "\n  ".join(offenders)
+    )
