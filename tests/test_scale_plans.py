@@ -814,3 +814,47 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
         "row-at-a-time Python UDF planned (use pandas_udf / mapInPandas):\n  "
         + "\n  ".join(offenders)
     )
+
+
+def test_ivf_index_search_prunes_and_matches_inplan_ivf(spark, sf_dir, tmp_path):
+    """The materialized IVF index must (a) prune: searching reads ONLY
+    the probed cid partitions — unprobed cells' files are never opened
+    (inputFiles + PartitionFilters both checked), and (b) agree row-for-
+    row with the one-plan ivf_ann_topk query (same centroids, probes,
+    tie-breaks)."""
+    import re
+
+    from currency_etl_pipeline_spark.queries.advanced import (
+        _IVF_QUERY_IDS,
+        CENTROID_IDS,
+    )
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    all_cids = {
+        re.search(r"cid=(\d+)", f).group(1)
+        for f in spark.read.parquet(idx).inputFiles()
+    }
+    assert len(all_cids) > 2, "index degenerated into <3 cells"
+
+    res = search_ivf_index(
+        spark, sf_dir, idx, _IVF_QUERY_IDS, CENTROID_IDS, nprobe=2, k=5
+    )
+    got = sorted(map(tuple, res.collect()))
+    expect = sorted(map(tuple, SPECS["ivf_ann_topk"].spark(spark, sf_dir).collect()))
+    assert got == expect, "index search diverged from the in-plan IVF query"
+
+    # Pruning: the literal cid IN-list must reach the scan as a
+    # PARTITION filter (listing-time pruning) and cover strictly fewer
+    # cells than the index holds. (inputFiles() can't be used here —
+    # it lists the relation's files ignoring pushed filters.)
+    m = re.search(r"PartitionFilters: \[[^\]]*cid#\d+ IN \(([\d,]+)\)", plan_of(res))
+    assert m, "cid filter did not reach the scan as a partition IN filter"
+    probed = set(m.group(1).split(","))
+    assert probed < all_cids, (
+        f"probed {sorted(probed)} of {sorted(all_cids)} — nothing pruned"
+    )
