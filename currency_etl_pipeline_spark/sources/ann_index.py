@@ -121,3 +121,94 @@ def search_ivf_index(
     return top_k_per_group(
         cand, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=k, descending=False
     ).select("query_id", "vec_id", "label", "cos_sim")
+
+
+def build_ivf_sq8_index(
+    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids
+) -> None:
+    """IVF + int8 scalar quantization (the IVF_SQ8 composition): cells
+    partition the corpus, rows store int8 CODES instead of the float
+    vectors — logically 1 byte/dim (parquet encodes INT8 as
+    dictionary/RLE-compressed INT32; Arrow holds it as 1 byte in
+    memory), so the per-query probed-cell scan moves a fraction of the
+    bytes the float index would. Scales cancel inside cosine
+    (queries/vectors.quantize_int8), so no scale column is needed;
+    exact re-ranking recovers full precision by joining the float
+    corpus ONLY for the surviving candidates."""
+    from currency_etl_pipeline_spark.queries.vectors import quantize_int8
+
+    v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
+    cents = _centroids(spark, sf_dir, centroid_ids)
+    assigned = (
+        _ranked_cells(v, cents)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            quantize_int8(F.col("v")).cast("array<tinyint>").alias("qv"),
+            "cid",
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+
+
+def search_ivf_sq8_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_ids,
+    centroid_ids,
+    nprobe: int = 2,
+    k: int = 10,
+    rerank: int = 30,
+) -> DataFrame:
+    """Quantized scan over the probed cells → top-``rerank`` candidates
+    per query by int8 cosine → exact re-rank via a join back to the
+    float corpus on vec_id (narrow: ``rerank × |queries|`` rows) →
+    top-``k``. Ties break on (rounded score, vec_id) at both stages so
+    the result is engine- and layout-independent."""
+    from currency_etl_pipeline_spark.queries.vectors import quantize_int8
+
+    v = _vecs(spark, sf_dir)
+    cents = _centroids(spark, sf_dir, centroid_ids)
+    queries = v.filter(F.col("vec_id").isin(*query_ids))
+    probes = (
+        _ranked_cells(queries, cents)
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            quantize_int8(F.col("v")).alias("qqv"),
+            F.col("v").alias("qdv"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+    probed_cids = probe_cells(probes)
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cid").isin(*probed_cids))
+        .select("vec_id", "label", F.col("qv").cast("array<double>").alias("qv"), "cid")
+    )
+    scored = index.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        "qdv",
+        F.round(cosine(F.col("qv"), F.col("qqv")), 6).alias("qcos_sim"),
+    )
+    cand = top_k_per_group(
+        scored, ["query_id"], [F.col("qcos_sim").desc(), F.col("vec_id").asc()], k=rerank, descending=False
+    )
+    full = v.select("vec_id", F.col("v").alias("dv"))
+    reranked = cand.join(full, "vec_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        "qcos_sim",
+        F.round(cosine(F.col("dv"), F.col("qdv")), 6).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        reranked, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=k, descending=False
+    ).select("query_id", "vec_id", "label", "qcos_sim", "cos_sim")

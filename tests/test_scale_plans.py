@@ -858,3 +858,42 @@ def test_ivf_index_search_prunes_and_matches_inplan_ivf(spark, sf_dir, tmp_path)
     assert probed < all_cids, (
         f"probed {sorted(probed)} of {sorted(all_cids)} — nothing pruned"
     )
+
+
+def test_ivf_sq8_index_full_probe_equals_int8_rerank_query(spark, sf_dir, tmp_path):
+    """The int8-coded IVF index, probed over ALL cells, must reproduce
+    ann_int8_rerank_topk bit-for-bit (same quantizer, candidate pool,
+    re-rank and tie-breaks — only the storage layout differs); with
+    nprobe=2 the scan must prune partitions and still return k rows per
+    query."""
+    import re
+
+    from currency_etl_pipeline_spark.queries.advanced import (
+        _IVF_QUERY_IDS,
+        CENTROID_IDS,
+    )
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_sq8_index,
+        search_ivf_sq8_index,
+    )
+
+    idx = str(tmp_path / "ivf_sq8")
+    build_ivf_sq8_index(spark, sf_dir, idx, CENTROID_IDS)
+
+    full = search_ivf_sq8_index(
+        spark, sf_dir, idx, _IVF_QUERY_IDS, CENTROID_IDS, nprobe=8, k=10, rerank=30
+    )
+    got = sorted(map(tuple, full.collect()))
+    expect = sorted(
+        map(tuple, SPECS["ann_int8_rerank_topk"].spark(spark, sf_dir).collect())
+    )
+    assert got == expect, "sq8 index search diverged from the in-plan int8 query"
+
+    pruned = search_ivf_sq8_index(
+        spark, sf_dir, idx, _IVF_QUERY_IDS, CENTROID_IDS, nprobe=2, k=10, rerank=30
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*cid#\d+ IN \(([\d,]+)\)", plan_of(pruned))
+    assert m and len(m.group(1).split(",")) < 8, "sq8 search did not prune cells"
+    rows = pruned.collect()
+    assert len(rows) == 10 * len(_IVF_QUERY_IDS)
+    assert all(-1.000001 <= r["qcos_sim"] <= 1.000001 for r in rows)
