@@ -37,6 +37,10 @@ _PARTITION_SENSITIVE = [
     "sequence_packing",
     "domain_temperature_resample",
     "monthly_revenue_momentum",
+    # r5: fixed-point BIGINT log-prob sums / digest-min winners claim
+    # the same partition-count independence.
+    "perplexity_quality_score",
+    "passage_dedup_rewrite",
 ]
 
 
