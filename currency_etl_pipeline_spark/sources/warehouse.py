@@ -286,6 +286,24 @@ class Warehouse:
             reader = reader.schema(schema)
         return reader.parquet(self.historical_path).drop("rate_date")
 
+    def _read_partition(self, part_dir: str) -> DataFrame:
+        """Read ONE partition directory with the registry's unified
+        schema (minus the partition column, which lives in the dir
+        name, not the files). Partition REWRITES must go through this:
+        a plain read samples one file's footer for the schema, so a
+        mixed-schema partition (files from before and after a column
+        was added) rewritten from a pre-evolution sample would silently
+        DROP the evolved column from every row — data loss, not just a
+        read-time gap."""
+        from pyspark.sql import types as T
+
+        schema = self._registered_schema()
+        reader = self.spark.read
+        if schema is not None:
+            data_fields = [f for f in schema.fields if f.name != "rate_date"]
+            reader = reader.schema(T.StructType(data_fields))
+        return reader.parquet(part_dir)
+
     def compact_historical(self, rate_date: str, target_files: int = 1) -> tuple[int, int]:
         """Small-files compaction for one date partition of the
         append-only history — every micro-batch append lands its own
@@ -309,7 +327,7 @@ class Warehouse:
         if not os.path.isdir(part_dir):
             raise FileNotFoundError(f"no partition dir {part_dir}")
         files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-        df = self.spark.read.parquet(part_dir)
+        df = self._read_partition(part_dir)
         n_before = df.count()
         tmp = part_dir + "__compact_tmp"
         df.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
@@ -364,7 +382,7 @@ class Warehouse:
         part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
         if not os.path.isdir(part_dir):
             raise FileNotFoundError(f"no partition dir {part_dir}")
-        df = self.spark.read.parquet(part_dir)
+        df = self._read_partition(part_dir)
         n_before = df.count()
         n_match = df.filter(predicate).count()
         if n_match == 0:

@@ -541,3 +541,44 @@ def test_currency_rates_datasource_matches_payload_path(spark, tmp_path):
         )
         via_single = _batch(spark, payload["fetched_at"], quotes=payload["quotes"])
         assert sorted(map(tuple, via_ds.collect())) == sorted(map(tuple, via_single.collect()))
+
+
+def test_compaction_preserves_evolved_columns(spark, tmp_path):
+    """Regression: a partition holding files from BEFORE and AFTER a
+    column was added must survive compaction (and predicate delete)
+    with the evolved column intact. A plain read samples one file's
+    footer — if it samples a pre-evolution file, the rewrite would
+    silently drop the new column from every row (data loss). Both
+    rewrite paths must read through the schema registry."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    # Same rate_date for both appends → one mixed-schema partition.
+    wh.append_historical(_batch(spark, "2024-03-01 09:00:00"))
+    wh.append_historical(
+        _batch(spark, "2024-03-01 15:00:00").withColumn("source_feed", F.lit("primary"))
+    )
+
+    before = wh.historical()
+    n_before = before.count()
+    n_with_feed = before.filter(F.col("source_feed") == "primary").count()
+    assert n_with_feed > 0
+
+    wh.compact_historical("2024-03-01")
+    after = wh.historical()
+    assert "source_feed" in after.columns
+    assert after.count() == n_before
+    assert after.filter(F.col("source_feed") == "primary").count() == n_with_feed, (
+        "compaction dropped the evolved column's values"
+    )
+
+    # Predicate delete on the same mixed partition keeps the column too.
+    deleted = wh.delete_from_historical(
+        "2024-03-01", F.col("target_currency") == "USD"
+    )
+    assert deleted > 0
+    remaining = wh.historical()
+    assert "source_feed" in remaining.columns
+    assert remaining.filter(F.col("source_feed") == "primary").count() > 0
