@@ -77,7 +77,10 @@ class CurrencyRatesReader(DataSourceReader):
             err = str(payload.get("error", "success=false"))
             yield (None, None, None, None, None, fname, f"API error: {err}")
             return
-        base = str(payload.get("source"))
+        if not payload.get("source"):
+            yield (None, None, None, None, None, fname, "malformed payload: no source")
+            return
+        base = str(payload["source"])
         fetched_at = payload.get("fetched_at")
         fetched_at = None if fetched_at is None else str(fetched_at)
         quotes = payload.get("quotes") or {}
