@@ -806,8 +806,12 @@ def cross_split_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left-to-right — a single codegen pass per row in BOTH engines (no
 # per-element re-tokenization; cf. the shingles() zip_with note).
 _PASSAGE_WORDS = 16
-_PASSAGE_PAT = r"\S+(?:\s+\S+){0,15}"
-_PASSAGES_DUCK = rf"regexp_extract_all(trim(coalesce(text, '')), '\S+(?:\s+\S+){{0,15}}')"
+# Both engine patterns derive from the ONE width constant — editing the
+# width cannot desynchronize the Spark plan from the DuckDB oracle.
+_PASSAGE_PAT = r"\S+(?:\s+\S+){0,%d}" % (_PASSAGE_WORDS - 1)
+_PASSAGES_DUCK = (
+    "regexp_extract_all(trim(coalesce(text, '')), '" + _PASSAGE_PAT + "')"
+)
 
 
 def _passage_dedup_oracle() -> str:
@@ -822,12 +826,16 @@ def _passage_dedup_oracle() -> str:
                row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rn
         FROM p
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_passages,
-           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
-           coalesce(string_agg(passage, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '')
+    -- LEFT JOIN from documents: a NULL/empty/whitespace-only doc has no
+    -- passages but must still emit a (doc_id, 0, 0, '') row, exactly
+    -- like the Spark side's left join.
+    SELECT d.doc_id,
+           CAST(count(m.passage) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (WHERE m.rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(m.passage, ' ' ORDER BY m.pidx) FILTER (WHERE m.rn = 1), '')
                AS clean_text
-    FROM marked GROUP BY doc_id
+    FROM documents d LEFT JOIN marked m USING (doc_id)
+    GROUP BY d.doc_id
     """
 
 
@@ -1027,7 +1035,6 @@ def _chunk_oracle() -> str:
            CAST(len(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIDTH}]) AS BIGINT) AS n_tokens,
            array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WIDTH}], ' ') AS chunk_text
     FROM idx
-    WHERE chunk_id = 0 OR chunk_id * {_CHUNK_STRIDE} < len(toks)
     """
 
 
@@ -1058,7 +1065,9 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ["doc_id", "toks"], F.col("ids"), "chunk_id")
     start = F.col("chunk_id") * _CHUNK_STRIDE
     chunk = F.slice(F.col("toks"), start + 1, _CHUNK_WIDTH)
-    return ex.filter((F.col("chunk_id") == 0) | (start < F.size("toks"))).select(
+    # No boundary filter needed: ids run 0..floor((n-1)/stride), so the
+    # max start is <= n-1 < n by construction (same bound in the oracle).
+    return ex.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         start.cast("bigint").alias("start_tok"),

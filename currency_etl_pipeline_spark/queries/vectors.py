@@ -453,33 +453,41 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact stage reads full vectors for 30 rows/query, not 500M. The
     quantized score orders by round(qcos, 6) with a vec_id tie-break
     so candidate sets are engine- and partition-count-independent;
-    recall vs the exact baseline is pinned in tests/test_stats.py.
+    recall vs the exact baseline is pinned in tests/test_scale_plans.py.
     """
     from currency_etl_pipeline_spark.operators.topk import top_k_per_group
 
     v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
-    qz = v.select("vec_id", "label", F.col("v").alias("dv"), quantize_int8(F.col("v")).alias("qv"))
+    qz = v.select("vec_id", "label", quantize_int8(F.col("v")).alias("qv"))
     q = F.broadcast(
-        qz.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        v.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
             F.col("vec_id").alias("query_id"),
-            F.col("qv").alias("qqv"),
-            F.col("dv").alias("qdv"),
+            quantize_int8(F.col("v")).alias("qqv"),
+            F.col("v").alias("qdv"),
         )
     )
+    # The full-corpus pass and the top-30 window move ONLY
+    # (query_id, vec_id, label, qcos_sim) — never float vectors; the
+    # floats rejoin below for the 30 survivors/query (and the probe
+    # floats ride the same broadcast q).
     scored = (
-        qz.crossJoin(q)
+        qz.crossJoin(q.select("query_id", "qqv"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "vec_id", "label", "dv", "qdv",
+            "query_id", "vec_id", "label",
             F.round(cosine(F.col("qv"), F.col("qqv")), 6).alias("qcos_sim"),
         )
     )
     cand = top_k_per_group(
         scored, ["query_id"], [F.col("qcos_sim").desc(), F.col("vec_id").asc()], k=30, descending=False
     )
-    reranked = cand.select(
-        "query_id", "vec_id", "label", "qcos_sim",
-        F.round(cosine(F.col("dv"), F.col("qdv")), 6).alias("cos_sim"),
+    reranked = (
+        cand.join(v.select("vec_id", F.col("v").alias("dv")), "vec_id")
+        .join(q.select("query_id", "qdv"), "query_id")
+        .select(
+            "query_id", "vec_id", "label", "qcos_sim",
+            F.round(cosine(F.col("dv"), F.col("qdv")), 6).alias("cos_sim"),
+        )
     )
     return top_k_per_group(
         reranked, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=10, descending=False

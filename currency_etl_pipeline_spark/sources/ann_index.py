@@ -169,7 +169,13 @@ def search_ivf_sq8_index(
     the result is engine- and layout-independent."""
     from currency_etl_pipeline_spark.queries.vectors import quantize_int8
 
-    v = _vecs(spark, sf_dir)
+    # Zero-norm filter on the query side too (the build already excludes
+    # them from the index): quantize_int8 on a zero vector yields inf
+    # scale -> NaN codes -> NaN scores that sort FIRST under desc and
+    # would emit k garbage rows. Filtered, such a query returns no rows
+    # — the same contract as ann_int8_rerank_topk, keeping the pinned
+    # bit-equality honest on any corpus.
+    v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
     cents = _centroids(spark, sf_dir, centroid_ids)
     queries = v.filter(F.col("vec_id").isin(*query_ids))
     probes = (

@@ -73,6 +73,11 @@ class CurrencyRatesReader(DataSourceReader):
         except (OSError, ValueError) as e:
             yield (None, None, None, None, None, fname, f"unreadable payload: {e}")
             return
+        if not isinstance(payload, dict) or not isinstance(payload.get("quotes", {}), dict):
+            # Valid JSON that is not an object (or quotes not a map) must
+            # quarantine too — .get()/.items() on it would kill the scan.
+            yield (None, None, None, None, None, fname, "malformed payload: not an object")
+            return
         if not payload.get("success", False):
             err = str(payload.get("error", "success=false"))
             yield (None, None, None, None, None, fname, f"API error: {err}")

@@ -142,6 +142,13 @@ def build_training_corpus(
     if passage_dedup:
         from currency_etl_pipeline_spark.queries.llm_prep import passage_rewrite
 
+        # Deliberately CORPUS-GLOBAL, unlike the doc-level dedup above
+        # which partitions by (lang, source): a duplicated passage is
+        # boilerplate (headers, licenses, templates) whose repetition is
+        # noise in ANY stratum, so the keep-first rule spans strata —
+        # the standard boilerplate-removal semantic. Doc-level dedup
+        # stays stratified because there a full doc IS the stratum's
+        # representation and dropping the copy would skew domain mixes.
         corpus = (
             passage_rewrite(corpus, keep_cols=("lang", "source"))
             .filter(F.col("n_kept") > 0)
@@ -156,6 +163,12 @@ def build_training_corpus(
     if perplexity_nll_max is not None:
         from currency_etl_pipeline_spark.queries.llm_prep import unigram_nll
 
+        # The scorer and the join's left side both read the cleaned
+        # corpus; column pruning specializes the two subtrees (the LM
+        # needs only doc_id/text) so no exchange is shared — pin the
+        # lineage once instead of re-running gate + redaction + dedup
+        # (+ passage rewrite) on both branches (FIXTURES.md rule 16).
+        corpus = corpus.localCheckpoint()
         keep = unigram_nll(corpus).filter(
             F.col("nll_exact") <= F.lit(float(perplexity_nll_max))
         )

@@ -243,6 +243,16 @@ class Warehouse:
         return os.path.join(self.historical_path, "_schema_registry.json")
 
     def _register_schema(self, schema) -> None:
+        """Merge ``schema`` into the registry sidecar BEFORE the append
+        writes rows, so a type conflict rejects the batch with zero
+        rows landed. The inverse failure (registry written, append
+        dies) leaves a PHANTOM column — advertised but present in no
+        file — which reads back all-NULL: harmless, and healed by the
+        next successful append carrying it. Like SnapshotStore's
+        pointer, the sidecar assumes a single writer per table path
+        (concurrent appends adding different columns could lose one
+        merge); multi-writer coordination is what the Delta/Iceberg
+        transaction log buys when ``merge_into_available`` flips."""
         import json
 
         from pyspark.sql import types as T

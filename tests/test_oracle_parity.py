@@ -455,3 +455,35 @@ def test_passage_dedup_rewrite_is_idempotent(spark, tmp_path, sf_dir):
     assert len(second) == len(rewritten)
     offenders = [r for r in second if r["n_kept"] != r["n_passages"]]
     assert not offenders, f"second pass still drops passages: {offenders[:3]}"
+
+
+def test_passage_dedup_degenerate_docs_match_oracle(spark, tmp_path):
+    """NULL, empty, and whitespace-only docs have zero passages; both
+    engines must still emit their (doc_id, 0, 0, '') rows (Spark's left
+    join vs the oracle's LEFT JOIN from documents) instead of dropping
+    them from one side only — the fixture never exercises this."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {0: None, 1: "", 2: "   ", 3: "alpha beta gamma", 4: "alpha beta gamma"}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t or "") for t in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    spec = SPECS["passage_dedup_rewrite"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == set(texts), "degenerate docs must not drop out"
+    for d in (0, 1, 2):
+        assert (rows[d]["n_passages"], rows[d]["n_kept"], rows[d]["clean_text"]) == (0, 0, "")
+    assert rows[3]["n_kept"] == 1 and rows[4]["n_kept"] == 0  # dup passage dropped
