@@ -130,3 +130,53 @@ def prepare_for_load(clean: DataFrame, retrieved_at: str) -> DataFrame:
         )
         .na.drop()
     )
+
+
+def derive_cross_rates(snapshot: DataFrame, drop_inverse_dups: bool = True) -> DataFrame:
+    """Cross-rate triangulation: from a snapshot of base→X rates (all
+    sharing one base currency, the shape the API returns — fetch.py's
+    `source=<base>` parameter), derive every X→Y cross rate as
+    rate(base→Y) / rate(base→X). The reference's dashboard can only
+    show pairs the API quoted directly (app.py's pair dropdown); this
+    closes the classic gap — EUR→JPY from a GBP-sourced snapshot.
+
+    Semantics:
+    - one row per ordered (X, Y) pair, X != Y, both from the snapshot's
+      target set; the shared base never appears as a target (base→X is
+      already a direct rate, and base→base is 1 by definition);
+    - the derived timestamp is the OLDER of the two legs (a cross rate
+      is only as fresh as its stalest input);
+    - with ``drop_inverse_dups`` the (X, Y) / (Y, X) twin carrying the
+      lexicographically larger pair is kept too — both directions are
+      emitted because consumers look up pairs directionally; set False
+      has no effect (kept for API clarity).
+
+    Plan: a self-join of the snapshot on its base key — the snapshot is
+    one row per target (bounded by the currency universe, ~200 rows at
+    any scale), so this is broadcast-size on both sides and the
+    quadratic blowup is ~40k rows, a constant. Per-row double division
+    only; no shuffle beyond the tiny join.
+    """
+    a = snapshot.select(
+        F.col("base_currency").alias("via"),
+        F.col("target_currency").alias("from_currency"),
+        F.col("rate").alias("rate_from"),
+        F.col("timestamp").alias("ts_from"),
+    )
+    b = snapshot.select(
+        F.col("base_currency").alias("via"),
+        F.col("target_currency").alias("to_currency"),
+        F.col("rate").alias("rate_to"),
+        F.col("timestamp").alias("ts_to"),
+    )
+    return (
+        a.join(b, "via")
+        .filter(F.col("from_currency") != F.col("to_currency"))
+        .select(
+            "from_currency",
+            "to_currency",
+            "via",
+            (F.col("rate_to") / F.col("rate_from")).alias("cross_rate"),
+            F.least("ts_from", "ts_to").alias("timestamp"),
+        )
+    )

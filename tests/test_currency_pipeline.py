@@ -582,3 +582,26 @@ def test_compaction_preserves_evolved_columns(spark, tmp_path):
     remaining = wh.historical()
     assert "source_feed" in remaining.columns
     assert remaining.filter(F.col("source_feed") == "primary").count() > 0
+
+
+def test_cross_rate_triangulation(spark):
+    """Cross rates derived through the snapshot's base: every ordered
+    target pair appears once, the arithmetic inverts exactly
+    (X→Y == 1/(Y→X)), triangulation closes (X→Y * Y→Z == X→Z up to
+    float), and the derived timestamp is the staler leg."""
+    from currency_etl_pipeline_spark.sources.rates_pipeline import derive_cross_rates
+
+    snap = _batch(spark, T0)  # GBP → USD/EGP/EUR/JPY
+    cross = derive_cross_rates(snap)
+    rows = {(r["from_currency"], r["to_currency"]): r for r in cross.collect()}
+
+    targets = {"USD", "EGP", "EUR", "JPY"}
+    assert set(rows) == {(x, y) for x in targets for y in targets if x != y}
+    assert all(r["via"] == "GBP" for r in rows.values())
+
+    usd_eur = rows[("USD", "EUR")]["cross_rate"]
+    assert abs(usd_eur - 1.1702 / 1.2645) < 1e-12
+    assert abs(rows[("EUR", "USD")]["cross_rate"] * usd_eur - 1.0) < 1e-12
+    chained = rows[("USD", "EGP")]["cross_rate"] * rows[("EGP", "JPY")]["cross_rate"]
+    assert abs(chained - rows[("USD", "JPY")]["cross_rate"]) < 1e-9
+    assert rows[("USD", "EUR")]["timestamp"].isoformat() == "2024-03-01T10:00:00"
