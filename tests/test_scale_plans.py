@@ -897,3 +897,44 @@ def test_ivf_sq8_index_full_probe_equals_int8_rerank_query(spark, sf_dir, tmp_pa
     rows = pruned.collect()
     assert len(rows) == 10 * len(_IVF_QUERY_IDS)
     assert all(-1.000001 <= r["qcos_sim"] <= 1.000001 for r in rows)
+
+
+def test_quantize_int8_code_semantics(spark):
+    """The quantizer's codes must be what int8 means — integers in
+    [-127, 127], the max-|x| element mapping to ±127, sign preserved,
+    and quantized cosine within 2% of exact — checked directly, because
+    the oracle twin mirrors the same formula and would co-sign a
+    systematically wrong one."""
+    import math
+
+    from currency_etl_pipeline_spark.queries.vectors import cosine, quantize_int8
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.125]),
+        (1, [-2.0, 2.0, 0.0, 1.0]),
+        (2, [0.003, -0.001, 0.002, 0.0005]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, v array<double>").select(
+        "vec_id", "v", quantize_int8(F.col("v")).alias("q")
+    )
+    rows = {r["vec_id"]: r for r in df.collect()}
+    for vid, v in vecs:
+        q = rows[vid]["q"]
+        assert all(c == int(c) and -127 <= c <= 127 for c in q), q
+        mx_i = max(range(len(v)), key=lambda i: abs(v[i]))
+        assert abs(q[mx_i]) == 127, f"max-|x| element must hit ±127: {q}"
+        assert all(
+            (c == 0) or (c > 0) == (x > 0) for c, x in zip(q, v)
+        ), f"sign flipped: {v} -> {q}"
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    pairs = df.alias("a").crossJoin(df.alias("b")).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    got = pairs.select(
+        "a.vec_id", "b.vec_id", cosine(F.col("a.q"), F.col("b.q")).alias("qcos")
+    ).collect()
+    for r in got:
+        exact = cos(dict(vecs)[r[0]], dict(vecs)[r[1]])
+        assert abs(r["qcos"] - exact) < 0.02, (r[0], r[1], r["qcos"], exact)
