@@ -39,6 +39,15 @@ _TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
 # 1e5 offset rows — trivially broadcastable).
 PACK_BUDGET = 512
 PACK_BLOCK = 64
+# Hard cap on the per-stratum block-offset table the packer broadcasts
+# back. The offsets table has one row per (stratum, block); with the
+# default 2^17 cap the broadcast is ≤ ~131k narrow rows per stratum —
+# a few MB — at ANY corpus size, because packed_docs RAISES (inside
+# the plan, no extra job) when a stratum's block count exceeds the
+# cap instead of silently forcing a corpus-proportional broadcast.
+# At 100 TB the caller widens `block` (1e10 docs / 1e5-doc blocks →
+# 1e5 offsets rows); the error message says exactly that.
+PACK_MAX_BLOCKS = 1 << 17
 
 
 def packed_docs(
@@ -46,6 +55,7 @@ def packed_docs(
     budget: int = PACK_BUDGET,
     block: int = PACK_BLOCK,
     strata: tuple[str, ...] = ("lang",),
+    max_blocks: int = PACK_MAX_BLOCKS,
 ) -> DataFrame:
     """Per-document shard assignment via the two-level distributed
     prefix sum (see sequence_packing's docstring for the scale
@@ -95,13 +105,33 @@ def packed_docs(
         .orderBy("block")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Bounded-blocks guard: the offsets broadcast is driver/executor-
+    # safe ONLY while the per-stratum block count stays under
+    # max_blocks. The count rides the same per-stratum window pass as
+    # the offset cumsum (same partitioning — no extra exchange, no
+    # extra job) and is folded into the offset expression itself so
+    # column pruning cannot drop it: an over-cap stratum raises at
+    # execution time instead of silently broadcasting a corpus-
+    # proportional table.
+    n_blocks = F.count(F.lit(1)).over(Window.partitionBy(*strata))
+    cum_offset = F.coalesce(F.sum("block_sum").over(w_block), F.lit(0))
     offsets = (
         local.groupBy(*strata, "block")
         .agg(F.max(F.col("local_before") + F.col("n_tokens")).alias("block_sum"))
         .select(
             *strata,
             "block",
-            F.coalesce(F.sum("block_sum").over(w_block), F.lit(0)).alias("block_offset"),
+            F.when(n_blocks <= max_blocks, cum_offset)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "packed_docs: a stratum's block-offset table exceeds "
+                        f"max_blocks={max_blocks}; widen `block` (docs per "
+                        "block) to keep the broadcast bounded at this corpus size"
+                    )
+                ).cast("bigint")
+            )
+            .alias("block_offset"),
         )
     )
     return (
@@ -280,12 +310,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each tf row is one distinct (doc, term), so df = row count per
     term), not from a second explode of the corpus; the df branch and
     the join branch share tf's (doc_id, term) exchange
-    (ReusedExchange, plan-test pinned). df (|vocabulary| rows) and the
-    1-row corpus count — a doc_id-only scan, no text IO — broadcast
-    back onto tf. The rank window partitions by doc_id — millions of
-    independent small partitions, embarrassingly parallel. Per-row
-    double math (ln, ×) is IEEE-deterministic in both engines; the
-    6dp round happens after ranking, at the edge.
+    (ReusedExchange, plan-test pinned). The df side carries NO
+    broadcast hint: its cardinality is the corpus VOCABULARY, which
+    grows with the corpus (Heaps' law — 10^8–10^9 distinct tokens at
+    100 TB of web text), so a forced broadcast is a scale-killer; AQE
+    still picks a broadcast join at any scale where df actually fits
+    under autoBroadcastJoinThreshold, and falls back to a sort-merge
+    join on `term` — already tf's partitioning-compatible key — when
+    it doesn't. Only the 1-row corpus count (a doc_id-only scan, no
+    text IO) keeps an explicit hint. The rank window partitions by
+    doc_id — millions of independent small partitions, embarrassingly
+    parallel. Per-row double math (ln, ×) is IEEE-deterministic in
+    both engines; the 6dp round happens after ranking, at the edge.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     ex = exploded(docs, ["doc_id"], tokens(), "term")
@@ -295,7 +331,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -909,6 +945,17 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cap (top-100k + OOV) is what keeps the LM broadcast-size.
 _LM_VOCAB = 20
 
+# Fixed-point resolution for the per-term NLL contributions. A doc's
+# quantized log-prob sum must fit BIGINT: |sum(fp)| ≤ R·|ln p_min|·
+# n_doc_tokens with |ln p_min| = ln(corpus tokens) ≈ 35 at 100 TB, so
+# R = 1e9 bounds the safe single-document size at ~2.6e8 tokens
+# (> 1 GB of text — no real document; anything larger is degenerate
+# and rejected upstream by the length gates). The previous 1e12
+# overflowed at ~2.6e5 tokens/doc — a perfectly real document size.
+# Both engines quantize with the SAME R, so parity is exact at any R;
+# the residual quantization error on mean NLL is < 1e-9 nats.
+_NLL_FP = 1_000_000_000
+
 
 def _perplexity_oracle() -> str:
     return f"""
@@ -926,7 +973,7 @@ def _perplexity_oracle() -> str:
         SELECT (SELECT total FROM tot) - CAST(sum(cnt) AS BIGINT) AS oov_cnt FROM vocab
     ), contrib AS (
         SELECT tf.doc_id, tf.tf,
-               CAST(floor(tf.tf * ln(coalesce(v.cnt, o.oov_cnt) * 1.0 / t.total) * 1e12)
+               CAST(floor(tf.tf * ln(coalesce(v.cnt, o.oov_cnt) * 1.0 / t.total) * {_NLL_FP})
                     AS BIGINT) AS fp,
                CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END AS oov_toks
         FROM tf LEFT JOIN vocab v USING (term)
@@ -935,8 +982,8 @@ def _perplexity_oracle() -> str:
     SELECT doc_id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
            CAST(sum(oov_toks) AS BIGINT) AS n_oov,
-           round(-(sum(fp) / 1e12) / sum(tf), 6) AS nll,
-           (-(sum(fp) / 1e12) / sum(tf)) <= 2.66 AS keep
+           round(-(sum(fp) / {_NLL_FP}.0) / sum(tf), 6) AS nll,
+           (-(sum(fp) / {_NLL_FP}.0) / sum(tf)) <= 2.66 AS keep
     FROM contrib GROUP BY doc_id
     """
 
@@ -965,11 +1012,11 @@ def unigram_nll(docs: DataFrame, vocab_cap: int = _LM_VOCAB) -> DataFrame:
         .select(
             "doc_id",
             "tf",
-            F.floor(F.col("tf") * F.log(p) * F.lit(1e12)).cast("bigint").alias("fp"),
+            F.floor(F.col("tf") * F.log(p) * F.lit(float(_NLL_FP))).cast("bigint").alias("fp"),
             F.when(F.col("cnt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov_toks"),
         )
     )
-    nll = -(F.sum("fp") / F.lit(1e12)) / F.sum("tf")
+    nll = -(F.sum("fp") / F.lit(float(_NLL_FP))) / F.sum("tf")
     return contrib.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.sum("oov_toks").cast("bigint").alias("n_oov"),
@@ -995,7 +1042,8 @@ def perplexity_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort) and broadcasts V+2 narrow rows; scoring is one
     broadcast left join on the (doc_id, term) tf table. Per-doc
     aggregation of log-probs must be partition-order-independent, so
-    each contribution is quantized to 1e-12 fixed-point BIGINT
+    each contribution is quantized to 1e-9 fixed-point BIGINT (see
+    _NLL_FP's overflow bound: safe to ~2.6e8 tokens per document)
     (floor-toward--inf in both engines) and summed exactly — the same
     discipline as the DECIMAL sums (functions/scalars.dec), chosen here
     because ln outputs are arbitrary doubles, and floor-quantization

@@ -14,6 +14,11 @@ zone); this source turns that directory into a parallel scan:
 Each payload file is one InputPartition, so a 10k-file backfill reads
 on 10k-way parallelism with no driver loop, and the executors — not
 the driver — parse JSON and explode quotes to (pair, rate) rows.
+The raw zone must be an executor-reachable POSIX path (shared mount):
+IO goes through os.listdir/open, NOT the Hadoop filesystem layer, so
+object-store URIs are rejected up front and a missing/empty path
+raises in partitions() rather than producing an empty "successful"
+scan.
 Malformed or failed payloads (success=false) yield an error row
 (err column) instead of killing the scan — a quarantine-friendly
 contract matching sources/lake's JSONL quarantine channel.
@@ -52,14 +57,35 @@ class CurrencyRatesReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
+        # LOCAL-FILESYSTEM-ONLY: discovery and IO use os.listdir/open,
+        # so the path must be a POSIX path reachable from every
+        # executor (shared mount). Object-store URIs (gs://, s3a://)
+        # are NOT dereferenced here — they'd be treated as a single
+        # unreadable "file" — so reject anything scheme-prefixed and
+        # fail loudly on a missing/empty path instead of returning a
+        # successful-looking scan that read nothing.
+        if "://" in self.path:
+            raise ValueError(
+                "currency_rates source reads executor-local POSIX paths only; "
+                f"object-store URI {self.path!r} is not supported — land the "
+                "raw zone on a shared filesystem or ingest via spark.read.json"
+            )
         if os.path.isdir(self.path):
             files = sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
                 if f.endswith(".json")
             )
-        else:
+            if not files:
+                raise FileNotFoundError(
+                    f"currency_rates source: no *.json payload files under {self.path!r}"
+                )
+        elif os.path.isfile(self.path):
             files = [self.path]
+        else:
+            raise FileNotFoundError(
+                f"currency_rates source: path {self.path!r} does not exist"
+            )
         # One partition per payload file: a backfill directory scans
         # with file-count parallelism; Spark schedules them like any
         # other splits.
@@ -89,6 +115,12 @@ class CurrencyRatesReader(DataSourceReader):
         fetched_at = payload.get("fetched_at")
         fetched_at = None if fetched_at is None else str(fetched_at)
         quotes = payload.get("quotes") or {}
+        if not quotes:
+            # A success=true payload with no quotes is as degenerate as
+            # a failed one — quarantine it rather than vanishing the
+            # poll silently (zero rows would look like a clean scan).
+            yield (None, None, None, None, None, fname, "malformed payload: no quotes")
+            return
         for pair, rate in sorted(quotes.items()):
             pair = str(pair)
             target = pair[len(base):] if pair.startswith(base) else None

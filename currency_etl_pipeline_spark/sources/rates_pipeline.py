@@ -132,7 +132,7 @@ def prepare_for_load(clean: DataFrame, retrieved_at: str) -> DataFrame:
     )
 
 
-def derive_cross_rates(snapshot: DataFrame, drop_inverse_dups: bool = True) -> DataFrame:
+def derive_cross_rates(snapshot: DataFrame, dedup_inverse: bool = False) -> DataFrame:
     """Cross-rate triangulation: from a snapshot of base→X rates (all
     sharing one base currency, the shape the API returns — fetch.py's
     `source=<base>` parameter), derive every X→Y cross rate as
@@ -146,10 +146,11 @@ def derive_cross_rates(snapshot: DataFrame, drop_inverse_dups: bool = True) -> D
       already a direct rate, and base→base is 1 by definition);
     - the derived timestamp is the OLDER of the two legs (a cross rate
       is only as fresh as its stalest input);
-    - with ``drop_inverse_dups`` the (X, Y) / (Y, X) twin carrying the
-      lexicographically larger pair is kept too — both directions are
-      emitted because consumers look up pairs directionally; set False
-      has no effect (kept for API clarity).
+    - both directions are emitted by default because consumers look up
+      pairs directionally; ``dedup_inverse=True`` keeps only the
+      lexicographically smaller direction (from < to) — half the rows
+      when a consumer treats X→Y and Y→X as one quote (the inverse is
+      1/cross_rate, identity pytest-pinned).
 
     Plan: a self-join of the snapshot on its base key — the snapshot is
     one row per target (bounded by the currency universe, ~200 rows at
@@ -169,9 +170,14 @@ def derive_cross_rates(snapshot: DataFrame, drop_inverse_dups: bool = True) -> D
         F.col("rate").alias("rate_to"),
         F.col("timestamp").alias("ts_to"),
     )
+    pair_pred = (
+        F.col("from_currency") < F.col("to_currency")
+        if dedup_inverse
+        else F.col("from_currency") != F.col("to_currency")
+    )
     return (
         a.join(b, "via")
-        .filter(F.col("from_currency") != F.col("to_currency"))
+        .filter(pair_pred)
         .select(
             "from_currency",
             "to_currency",

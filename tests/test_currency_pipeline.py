@@ -605,3 +605,53 @@ def test_cross_rate_triangulation(spark):
     chained = rows[("USD", "EGP")]["cross_rate"] * rows[("EGP", "JPY")]["cross_rate"]
     assert abs(chained - rows[("USD", "JPY")]["cross_rate"]) < 1e-9
     assert rows[("USD", "EUR")]["timestamp"].isoformat() == "2024-03-01T10:00:00"
+
+
+def test_cross_rate_dedup_inverse_keeps_one_direction(spark):
+    """dedup_inverse=True keeps only the lexicographically smaller
+    direction — half the pairs, each still the correct quotient."""
+    from currency_etl_pipeline_spark.sources.rates_pipeline import derive_cross_rates
+
+    snap = _batch(spark, T0)
+    both = derive_cross_rates(snap)
+    one = derive_cross_rates(snap, dedup_inverse=True)
+    rows = {(r["from_currency"], r["to_currency"]): r for r in one.collect()}
+    assert one.count() * 2 == both.count()
+    assert all(f < t for f, t in rows)
+    assert abs(rows[("EUR", "USD")]["cross_rate"] - 1.2645 / 1.1702) < 1e-12
+
+
+def test_currency_rates_datasource_fails_loudly_on_bad_path(spark, tmp_path):
+    """A missing path, an empty raw zone, or an object-store URI must
+    fail the scan up front — never return a successful-looking empty
+    result (ADVICE r5: a mistyped gs:// path used to collapse a whole
+    backfill into one quarantine row)."""
+    import json
+
+    from currency_etl_pipeline_spark.sources.rates_datasource import (
+        CurrencyRatesDataSource,
+    )
+
+    spark.dataSource.register(CurrencyRatesDataSource)
+
+    def scan(path):
+        return spark.read.format("currency_rates").option("path", path).load().collect()
+
+    with pytest.raises(Exception, match="does not exist"):
+        scan(str(tmp_path / "nowhere"))
+    empty = tmp_path / "empty_zone"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no .*json payload files"):
+        scan(str(empty))
+    with pytest.raises(Exception, match="POSIX paths only"):
+        scan("gs://some-bucket/raw_zone")
+
+    # A success=true payload with an empty quotes map quarantines as an
+    # err row instead of vanishing silently.
+    raw = tmp_path / "raw_zone"
+    raw.mkdir()
+    (raw / "poll_1.json").write_text(json.dumps({"success": True, "source": "GBP", "quotes": {}}))
+    (raw / "poll_2.json").write_text(json.dumps({"success": True, "source": "GBP"}))
+    rows = spark.read.format("currency_rates").option("path", str(raw)).load().collect()
+    assert len(rows) == 2
+    assert all("no quotes" in r["err"] for r in rows)

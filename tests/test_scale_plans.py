@@ -436,14 +436,25 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
-    """tf-idf must broadcast the |vocabulary|-sized df table and the
-    1-row corpus count onto the (doc, term) tf rows — shuffling tf on
-    term to meet df would re-shuffle the corpus-sized side on a
-    low-cardinality key (skew by construction: every doc shares the
-    vocabulary)."""
-    plan = plan_of(SPECS["tfidf_top_terms"].spark(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, "df side should broadcast"
+def test_tfidf_leaves_df_join_to_aqe(spark, sf_dir):
+    """tf-idf's df table is the corpus VOCABULARY — unbounded at scale
+    (Heaps' law) — so it must carry NO explicit broadcast hint: a hint
+    bypasses autoBroadcastJoinThreshold and forces a multi-GB
+    broadcast at 100 TB. AQE still broadcasts the 2k-term table at
+    test scale (zero local cost) and falls back to sort-merge when df
+    outgrows the threshold. The only hint allowed is the 1-row corpus
+    count."""
+    df = SPECS["tfidf_top_terms"].spark(spark, sf_dir)
+    hints = []
+    _collect_broadcast_hints(df._jdf.queryExecution().analyzed(), hints)
+    for h in hints:
+        bad: set = set()
+        _unbounded_big_tables(h, bad)
+        assert not bad, f"broadcast hint covers unbounded side(s): {sorted(bad)}"
+    plan = plan_of(df)
+    # AQE still picks broadcast at fixture scale — the join strategy is
+    # now threshold-governed, not forced.
+    assert "BroadcastHashJoin" in plan, "df should still auto-broadcast at test scale"
     assert "CartesianProduct" not in plan
     # the only nested loop allowed is the 1-row count crossJoin
     assert plan.count("BroadcastNestedLoopJoin") <= 2
@@ -548,13 +559,42 @@ def test_q20_correlated_sum_aggregates_once(spark, sf_dir):
 
 _HINT_BOUNDING_NODES = {
     # nodes whose output cardinality does not scale with their input
-    "Aggregate",        # post-aggregation tables (offsets, stats, df, scalars)
+    # REGARDLESS of shape. Aggregate/Deduplicate are NOT here: an
+    # aggregate grouped by an unbounded key (term → vocabulary,
+    # doc_id, …) scales with the corpus (Heaps' law) — the r5 lint's
+    # blanket Aggregate exemption was exactly the hole tfidf's
+    # vocabulary-sized broadcast rode through. They bound only when
+    # their keys are a declared bounded-domain set (checked below).
     "GlobalLimit",
-    "Deduplicate",
     "LocalRelation",    # driver-side constants (trained centroids)
     "OneRowRelation",
     "Range",
 }
+
+# Grouping/dedup key columns whose value domain is bounded at ANY
+# scale factor: dimension keys (nation/region), closed enums
+# (event_type, lang, source, split, TPC-H flags), IVF cell ids
+# (≤ k centroids), and `block` — bounded by construction because
+# packed_docs raises at runtime when the block-offset table would
+# exceed its max_blocks cap (the guard is itself pytest-pinned), so
+# a broadcast over a block-grouped aggregate can never exceed
+# max_blocks rows.
+_HINT_BOUNDED_KEY_COLUMNS = {
+    "n_nationkey", "n_name", "n_regionkey",
+    "r_regionkey", "r_name",
+    "event_type", "lang", "source", "split",
+    "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+    "cid", "pcid", "block",
+}
+
+_KEY_ATTR = re.compile(r"(\w+)#\d+")
+
+
+def _keys_bounded(keys_str: str) -> bool:
+    """True iff every attribute referenced by the grouping/dedup keys
+    is in the declared bounded-domain set. An empty key list (scalar
+    aggregate — 1 output row) is trivially bounded."""
+    return all(n in _HINT_BOUNDED_KEY_COLUMNS for n in _KEY_ATTR.findall(keys_str))
 
 # fixed-ID slices of the embeddings table (probes, hyperplanes,
 # centroid seeds, the declared 300-vector all-pairs scaffolding): a
@@ -587,6 +627,10 @@ def _collect_broadcast_hints(node, acc):
 def _unbounded_big_tables(node, acc):
     cls = node.getClass().getSimpleName()
     if cls in _HINT_BOUNDING_NODES:
+        return
+    if cls == "Aggregate" and _keys_bounded(node.groupingExpressions().toString()):
+        return  # scalar aggregate or bounded-domain grouping keys
+    if cls == "Deduplicate" and _keys_bounded(node.keys().toString()):
         return
     if cls == "Filter" and _HINT_BOUNDED_FILTER.search(node.condition().toString()):
         return
@@ -633,6 +677,38 @@ def test_no_broadcast_hint_on_sf_proportional_side(spark, sf_dir):
         "broadcast at 100 TB, bypassing autoBroadcastJoinThreshold):\n  "
         + "\n  ".join(violations)
     )
+
+
+def test_hint_lint_rejects_unbounded_key_aggregate(spark, sf_dir):
+    """Regression lock for the lint ITSELF: r5's blanket Aggregate
+    exemption let tfidf's vocabulary-sized df broadcast through. The
+    tightened lint must flag a broadcast hint over an aggregate grouped
+    by an unbounded key (term), while still admitting a scalar
+    aggregate and a bounded-domain grouping (lang)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from currency_etl_pipeline_spark.queries.text import exploded, tokens
+
+    ex = exploded(docs, ["doc_id"], tokens(), "term")
+    vocab_sized = ex.groupBy("term").count()  # |vocabulary| rows — unbounded
+
+    def flagged(df):
+        hints: list = []
+        _collect_broadcast_hints(df._jdf.queryExecution().analyzed(), hints)
+        assert hints, "test setup: no hint found"
+        bad: set = set()
+        for h in hints:
+            _unbounded_big_tables(h, bad)
+        return bad
+
+    # The exact pre-fix tfidf shape: hint over a term-grouped aggregate.
+    assert flagged(ex.join(F.broadcast(vocab_sized), "term")) == {"documents"}
+    # Scalar aggregate stays admissible.
+    assert flagged(ex.crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))) == set()
+    # Bounded-domain grouping stays admissible.
+    langs = load_table(spark, sf_dir, "documents").groupBy("lang").count()
+    assert flagged(
+        load_table(spark, sf_dir, "documents").join(F.broadcast(langs), "lang")
+    ) == set()
 
 
 # Queries ALLOWED to plan a CartesianProduct — each a declared

@@ -272,12 +272,26 @@ def test_pipeline_optional_stages_compose(spark, sf_dir, tmp_path):
     )
     assert dup_passages == 0, f"{dup_passages} duplicated passages survived"
 
-    # Every landed doc satisfies the NLL cut when the LM is refit on
-    # the landed corpus's own upstream (monotone check: scored on the
-    # landed docs, no doc should sit far above the cut).
-    scored = unigram_nll(cleaned.select("doc_id", "text"))
-    worst = scored.agg(F.max("nll_exact")).collect()[0][0]
-    assert worst is not None
+    # Rebuild the gate's own input (same stages, perplexity cut off)
+    # and rescore with the pipeline's own fitted LM: every landed doc
+    # must be at or under the cut, and the gate must have had real
+    # work to do (at least one pre-gate doc above the cut) — deleting
+    # the nll filter from the pipeline fails this.
+    from currency_etl_pipeline_spark.sources.shards import build_training_corpus
+    from currency_etl_pipeline_spark.tables import load_table
+
+    pre_gate = build_training_corpus(
+        load_table(spark, sf_dir, "documents"), passage_dedup=True
+    )
+    scored = unigram_nll(pre_gate.select("doc_id", "text"))
+    landed_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    by_id = {r["doc_id"]: r["nll_exact"] for r in scored.collect()}
+    assert landed_ids <= set(by_id), "landed docs missing from the pre-gate corpus"
+    worst_landed = max(by_id[i] for i in landed_ids)
+    assert worst_landed <= 2.9, f"landed doc above the NLL cut: {worst_landed}"
+    assert any(v > 2.9 for v in by_id.values()), (
+        "perplexity gate was vacuous: no pre-gate doc exceeds the cut"
+    )
 
     # Flags-off path unchanged: same rows as the plain run.
     again = str(tmp_path / "again")
@@ -285,3 +299,19 @@ def test_pipeline_optional_stages_compose(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, read_training_shards(spark, again).collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_packed_docs_raises_when_block_offsets_exceed_cap(spark, sf_dir):
+    """The block-offset broadcast is bounded BY CONSTRUCTION: when a
+    stratum's block count exceeds max_blocks the packer raises inside
+    the plan (no extra job) instead of silently broadcasting a
+    corpus-proportional table — the guard the hint lint's bounded
+    `block` declaration rests on (tests/test_scale_plans.py)."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Fixture corpus has ~500 docs → ~8 blocks/lang at width 64: a cap
+    # of 2 blocks must trip, the default cap must not.
+    with pytest.raises(Exception, match="max_blocks"):
+        packed_docs(docs, max_blocks=2).collect()
+    assert packed_docs(docs).count() > 0
