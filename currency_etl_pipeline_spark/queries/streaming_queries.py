@@ -480,3 +480,228 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deduped = gated(side().unionByName(side())).dropDuplicates(["doc_id"])
     return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+_RAW_ZONE_ORACLE = """
+    SELECT * FROM (VALUES
+      ('GBP', 'GBPEUR', '1.1702', 'EUR', '2024-03-01 10:00:00', 'poll_0001.json', NULL),
+      ('GBP', 'GBPNUL', NULL,     'NUL', '2024-03-01 10:00:00', 'poll_0001.json', NULL),
+      ('GBP', 'GBPUSD', '1.2645', 'USD', '2024-03-01 10:00:00', 'poll_0001.json', NULL),
+      ('USD', 'EURUSD', '1.09',   NULL,  '2024-03-01 11:00:00', 'poll_0002.json', NULL),
+      ('USD', 'USDEGP', '48.1',   'EGP', '2024-03-01 11:00:00', 'poll_0002.json', NULL),
+      (NULL, NULL, NULL, NULL, NULL, 'poll_0003.json', 'API error: timeout'),
+      (NULL, NULL, NULL, NULL, NULL, 'poll_0004.json', 'unreadable payload: malformed JSON'),
+      (NULL, NULL, NULL, NULL, NULL, 'poll_0005.json', 'malformed payload: no source'),
+      (NULL, NULL, NULL, NULL, NULL, 'poll_0006.json', 'malformed payload: no quotes')
+    ) AS t(base_currency, pair, rate, target_currency, fetched_at, payload_file, err)
+"""
+
+
+@query("streaming_rates_raw_zone_tail", oracle=_RAW_ZONE_ORACLE)
+def streaming_rates_raw_zone_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-ABLE raw-zone ingest (the reference's 60 s poll loop over
+    timestamp-named landed payload files, app.py:23-25 + fetch.py:74,
+    as a Structured Streaming file source): a deterministic raw zone
+    of six payload files — happy path, numeric/unprefixed quotes, a
+    failed poll, unparseable JSON, a source-less payload, an
+    empty-quotes payload — is landed and TAILED with
+    ``stream_rates_raw_zone`` (sources/rates_datasource.py), which
+    emits the batch ``currency_rates`` contract: exploded quote rows
+    plus one quarantine err row per degenerate payload. The oracle is
+    the literal expected relation, so the driver hash-checks the whole
+    taxonomy end to end; batch-path equivalence over a SHARED zone is
+    additionally pinned in tests/test_streaming.py.
+
+    Plan/scale: stateless map-side codegen (from_json + CASE + one
+    conditional explode) — no watermark, no state store; the file
+    source checkpoints which files were processed, so the tail is
+    exactly-once per payload file and `maxFilesPerTrigger` bounds a
+    deep backlog. Unlike the POSIX-bound batch Python reader, this
+    path rides Hadoop FS — object-store raw zones work unchanged.
+    """
+    import json
+    import tempfile
+
+    from currency_etl_pipeline_spark.sources.rates_datasource import (
+        stream_rates_raw_zone,
+    )
+
+    zone = tempfile.mkdtemp(prefix="rates_raw_zone_")
+    payloads = {
+        "poll_0001.json": {
+            "success": True,
+            "source": "GBP",
+            "fetched_at": "2024-03-01 10:00:00",
+            "quotes": {"GBPUSD": "1.2645", "GBPEUR": "1.1702", "GBPNUL": None},
+        },
+        "poll_0002.json": {
+            "success": True,
+            "source": "USD",
+            "fetched_at": "2024-03-01 11:00:00",
+            # numeric quote (string-coerced) + a pair not prefixed by
+            # the base (target stays NULL, the batch reader's rule)
+            "quotes": {"USDEGP": 48.1, "EURUSD": "1.09"},
+        },
+        "poll_0003.json": {"success": False, "error": "timeout"},
+        "poll_0005.json": {"success": True, "source": "", "quotes": {"X": "1"}},
+        "poll_0006.json": {"success": True, "source": "GBP", "quotes": {}},
+    }
+    import os
+
+    for fname, payload in payloads.items():
+        with open(os.path.join(zone, fname), "w") as fh:
+            json.dump(payload, fh)
+    with open(os.path.join(zone, "poll_0004.json"), "w") as fh:
+        fh.write("{not json")
+
+    return run_stream_to_memory(
+        stream_rates_raw_zone(spark, zone), spark, output_mode="append"
+    )
+
+
+@query(
+    "streaming_interval_join_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p."value" AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+    """,
+)
+def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT-OUTER interval join — the attribution query
+    the inner variant can't answer: every click, WITH its trailing-1h
+    same-user purchases when they exist and a NULL purchase side when
+    none arrived. Unlike the inner join (which emits eagerly on match),
+    the unmatched-left rows can only be emitted once the WATERMARK has
+    passed the click's whole match window — before that a matching
+    purchase could still arrive — so null emission is watermark-driven
+    by construction.
+
+    The fixture stream is finite, and a finite stream's watermark never
+    passes its own tail: the last window of unmatched clicks would stay
+    buffered forever. A production tail has the same property between
+    polls; the standard remedy is exactly what this query does — TAIL a
+    mutable zone (a symlink to the fixture file, then two far-future
+    FLUSH sentinel files with a reserved negative user landed on
+    successive polls). Each new batch applies the previous batch's
+    watermark, so the first sentinel batch releases everything below
+    (real max − delay − interval) and the second releases the rest.
+    Sentinel rows are removed from the RESULT TABLE after the run, not
+    by a filter inside the streaming plan: Catalyst pushes a
+    deterministic `user_id >= 0` below the EventTimeWatermark into the
+    parquet scan, whose row-group stats (sentinel files are all
+    negative ids) then skip the flush files entirely — the sentinels
+    never reach the watermark and nothing flushes. (Found the hard
+    way; the post-hoc batch filter keeps the watermark path intact.)
+
+    Plan/state: both sides shuffle on user_id; watermark (30 min) plus
+    the 1 h interval bound the buffered state to O(rate × window) per
+    side — stream length never accumulates. The oracle is the batch
+    LEFT JOIN over the same predicate; watermark EVICTION (late rows
+    actually dropped) is pinned separately in test_streaming.py.
+    """
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import ts_str
+
+    # Mutable tail zone: symlink the immutable fixture in, land flush
+    # files later. The stream's schema is the RAW file schema (nanos ts
+    # arrives as long — events_stream converts after the scan), so the
+    # sentinel files are written with that same raw schema.
+    zone = tempfile.mkdtemp(prefix="events_tail_zone_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{zone}/events.parquet")
+    probe = events_stream(spark, f"{sf_dir}/events.parquet")  # pins confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import pyspark.sql.types as T
+
+    ts_is_long = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType) for f in raw_schema.fields
+    )
+    del probe
+
+    def land_flush(i: int, ts_iso: str) -> None:
+        import datetime as dt
+
+        epoch_ns = int(
+            dt.datetime.fromisoformat(ts_iso + "+00:00").timestamp() * 1_000_000_000
+        )
+        rows = [
+            (-1 - 2 * i, ts_iso, epoch_ns, -1, "click", 0.0, None),
+            (-2 - 2 * i, ts_iso, epoch_ns, -2, "purchase", 0.0, None),
+        ]
+        flush = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_s string, ts_n bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            *[
+                (
+                    (F.col("ts_n") if ts_is_long else F.to_timestamp("ts_s"))
+                    if f.name == "ts"
+                    else F.col(f.name).cast(f.dataType)
+                ).alias(f.name)
+                for f in raw_schema.fields
+            ]
+        )
+        stage = tempfile.mkdtemp(prefix="events_flush_stage_")
+        flush.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(zone, f"flush_{i}.parquet"))
+
+    stream = events_stream(spark, zone, schema=raw_schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        ts_str("c_ts").alias("click_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+    name = f"loj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: the fixture
+        land_flush(0, "2024-06-01 00:00:00")
+        q.processAllAvailable()  # applies batch-0 watermark, advances it
+        land_flush(1, "2024-06-02 00:00:00")
+        q.processAllAvailable()  # releases every remaining real click
+    finally:
+        q.stop()
+    # Sentinels out HERE, on the batch result (see docstring).
+    return spark.table(name).filter(F.col("user_id") >= 0)

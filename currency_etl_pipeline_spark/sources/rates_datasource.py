@@ -147,3 +147,113 @@ class CurrencyRatesDataSource(DataSource):
 
     def reader(self, schema) -> CurrencyRatesReader:
         return CurrencyRatesReader(self.options)
+
+
+# --- tail-able raw zone: the streaming twin -------------------------------
+#
+# The batch reader above scans a LANDED raw zone; a live deployment
+# tails it — the reference's 60 s Streamlit poll loop (app.py:23-25)
+# over the timestamp-named landed files (fetch.py:64-74) IS a tailed
+# directory. Spark 4's DataSourceStreamReader would make the Python
+# data source itself streamable, but that API needs google.protobuf
+# (absent here — SURVEY §8 S14); the native FILE STREAM source below
+# is the implemented equivalent and the better scale path anyway: it
+# rides Hadoop FS (object stores work, unlike the POSIX-only batch
+# reader), tracks processed files in the checkpoint, and parses JSON
+# with codegen instead of Python workers.
+
+_PAYLOAD_JSON_SCHEMA = (
+    "success boolean, source string, error string, fetched_at string, "
+    "quotes map<string,string>, _corrupt string"
+)
+
+
+def stream_rates_raw_zone(spark, raw_zone: str):
+    """``readStream`` over a raw-zone directory of one-JSON-per-file
+    payloads, emitting the SAME seven-column contract as the batch
+    ``currency_rates`` source (good quote rows + quarantined err rows;
+    batch-equivalence pytest-pinned in tests/test_streaming.py).
+
+    Each payload file arrives as ONE row (`wholetext`), so a file is
+    parsed exactly once no matter how many quotes it carries; the
+    quarantine taxonomy mirrors the batch reader:
+
+    - unparseable JSON            → ``unreadable payload: ...``
+    - success != true             → ``API error: <raw error JSON>``
+    - missing/empty ``source``    → ``malformed payload: no source``
+    - missing/empty ``quotes``    → ``malformed payload: no quotes``
+
+    (For API errors the detail is the raw JSON fragment; the batch
+    reader renders the same object through Python ``str`` — the
+    category prefix is the stable contract, pinned by the tests.)
+
+    Everything is stateless map-side codegen — from_json, one CASE,
+    one conditional explode — so the stream needs no watermark and no
+    state store; at scale the only cost is the file-source's listing
+    of new files per micro-batch (use ``maxFilesPerTrigger`` to bound
+    batch size on a deep backlog).
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .text(raw_zone)
+    )
+    parsed = raw.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("payload_file"),
+        F.from_json(
+            "value",
+            _PAYLOAD_JSON_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    p = F.col("p")
+    err = (
+        F.when(
+            p.isNull() | p.getField("_corrupt").isNotNull(),
+            F.lit("unreadable payload: malformed JSON"),
+        )
+        .when(
+            ~F.coalesce(p.getField("success"), F.lit(False)),
+            F.concat(
+                F.lit("API error: "),
+                F.coalesce(p.getField("error"), F.lit("success=false")),
+            ),
+        )
+        .when(
+            p.getField("source").isNull() | (p.getField("source") == ""),
+            F.lit("malformed payload: no source"),
+        )
+        .when(
+            p.getField("quotes").isNull() | (F.size(p.getField("quotes")) == 0),
+            F.lit("malformed payload: no quotes"),
+        )
+    )
+    null_kv = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("value"),
+        )
+    )
+    staged = parsed.select(
+        "payload_file",
+        err.alias("err"),
+        F.when(err.isNull(), p.getField("source")).alias("base_currency"),
+        F.when(err.isNull(), p.getField("fetched_at")).alias("fetched_at"),
+        F.explode(
+            F.when(err.isNull(), F.map_entries(p.getField("quotes"))).otherwise(null_kv)
+        ).alias("kv"),
+    )
+    return staged.select(
+        "base_currency",
+        F.col("kv.key").alias("pair"),
+        F.col("kv.value").alias("rate"),
+        F.when(
+            F.col("kv.key").startswith(F.col("base_currency")),
+            F.expr("substring(kv.key, char_length(base_currency) + 1)"),
+        ).alias("target_currency"),
+        "fetched_at",
+        "payload_file",
+        "err",
+    )

@@ -532,3 +532,52 @@ def test_stream_lake_feeds_shard_sink(spark, sf_dir, tmp_path):
     # proof on a PII-bearing corpus is
     # tests/test_shards.py::test_pipeline_on_pii_corpus_redacts_and_dedups_correctly)
     assert back.filter(F.col("text").rlike("[0-9]{6,}")).count() == 0
+
+
+def test_raw_zone_tail_matches_batch_datasource(spark, tmp_path):
+    """The streaming raw-zone tail and the batch currency_rates data
+    source must agree over the SAME landed directory: identical good
+    quote rows, identical quarantined-file set with matching error
+    categories (exact error detail differs only for non-string API
+    error payloads, where batch renders Python str and streaming the
+    raw JSON — the category prefix is the contract)."""
+    import json
+
+    from currency_etl_pipeline_spark.sources.rates_datasource import (
+        CurrencyRatesDataSource,
+        stream_rates_raw_zone,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import run_stream_to_memory
+
+    raw = tmp_path / "raw_zone"
+    raw.mkdir()
+    (raw / "a.json").write_text(json.dumps({
+        "success": True, "source": "GBP", "fetched_at": "2024-03-01 10:00:00",
+        "quotes": {"GBPUSD": "1.2645", "GBPEGP": "61.4022", "XAUGBP": "0.0005", "GBPNUL": None},
+    }))
+    (raw / "b.json").write_text(json.dumps({"success": False, "error": {"code": 104}}))
+    (raw / "c.json").write_text("{not json")
+    (raw / "d.json").write_text(json.dumps({"success": True, "source": "GBP", "quotes": {}}))
+    (raw / "e.json").write_text(json.dumps({"success": True, "quotes": {"GBPUSD": "1.2"}}))
+
+    spark.dataSource.register(CurrencyRatesDataSource)
+    batch = spark.read.format("currency_rates").option("path", str(raw)).load()
+    streamed = run_stream_to_memory(
+        stream_rates_raw_zone(spark, str(raw)), spark, output_mode="append"
+    )
+    assert streamed.columns == batch.columns
+
+    def split_rows(df):
+        rows = [tuple(r) for r in df.collect()]
+        good = sorted(r for r in rows if r[-1] is None)
+        quarantined = {r[-2]: r[-1] for r in rows if r[-1] is not None}
+        return good, quarantined
+
+    b_good, b_bad = split_rows(batch)
+    s_good, s_bad = split_rows(streamed)
+    assert s_good == b_good, "good quote rows differ between stream and batch"
+    assert set(s_bad) == set(b_bad) == {"b.json", "c.json", "d.json", "e.json"}
+    for f in s_bad:
+        assert s_bad[f].split(":")[0] == b_bad[f].split(":")[0], (
+            f"{f}: error category diverged: {s_bad[f]!r} vs {b_bad[f]!r}"
+        )
