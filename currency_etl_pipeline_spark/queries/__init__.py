@@ -20,3 +20,4 @@ from currency_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import tpch_partsupp  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import grouped_map  # noqa: F401, E402
 from currency_etl_pipeline_spark.queries import llm_prep  # noqa: F401, E402
+from currency_etl_pipeline_spark.queries import incremental_queries  # noqa: F401, E402
