@@ -87,6 +87,38 @@ HEADLINE = [
     "perplexity_quality_score",
     "doc_chunk_windows",
     "join_key_skew_profile",
+    # round 6 additions (appended; prior rows byte-identical). This block
+    # finally times the PYTHON surface — Arrow round-trip cost is the
+    # engine's most scale-sensitive overhead and was untracked — plus
+    # the remaining unbenched TPC-H shapes and round-6 operators:
+    "user_gap_stats",               # grouped-map applyInPandas
+    "scalar_pandas_udf_tokens",     # scalar pandas_udf
+    "udtf_user_activity_profile",   # Python UDTF, TABLE(...) PARTITION BY
+    "pandas_udaf_median_value",     # GROUPED_AGG pandas UDAF
+    "media_image_stats",            # mapInPandas over binary blobs
+    "cross_split_near_dup_leakage",
+    "training_shard_prep",
+    "train_val_test_split",
+    "quality_filter",
+    "lang_id_ngram",
+    "bpe_token_estimate",
+    "doc_fingerprint",
+    "corpus_ngram_topk",
+    "dedup_consensus",
+    "domain_mix_report",
+    "value_histogram",
+    "events_anomaly_zscore",
+    "stratified_sample_per_lang",
+    "cdc_delta_apply_rollup",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q12_priority_by_flag",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
 ]
 
 
