@@ -492,3 +492,91 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         reranked, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=10, descending=False
     ).select("query_id", "vec_id", "label", "qcos_sim", "cos_sim")
+
+
+# IVF quantizer health: the incremental-maintenance decision metric
+# (sources/ann_index.py appends new vectors against FROZEN centroids;
+# this report says when that stops being safe). Vectors landing at or
+# after _DRIFT_SPLIT model the post-build appends.
+_DRIFT_CENTROID_IDS = tuple(range(20, 28))  # advanced.py's CENTROID_IDS
+_DRIFT_SPLIT = 400
+_DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
+# exemplar centroids sit 0.17-0.26 from their cell means there, so the
+# flag is exercised in BOTH directions by the driver's correctness sweep
+
+
+@query(
+    "ivf_centroid_drift_report",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    cents AS (SELECT vec_id - 20 AS cid, dv AS cv FROM v WHERE vec_id BETWEEN 20 AND 27),
+    assigned AS (
+        SELECT v.vec_id, v.dv, c.cid
+        FROM v CROSS JOIN cents c
+        QUALIFY row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY round({_COS_DUCK.format(a="v.dv", b="c.cv")}, 6) DESC, c.cid ASC
+        ) = 1
+    ),
+    per_dim AS (
+        SELECT a.cid, d.i,
+               count(*) AS cnt,
+               sum(CASE WHEN a.vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS fcnt,
+               sum(CAST(a.dv[d.i] AS DECIMAL(28,9))) AS s
+        FROM assigned a CROSS JOIN generate_series(1, 64) AS d(i)
+        GROUP BY a.cid, d.i
+    ),
+    meanvec AS (
+        SELECT cid, max(cnt) AS n, max(fcnt) AS n_new,
+               list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS mv
+        FROM per_dim GROUP BY cid
+    )
+    SELECT m.cid, m.n, m.n_new,
+           round(1 - {_COS_DUCK.format(a="c.cv", b="m.mv")}, 6) AS drift,
+           round(1 - {_COS_DUCK.format(a="c.cv", b="m.mv")}, 6) > {_DRIFT_THRESHOLD}
+               AS recluster
+    FROM meanvec m JOIN cents c ON m.cid = c.cid
+    """,
+)
+def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF quantizer drift over the full corpus: every vector
+    assigned to its nearest stored centroid (the frozen quantizer), and
+    per cell the member count, the count of post-build arrivals
+    (vec_id >= split — the appended population), and
+    drift = 1 − cosine(stored centroid, exact cell mean). ``recluster``
+    flags cells past the threshold — the metric
+    sources/ann_index.centroid_drift_report computes over a
+    MATERIALIZED index; this filesystem-free twin lets the driver
+    hash-check the math end to end (same cell_mean_vectors code path).
+
+    Plan/scale: assignment is the map-side broadcast crossJoin (O(kn),
+    no shuffle); the mean is posexplode → per-(cid, dim) DECIMAL
+    partials, combined map-side so the exchange carries |cells|×d rows;
+    the centroid join is a broadcast of k rows. Nothing scales with
+    corpus size past the first map stage.
+    """
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        _ranked_cells,
+        cell_mean_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+    cents = v.filter(F.col("vec_id").isin(*_DRIFT_CENTROID_IDS)).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = (
+        _ranked_cells(v, cents)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("v").alias("dv"), "cid")
+    )
+    mean = cell_mean_vectors(
+        assigned, vec_col="dv", flag=F.col("vec_id") >= _DRIFT_SPLIT
+    )
+    drift = F.round(1 - cosine(F.col("cv"), F.col("mv")), 6)
+    return mean.join(F.broadcast(cents), "cid").select(
+        "cid",
+        "n",
+        F.col("n_flagged").alias("n_new"),
+        drift.alias("drift"),
+        (drift > F.lit(_DRIFT_THRESHOLD)).alias("recluster"),
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from currency_etl_pipeline_spark.functions.scalars import dec
 from currency_etl_pipeline_spark.operators.topk import top_k_per_group
 from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
 
@@ -41,6 +42,20 @@ def _centroids(spark: SparkSession, sf_dir: str, centroid_ids) -> DataFrame:
     return v.filter(F.col("vec_id").isin(*centroid_ids)).select(
         (F.col("vec_id") - lo).alias("cid"), F.col("v").alias("cv")
     )
+
+
+def _centroid_sidecar(index_path: str) -> str:
+    # Leading underscore: Spark's parquet reader skips `_`-prefixed
+    # paths, so the sidecar is invisible to scans of the index itself.
+    return f"{index_path}/_centroids"
+
+
+def load_index_centroids(spark: SparkSession, index_path: str) -> DataFrame:
+    """The coarse centroids the index was built with, persisted WITH
+    the index — the piece that makes the index self-describing, so
+    appends and drift checks don't have to re-derive (or worse,
+    re-train) the quantizer from the original corpus."""
+    return spark.read.parquet(_centroid_sidecar(index_path))
 
 
 def _ranked_cells(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -60,12 +75,14 @@ def _ranked_cells(vectors: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids
+    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids, vectors=None
 ) -> None:
     """One pass: nearest-centroid assignment (map-side, centroids
     broadcast) → parquet partitioned by cid. Cell counts follow the
-    data; the partitioned write shuffles each row once to its cell."""
-    v = _vecs(spark, sf_dir)
+    data; the partitioned write shuffles each row once to its cell.
+    ``vectors`` overrides the corpus (same vec_id/label/v columns) —
+    the incremental tests build from a historical subset this way."""
+    v = vectors if vectors is not None else _vecs(spark, sf_dir)
     cents = _centroids(spark, sf_dir, centroid_ids)
     assigned = (
         _ranked_cells(v, cents)
@@ -73,6 +90,7 @@ def build_ivf_index(
         .select("vec_id", "label", F.col("v").alias("dv"), "cid")
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    cents.write.mode("overwrite").parquet(_centroid_sidecar(index_path))
 
 
 def probe_cells(probes: DataFrame) -> list[int]:
@@ -124,7 +142,7 @@ def search_ivf_index(
 
 
 def build_ivf_sq8_index(
-    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids
+    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids, vectors=None
 ) -> None:
     """IVF + int8 scalar quantization (the IVF_SQ8 composition): cells
     partition the corpus, rows store int8 CODES instead of the float
@@ -137,7 +155,8 @@ def build_ivf_sq8_index(
     corpus ONLY for the surviving candidates."""
     from currency_etl_pipeline_spark.queries.vectors import quantize_int8
 
-    v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
+    v = vectors if vectors is not None else _vecs(spark, sf_dir)
+    v = v.filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
     cents = _centroids(spark, sf_dir, centroid_ids)
     assigned = (
         _ranked_cells(v, cents)
@@ -150,6 +169,7 @@ def build_ivf_sq8_index(
         )
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    cents.write.mode("overwrite").parquet(_centroid_sidecar(index_path))
 
 
 def search_ivf_sq8_index(
@@ -218,3 +238,137 @@ def search_ivf_sq8_index(
     return top_k_per_group(
         reranked, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=k, descending=False
     ).select("query_id", "vec_id", "label", "qcos_sim", "cos_sim")
+
+
+# --- incremental maintenance ----------------------------------------------
+#
+# A serving corpus grows; rebuilding the whole index per batch of new
+# vectors is the recompute-from-scratch anti-pattern (the same one the
+# CDC delta-apply operator retires for rollups). The standard IVF
+# lifecycle — FAISS's add() vs train(), every disk-ANN system — is:
+# APPEND new vectors against the FROZEN coarse quantizer (cheap, cells
+# stay correct because assignment only depends on the stored
+# centroids), and monitor per-cell DRIFT between the stored centroid
+# and the current cell population; re-cluster only when drift says the
+# quantizer stopped describing the data (recall decays because probe
+# ranking and true neighborhoods diverge).
+
+
+def append_ivf_index(
+    spark: SparkSession, index_path: str, vectors: DataFrame, sq8: bool = False
+) -> None:
+    """Append NEW vectors to a materialized IVF index without rebuild.
+
+    Assignment runs against the centroids PERSISTED with the index
+    (the sidecar), so an append is one map-side pass over the new
+    batch (centroids broadcast) plus a partitioned append-write — new
+    parquet files land inside the existing cid= partition dirs and
+    existing files are never touched. Because the assignment rule is
+    byte-identical to the build's, append(base)+append(rest) produces
+    the same logical index as a full rebuild — searching either
+    returns identical rows (pinned in tests/test_incremental.py).
+
+    ``vectors`` must carry (vec_id, label, v) with vec_ids NOT already
+    in the index — id-level dedup/upsert is the warehouse family's job
+    (SnapshotStore), not the index's.
+    """
+    cents = load_index_centroids(spark, index_path)
+    if sq8:
+        from currency_etl_pipeline_spark.queries.vectors import quantize_int8
+
+        vectors = vectors.filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
+        cols = [
+            "vec_id",
+            "label",
+            quantize_int8(F.col("v")).cast("array<tinyint>").alias("qv"),
+            "cid",
+        ]
+    else:
+        cols = ["vec_id", "label", F.col("v").alias("dv"), "cid"]
+    assigned = _ranked_cells(vectors, cents).filter(F.col("rn") == 1).select(*cols)
+    assigned.write.mode("append").partitionBy("cid").parquet(index_path)
+
+
+# Fixed-point mean: DECIMAL(28,9) per-dimension partial sums make the
+# cell mean exact and partition-order-independent, so the drift report
+# is reproducible across engines and layouts (the dec() discipline).
+# Scale 9 (not 12) keeps the scaled-integer sum far below 2^53, where
+# DuckDB's DECIMAL→DOUBLE cast can diverge from Spark's by one ulp;
+# 1e-9 quantization is noise against the report's 6 dp rounding.
+_MEAN_PREC, _MEAN_SCALE = 28, 9
+
+
+def cell_mean_vectors(assigned: DataFrame, vec_col: str = "dv", flag=None) -> DataFrame:
+    """Per-cell member count and mean vector: (cid, n[, n_flagged], mv).
+
+    posexplode → per-(cid, dim) DECIMAL partial sums → re-assembled
+    ordered array. The explode multiplies rows by the dimensionality,
+    but hash aggregation combines map-side, so the shuffle carries only
+    |cells| × d rows per task — cells and d are both bounded, the
+    corpus size never crosses the exchange. ``flag`` (optional boolean
+    Column over the input) adds an n_flagged count — e.g. "how many of
+    this cell's members arrived after the last build".
+    """
+    flag_col = flag if flag is not None else F.lit(False)
+    exploded = assigned.select(
+        "cid",
+        flag_col.cast("int").alias("_flagged"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    per_dim = exploded.groupBy("cid", "pos").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("_flagged").alias("fcnt"),
+        F.sum(dec("val", _MEAN_PREC, _MEAN_SCALE)).alias("s"),
+    )
+    agg = per_dim.groupBy("cid").agg(
+        F.max("cnt").alias("n"),
+        F.max("fcnt").alias("n_flagged"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda r: r["s"].cast("double"),
+        ).alias("_sums"),
+    )
+    out = agg.select(
+        "cid",
+        "n",
+        "n_flagged",
+        F.transform("_sums", lambda s: s / F.col("n")).alias("mv"),
+    )
+    return out if flag is not None else out.drop("n_flagged")
+
+
+def centroid_drift_report(
+    spark: SparkSession, index_path: str, threshold: float = 0.05
+) -> DataFrame:
+    """Per-cell quantizer health: (cid, n, drift, recluster).
+
+    drift = 1 − cosine(stored centroid, current cell mean), rounded to
+    6 dp. Centroids are corpus exemplars (or k-means centers), not
+    means, so drift is nonzero even at build time — the signal is its
+    GROWTH after appends: a cell whose new arrivals pull the
+    population away from the stored centroid climbs toward the
+    threshold, and ``recluster`` flags it for retraining. One pass
+    over the index (the |cells|×d shuffle of cell_mean_vectors) plus a
+    broadcast join against the k-row sidecar.
+
+    For SQ8 indexes the mean is taken over the int8 codes (each row's
+    code vector is its float vector scaled by max_abs/127, so per-row
+    DIRECTION is preserved and the code mean is an L∞-normalized mean
+    direction — a usable drift proxy, noted here because it is not the
+    float mean).
+    """
+    idx = spark.read.parquet(index_path)
+    vec_col = "dv" if "dv" in idx.columns else "qv"
+    mean = cell_mean_vectors(idx.select("cid", F.col(vec_col)), vec_col=vec_col)
+    cents = load_index_centroids(spark, index_path)
+    drift = F.round(1 - cosine(F.col("cv"), F.col("mv")), 6)
+    return (
+        mean.join(F.broadcast(cents), "cid")
+        .select(
+            "cid",
+            "n",
+            drift.alias("drift"),
+            (drift > F.lit(threshold)).alias("recluster"),
+        )
+        .orderBy("cid")
+    )

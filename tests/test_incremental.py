@@ -86,3 +86,233 @@ def test_delta_apply_empty_cdc_is_identity(spark):
     prev = algebraic_rollup(v1, ["grp"], "x")
     out = delta_apply_rollup(prev, snapshot_diff(v1, v1, ["k"]), ["grp"], "x")
     assert _rollup_rows(out) == _rollup_rows(prev)
+
+
+# --- incremental IVF index maintenance (sources/ann_index.py) -------------
+
+CENTROID_IDS = tuple(range(20, 28))
+QUERY_IDS = (0, 1, 2)
+_SPLIT = 400  # vec_id < _SPLIT is the "historical" build corpus
+
+
+def _index_files(spark, path):
+    return {f.split("/")[-1]: f for f in spark.read.parquet(path).inputFiles()}
+
+
+def _search_rows(spark, sf_dir, path):
+    from currency_etl_pipeline_spark.sources.ann_index import search_ivf_index
+
+    return sorted(
+        map(
+            tuple,
+            search_ivf_index(
+                spark, sf_dir, path, QUERY_IDS, CENTROID_IDS, nprobe=2, k=5
+            ).collect(),
+        )
+    )
+
+
+def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """build(base) + append(rest) must be logically identical to a full
+    rebuild — same assignment rule against the same frozen centroids —
+    so searching either index returns the same rows bit-for-bit. The
+    append must be file-level additive: every parquet file of the base
+    build survives untouched (new vectors land as NEW files inside the
+    cid= partition dirs)."""
+    import os
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    full = str(tmp_path / "ivf_full")
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(spark, sf_dir, full, CENTROID_IDS)
+    build_ivf_index(
+        spark, sf_dir, inc, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    base_files = {
+        f: os.path.getsize(f.removeprefix("file:"))
+        for f in _index_files(spark, inc).values()
+    }
+    append_ivf_index(spark, inc, v.filter(F.col("vec_id") >= _SPLIT))
+
+    after = _index_files(spark, inc).values()
+    for f, size in base_files.items():
+        assert f in after, f"append rewrote/removed base file {f}"
+        assert os.path.getsize(f.removeprefix("file:")) == size
+    assert len(after) > len(base_files), "append landed no new files"
+
+    got, expect = _search_rows(spark, sf_dir, inc), _search_rows(spark, sf_dir, full)
+    assert got == expect, "appended index diverged from full rebuild"
+
+
+def test_ivf_sq8_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Same contract for the int8-coded index: append quantizes with
+    the same scale rule, so search (probe + exact re-rank) matches the
+    full rebuild row-for-row."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_sq8_index,
+        search_ivf_sq8_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    full = str(tmp_path / "sq8_full")
+    inc = str(tmp_path / "sq8_inc")
+    build_ivf_sq8_index(spark, sf_dir, full, CENTROID_IDS)
+    build_ivf_sq8_index(
+        spark, sf_dir, inc, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    append_ivf_index(spark, inc, v.filter(F.col("vec_id") >= _SPLIT), sq8=True)
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                search_ivf_sq8_index(
+                    spark, sf_dir, path, QUERY_IDS, CENTROID_IDS, nprobe=2, k=5
+                ).collect(),
+            )
+        )
+
+    assert rows(inc) == rows(full)
+
+
+def test_ivf_appended_index_recall_floor(spark, sf_dir, tmp_path):
+    """Recall vs the exact cosine top-5 must hold on an index that grew
+    by appends — the 'done' bar for incremental maintenance: appends
+    against frozen centroids don't silently degrade the index below
+    its build-time recall (measured: identical to the full build by
+    construction; floor matches test_ivf_trained_recall's logic)."""
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(
+        spark, sf_dir, inc, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    append_ivf_index(spark, inc, v.filter(F.col("vec_id") >= _SPLIT))
+    got = {(r[0], r[1]) for r in _search_rows(spark, sf_dir, inc)}
+
+    exact = all_queries()["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    per_query: dict = {}
+    top5 = set()
+    for r in sorted(exact, key=lambda r: (r["query_id"], -r["cos_sim"], r["vec_id"])):
+        per_query.setdefault(r["query_id"], 0)
+        if per_query[r["query_id"]] < 5:
+            per_query[r["query_id"]] += 1
+            top5.add((r["query_id"], r["vec_id"]))
+    recall = len(got & top5) / len(top5)
+    assert recall >= 0.4, f"appended-index recall collapsed: {recall:.3f}"
+
+
+def test_ivf_append_preserves_partition_pruning(spark, sf_dir, tmp_path):
+    """Appended files land inside cid= partition dirs, so the probed
+    cid IN-list must still reach the scan as a PartitionFilter and
+    cover strictly fewer cells than the index holds."""
+    import re
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from tests.test_scale_plans import plan_of
+
+    v = _vecs(spark, sf_dir)
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(
+        spark, sf_dir, inc, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    append_ivf_index(spark, inc, v.filter(F.col("vec_id") >= _SPLIT))
+    all_cids = {
+        re.search(r"cid=(\d+)", f).group(1)
+        for f in spark.read.parquet(inc).inputFiles()
+    }
+    res = search_ivf_index(spark, sf_dir, inc, QUERY_IDS, CENTROID_IDS, nprobe=2, k=5)
+    m = re.search(r"PartitionFilters: \[[^\]]*cid#\d+ IN \(([\d,]+)\)", plan_of(res))
+    assert m, "cid filter did not reach the appended index's scan"
+    assert set(m.group(1).split(",")) < all_cids
+
+
+def test_centroid_drift_flags_only_shifted_cells(spark, sf_dir, tmp_path):
+    """The drift metric must move ONLY for cells that received appends:
+    land a batch of far-from-centroid vectors into one cell and (a)
+    that cell's drift strictly grows, (b) every other cell's drift is
+    bit-identical to the pre-append report (fixed-point means), and
+    (c) with a threshold between the two readings, recluster flips
+    True for exactly the shifted cell."""
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        centroid_drift_report,
+        load_index_centroids,
+    )
+
+    idx = str(tmp_path / "ivf_drift")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    before = {r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()}
+
+    # A batch pulling ONE cell's mean AWAY from its centroid: many
+    # copies of the index's most peripheral member (globally lowest
+    # cosine to its own centroid). A copy of a member assigns to the
+    # member's cell by the deterministic rule, and flooding the cell
+    # with its own worst outlier drags the mean toward it — drift must
+    # grow. The probe collects ONE row; centroids are k rows.
+    from currency_etl_pipeline_spark.queries.vectors import cosine
+
+    idx_df = spark.read.parquet(idx)
+    worst = (
+        idx_df.join(F.broadcast(load_index_centroids(spark, idx)), "cid")
+        .select("cid", "dv", cosine(F.col("dv"), F.col("cv")).alias("csim"))
+        .orderBy(F.col("csim").asc(), F.col("cid").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    tcell, outlier = worst["cid"], list(worst["dv"])
+    n_copies = 2 * idx_df.filter(F.col("cid") == tcell).count()
+    batch = spark.createDataFrame(
+        [(10_000 + i, outlier, "synthetic") for i in range(n_copies)],
+        "vec_id bigint, v array<double>, label string",
+    ).select("vec_id", "label", "v")
+    append_ivf_index(spark, idx, batch)
+
+    landed = [
+        r["cid"]
+        for r in spark.read.parquet(idx)
+        .filter(F.col("vec_id") >= 10_000)
+        .select("cid")
+        .distinct()
+        .collect()
+    ]
+    assert landed == [tcell], f"outlier copies landed in {landed}, expected [{tcell}]"
+
+    after = {r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()}
+    assert after[tcell] > before[tcell], (
+        f"drift did not grow for the shifted cell: {before[tcell]} -> {after[tcell]}"
+    )
+    for cid in before:
+        if cid != tcell:
+            assert after[cid] == before[cid], (
+                f"cell {cid} drifted without appends: {before[cid]} -> {after[cid]}"
+            )
+
+    # A threshold between the shifted cell's two readings flags it —
+    # and flags exactly the cells whose (unchanged) drift also exceeds
+    # that line, i.e. recluster is a pure function of the drift column.
+    thresh = (before[tcell] + after[tcell]) / 2
+    report = centroid_drift_report(spark, idx, threshold=thresh).collect()
+    flagged = {r["cid"] for r in report if r["recluster"]}
+    assert tcell in flagged, "shifted cell not flagged for recluster"
+    assert flagged == {r["cid"] for r in report if r["drift"] > thresh}
