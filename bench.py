@@ -119,6 +119,7 @@ HEADLINE = [
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    "ivf_centroid_drift_report",
 ]
 
 

@@ -314,13 +314,36 @@ class Warehouse:
             reader = reader.schema(T.StructType(data_fields))
         return reader.parquet(part_dir)
 
-    def compact_historical(self, rate_date: str, target_files: int = 1) -> tuple[int, int]:
+    def compact_historical(
+        self,
+        rate_date: str,
+        target_files: int = 1,
+        cluster_by: tuple[str, ...] | list[str] | None = None,
+    ) -> tuple[int, int]:
         """Small-files compaction for one date partition of the
         append-only history — every micro-batch append lands its own
         file(s), and at streaming cadence a partition accumulates
         thousands of KB-files whose open/footer overhead dominates
         scans (the classic small-files problem). Rewrite the partition
         into ``target_files`` files; returns (files_before, files_after).
+
+        ``cluster_by`` additionally SORTS rows within each rewritten
+        file (e.g. ``("base_currency", "target_currency", "timestamp")``).
+        Clustering is what makes parquet row-group min/max statistics
+        bite for the engine's dominant query shape — the point lookup
+        of one currency pair's history (T1, reference app.py:154-160):
+        in a sorted file each row group covers a narrow key interval,
+        so a pushed ``pair = X`` predicate skips every row group whose
+        [min, max] excludes X; in append-order files every row group
+        spans the whole key domain and nothing is skipped. At 100 TB
+        that is the difference between scanning a date partition and
+        opening ~1/row_groups of it (pinned by
+        tests/test_currency_pipeline.py::test_clustered_compaction_prunes_row_groups).
+        Single-key-prefix sort is the right clustering for a dominant
+        lookup key; multi-predicate workloads generalize this to
+        Z-order/Hilbert clustering on lakehouse formats. Compaction is
+        the natural clustering moment: the partition is cold, and the
+        rewrite is already paid for.
 
         Safety: the compacted copy is written to a sibling tmp dir and
         row-count-verified BEFORE the old directory is removed — a
@@ -340,7 +363,10 @@ class Warehouse:
         df = self._read_partition(part_dir)
         n_before = df.count()
         tmp = part_dir + "__compact_tmp"
-        df.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
+        out = df.coalesce(max(1, target_files))
+        if cluster_by:
+            out = out.sortWithinPartitions(*cluster_by)
+        out.write.mode("overwrite").parquet(tmp)
         n_after = self.spark.read.parquet(tmp).count()
         if n_after != n_before:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -655,3 +655,98 @@ def test_currency_rates_datasource_fails_loudly_on_bad_path(spark, tmp_path):
     rows = spark.read.format("currency_rates").option("path", str(raw)).load().collect()
     assert len(rows) == 2
     assert all("no quotes" in r["err"] for r in rows)
+
+
+def test_clustered_compaction_prunes_row_groups(spark, tmp_path):
+    """compact_historical(cluster_by=...) must turn row-group min/max
+    statistics into a real pruning lever for the dominant point-lookup
+    shape (T1: one currency pair's history): after a clustered rewrite,
+    only the row group(s) whose [min, max] key interval contains the
+    looked-up pair can match, while the append-order layout leaves
+    every row group spanning the whole key domain (nothing skippable).
+    Proven on the physical files via parquet footer statistics, plus
+    the Spark read path: the predicate reaches the scan as a pushed
+    filter and the clustered partition answers it correctly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # Timestamp-major generation interleaves the 40 pairs, so the
+    # unclustered layout's row groups all span C00..C39.
+    rows = [
+        (f"C{p:02d}", "USD", round(1.0 + p + t * 1e-4, 6),
+         f"2024-03-01 {t // 60:02d}:{t % 60:02d}:{t % 47:02d}")
+        for t in range(250)
+        for p in range(40)
+    ]
+    batch = spark.createDataFrame(
+        rows, "base_currency string, target_currency string, rate double, ts string"
+    ).select(
+        "base_currency", "target_currency", "rate",
+        F.to_timestamp("ts").alias("timestamp"),
+    )
+    wh.append_historical(batch)
+
+    part_dir = str(tmp_path / "wh" / "historical_rates" / "rate_date=2024-03-01")
+
+    def rg_stats():
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        assert len(files) == 1
+        meta = pq.ParquetFile(os.path.join(part_dir, files[0])).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        spans = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx["base_currency"]).statistics
+            spans.append((st.min, st.max))
+        return spans
+
+    # Small row groups so one file holds many of them; restore after.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block, old_page = hconf.get("parquet.block.size"), hconf.get("parquet.page.size")
+    hconf.set("parquet.block.size", str(32 * 1024))
+    hconf.set("parquet.page.size", str(8 * 1024))
+    try:
+        wh.compact_historical("2024-03-01", target_files=1)
+        unclustered = rg_stats()
+        wh.compact_historical(
+            "2024-03-01",
+            target_files=1,
+            cluster_by=("base_currency", "target_currency", "timestamp"),
+        )
+        clustered = rg_stats()
+    finally:
+        (hconf.set("parquet.block.size", old_block) if old_block
+         else hconf.unset("parquet.block.size"))
+        (hconf.set("parquet.page.size", old_page) if old_page
+         else hconf.unset("parquet.page.size"))
+
+    assert len(clustered) >= 4, (
+        f"only {len(clustered)} row groups — block size knob stopped working, "
+        "the pruning comparison below would be vacuous"
+    )
+    key = "C20"
+    un_hits = sum(1 for lo, hi in unclustered if lo <= key <= hi)
+    cl_hits = sum(1 for lo, hi in clustered if lo <= key <= hi)
+    assert un_hits == len(unclustered), (
+        "append-order row groups were unexpectedly clustered — fixture broke"
+    )
+    assert cl_hits <= max(2, len(clustered) // 2), (
+        f"clustered layout still matches {cl_hits}/{len(clustered)} row groups"
+    )
+    # Sorted within ONE file: row-group key ranges must not overlap.
+    for (lo1, hi1), (lo2, hi2) in zip(clustered, clustered[1:]):
+        assert hi1 <= lo2, f"overlapping clustered row groups: {hi1} > {lo2}"
+
+    # Spark read path over the clustered partition: predicate pushed to
+    # the scan, and the lookup still answers correctly.
+    lookup = wh.historical().filter(
+        (F.col("base_currency") == key) & (F.col("target_currency") == "USD")
+    )
+    plan = lookup._sc._jvm.PythonSQLUtils.explainString(
+        lookup._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in plan and "base_currency" in plan.split("PushedFilters:")[1].split("]")[0]
+    assert lookup.count() == 250
