@@ -70,20 +70,28 @@ def minhash_signatures(
     return per_hash.groupBy(id_col, "pos").agg(F.min("h").alias("mh"))
 
 
-def minhash_band_candidates(
-    sig: DataFrame, id_col: str, band_size: int = 2
-) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing at least one LSH band.
+def minhash_bands(sig: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
+    """(id, band, band_key): LSH band table from per-position signatures.
 
-    Band key = ordered concat of the band's MinHash components; the
-    band equi-join replaces any all-pairs comparison.
+    Band key = ordered concat of the band's MinHash components — the
+    equi-join key that replaces any all-pairs comparison. This is also
+    the RELATION a materialized dedup index persists
+    (sources/dedup_index.py): corpus membership lives here, so a new
+    batch probes bands instead of re-sharding the corpus text.
     """
-    bands = sig.withColumn("band", F.expr(f"pos div {band_size}")).groupBy(id_col, "band").agg(
+    return sig.withColumn("band", F.expr(f"pos div {band_size}")).groupBy(id_col, "band").agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"].cast("string")),
             ",",
         ).alias("band_key")
     )
+
+
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, band_size: int = 2
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band."""
+    bands = minhash_bands(sig, id_col, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

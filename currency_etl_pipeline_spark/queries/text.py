@@ -780,3 +780,70 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.posexplode(first8).alias("pos", "token")).withColumn(
         "token_len", F.length("token")
     )
+
+
+# Materialized-dedup-index twin: corpus = doc_id < 400, batch = rest.
+_IDX_SPLIT = 400
+_IDX_MIN_EST = 0.5  # eighths are exact, so the gate is engine-exact
+
+
+@query(
+    "minhash_index_batch_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < {_IDX_SPLIT} AND b.doc_id >= {_IDX_SPLIT}
+    )
+    SELECT c.batch_id, c.corpus_id,
+           round(len(list_filter(generate_series(1, 8), i -> sc.sig[i] = sb.sig[i])) / 8.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigarr sc ON sc.doc_id = c.corpus_id
+    JOIN sigarr sb ON sb.doc_id = c.batch_id
+    WHERE round(len(list_filter(generate_series(1, 8), i -> sc.sig[i] = sb.sig[i])) / 8.0, 6) >= {_IDX_MIN_EST}
+    """,
+)
+def minhash_index_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the ingest-loop question "is anything
+    in this crawl batch a near-dup of the ACCEPTED corpus?": batch docs
+    (doc_id >= split) checked against corpus docs (< split) via the
+    MinHash band probe + signature compare, gated at est_jaccard >=
+    0.5. This is the filesystem-free twin of the MATERIALIZED dedup
+    index (sources/dedup_index.py — bands + signatures persisted,
+    appended per admitted batch, corpus text never re-hashed); it runs
+    the same doc_signature_tables / minhash_cross_candidates code
+    path, so the driver hash-checks the index math end to end.
+    Build+append+query ≡ this twin is pinned in tests/test_incremental.py.
+
+    Plan/scale: corpus and batch are separate relations in production
+    (persisted index vs new batch); here one table splits into two
+    branches whose pushed filters are COMPLEMENTARY — together they
+    read each row once, so this is not the double-scan trap (which is
+    the same rows hashed twice). The candidate join is an equi-join on
+    (band, band_key); AQE broadcasts the smaller batch side; est
+    Jaccard touches candidates only.
+    """
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        doc_signature_tables,
+        minhash_cross_candidates,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < _IDX_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _IDX_SPLIT)
+    cb, cs = doc_signature_tables(corpus, num_hashes=8, band_size=2)
+    bb, bs = doc_signature_tables(batch, num_hashes=8, band_size=2)
+    return minhash_cross_candidates(cb, cs, bb, bs, 8, _IDX_MIN_EST)

@@ -1,0 +1,169 @@
+"""Materialized MinHash-LSH dedup index: corpus membership persisted,
+new batches checked incrementally.
+
+The in-plan dedup queries (queries/text.py `minhash_lsh_near_dup`)
+re-shingle and re-hash the WHOLE corpus every run — right for a
+one-shot audit, wrong for the ingest loop a training-data pipeline
+actually runs: "is anything in this crawl batch a near-dup of the
+corpus we already accepted?" asked per batch, forever. This module
+persists the two relations MinHash dedup actually needs — the band
+table and the signature table — so a batch check touches the new
+batch's text plus two bounded index joins, never the corpus text
+again. Same lifecycle split as the IVF vector index
+(sources/ann_index.py): build once, append cheaply, query amortized.
+
+Layout under ``index_path``:
+
+- ``bands/``     (doc_id, band, band_key)  — the LSH probe relation
+- ``sigs/``      (doc_id, sig array<long>) — for estimated Jaccard
+- ``_params.json`` (num_hashes, band_size) — the quantizer parameters,
+  persisted so appends/queries can never hash incompatibly (leading
+  underscore keeps it invisible to parquet reads, like ``_SUCCESS``)
+
+Scale shape: a batch check is batch-shingling (map-side) + an
+equi-join on (band, band_key) + two signature joins. The batch side
+is typically orders of magnitude smaller than the index, so AQE
+broadcasts it and the index side is a pure scan — no hint, because a
+historical backfill CAN be index-sized and must be allowed to fall
+back to sort-merge. At 100 TB the bands/sigs tables are additionally
+bucketed by join key (tables.py's bucketed-join path) to make the
+per-batch check co-located and shuffle-free.
+
+Docs whose text yields no shingles (shorter than the shingle width)
+carry no rows in either relation — they can never be near-dups by
+this measure, matching the in-plan queries' semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_pipeline_spark.operators.dedup import (
+    minhash_bands,
+    minhash_signatures,
+)
+from currency_etl_pipeline_spark.queries.text import exploded, shingles
+
+
+def _params_file(index_path: str) -> str:
+    return os.path.join(index_path, "_params.json")
+
+
+def load_index_params(index_path: str) -> dict:
+    with open(_params_file(index_path)) as fh:
+        return json.load(fh)
+
+
+def doc_signature_tables(
+    docs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, sigs) for a (doc_id, text) relation — the index's two
+    persisted relations, also usable in-plan (the filesystem-free
+    catalog twin goes through this exact code path)."""
+    shingled = exploded(
+        docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
+    )
+    sig = minhash_signatures(shingled, "doc_id", "shingle", num_hashes)
+    bands = minhash_bands(sig, "doc_id", band_size)
+    sigarr = sig.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"]
+        ).alias("sig")
+    )
+    return bands, sigarr
+
+
+def minhash_cross_candidates(
+    corpus_bands: DataFrame,
+    corpus_sigs: DataFrame,
+    batch_bands: DataFrame,
+    batch_sigs: DataFrame,
+    num_hashes: int,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """(batch_id, corpus_id, est_jaccard): batch docs near-duplicating
+    corpus docs. Candidates share ≥1 LSH band; est_jaccard = matching
+    signature fraction (exact multiples of 1/num_hashes, so threshold
+    comparisons are engine-exact)."""
+    cand = (
+        corpus_bands.join(
+            batch_bands.select(
+                F.col("doc_id").alias("batch_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("doc_id") != F.col("batch_id"))
+        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_c", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(matches / F.lit(float(num_hashes)), 6)
+    return (
+        cand.join(
+            corpus_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c")),
+            "corpus_id",
+        )
+        .join(
+            batch_sigs.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_b")),
+            "batch_id",
+        )
+        .select("batch_id", "corpus_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(min_est_jaccard))
+    )
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Shingle + hash the corpus ONCE; land bands and signatures."""
+    bands, sigs = doc_signature_tables(docs, num_hashes, band_size)
+    bands.write.mode("overwrite").parquet(os.path.join(index_path, "bands"))
+    sigs.write.mode("overwrite").parquet(os.path.join(index_path, "sigs"))
+    tmp = _params_file(index_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"num_hashes": num_hashes, "band_size": band_size}, fh)
+    os.replace(tmp, _params_file(index_path))
+
+
+def append_minhash_index(spark: SparkSession, index_path: str, new_docs: DataFrame) -> None:
+    """Admit a batch into the corpus: hash it with the INDEX's stored
+    parameters and append its bands/signatures — one pass over the new
+    text, existing index files untouched. build(corpus)+append(batch)
+    is relation-equal to a full rebuild over corpus∪batch (pinned in
+    tests/test_incremental.py), because the hash pipeline is a pure
+    function of (text, params). ``new_docs`` doc_ids must be new —
+    id-level upsert is the warehouse family's job."""
+    p = load_index_params(index_path)
+    bands, sigs = doc_signature_tables(new_docs, p["num_hashes"], p["band_size"])
+    bands.write.mode("append").parquet(os.path.join(index_path, "bands"))
+    sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    batch_docs: DataFrame,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Check a batch against the accumulated corpus WITHOUT touching
+    corpus text: batch-side shingling only, then the band equi-join
+    and signature compare against the persisted relations."""
+    p = load_index_params(index_path)
+    qbands, qsigs = doc_signature_tables(batch_docs, p["num_hashes"], p["band_size"])
+    ibands = spark.read.parquet(os.path.join(index_path, "bands"))
+    isigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+    return minhash_cross_candidates(
+        ibands, isigs, qbands, qsigs, p["num_hashes"], min_est_jaccard
+    )

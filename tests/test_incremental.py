@@ -316,3 +316,100 @@ def test_centroid_drift_flags_only_shifted_cells(spark, sf_dir, tmp_path):
     flagged = {r["cid"] for r in report if r["recluster"]}
     assert tcell in flagged, "shifted cell not flagged for recluster"
     assert flagged == {r["cid"] for r in report if r["drift"] > thresh}
+
+
+# --- materialized MinHash dedup index (sources/dedup_index.py) ------------
+
+
+def _docs(spark, sf_dir):
+    from currency_etl_pipeline_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _q_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_minhash_index_build_query_matches_inplan_twin(spark, sf_dir, tmp_path):
+    """build(corpus) + query(batch) against the materialized index must
+    reproduce the filesystem-free catalog twin row-for-row — the same
+    hash pipeline, only the corpus side now comes from persisted
+    bands/signatures instead of re-hashed text."""
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(spark, docs.filter(F.col("doc_id") < 400), idx)
+    got = _q_rows(
+        query_minhash_index(
+            spark, idx, docs.filter(F.col("doc_id") >= 400), min_est_jaccard=0.5
+        )
+    )
+    twin = _q_rows(
+        all_queries()["minhash_index_batch_dedup"].spark(spark, sf_dir)
+    )
+    assert got == twin and len(got) > 0
+
+
+def test_minhash_index_append_equals_rebuild_and_admits_batches(spark, sf_dir, tmp_path):
+    """The incremental lifecycle: build on an initial corpus, APPEND an
+    admitted batch, query the next batch. Results must equal a full
+    rebuild over corpus∪batch1 (same params, pure hash pipeline), the
+    appended docs must be live as corpus members (the batch2 check
+    finds near-dups against batch1 ids too), and the base build's
+    files must survive untouched."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        append_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    inc = str(tmp_path / "mh_inc")
+    full = str(tmp_path / "mh_full")
+    build_minhash_index(spark, docs.filter(F.col("doc_id") < 300), inc)
+    base_files = {
+        f: os.path.getsize(f.removeprefix("file:"))
+        for sub in ("bands", "sigs")
+        for f in spark.read.parquet(f"{inc}/{sub}").inputFiles()
+    }
+    append_minhash_index(
+        spark, inc, docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    )
+    for f, size in base_files.items():
+        assert os.path.getsize(f.removeprefix("file:")) == size, f"append touched {f}"
+
+    build_minhash_index(spark, docs.filter(F.col("doc_id") < 400), full)
+    batch2 = docs.filter(F.col("doc_id") >= 400)
+    got = _q_rows(query_minhash_index(spark, inc, batch2, min_est_jaccard=0.5))
+    expect = _q_rows(query_minhash_index(spark, full, batch2, min_est_jaccard=0.5))
+    assert got == expect and len(got) > 0
+    # the appended batch is really corpus now: some matches point at it
+    assert any(300 <= corpus_id < 400 for _, corpus_id, _ in got), (
+        "no match against appended docs — append not live in the index"
+    )
+
+
+def test_minhash_index_rejects_param_drift(spark, sf_dir, tmp_path):
+    """Appends and queries hash with the INDEX's persisted parameters,
+    never caller-supplied ones — killing the silent corruption where a
+    batch hashed with different num_hashes/band_size can never match
+    existing bands. The params sidecar must exist and round-trip."""
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        load_index_params,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "mh_params")
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < 100), idx, num_hashes=4, band_size=2
+    )
+    assert load_index_params(idx) == {"num_hashes": 4, "band_size": 2}
