@@ -581,3 +581,95 @@ def test_raw_zone_tail_matches_batch_datasource(spark, tmp_path):
         assert s_bad[f].split(":")[0] == b_bad[f].split(":")[0], (
             f"{f}: error category diverged: {s_bad[f]!r} vs {b_bad[f]!r}"
         )
+
+
+def test_left_outer_interval_join_null_emission_and_late_purchase_drop(spark, tmp_path):
+    """Pins the left-outer interval join's WATERMARK semantics end to
+    end: (a) an unmatched click is NOT emitted while a matching
+    purchase could still arrive — the NULL row appears only after the
+    watermark passes the click's whole match window; (b) a matching
+    purchase that arrives AFTER that point is dropped — it neither
+    retro-joins the already-emitted NULL row nor creates a duplicate.
+    (The registered query's oracle pins the VALUES; this pins the
+    timing/eviction behavior the oracle can't see.)"""
+    import uuid
+    from datetime import datetime as t_parse
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    t = t_parse.fromisoformat
+    d = tmp_path / "loj_zone"
+    d.mkdir()
+
+    def land(i, rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(d / f"b{i}")
+        )
+
+    land(0, [
+        (1, 1, "click", t("2024-01-01 10:00:00")),
+        (2, 1, "purchase", t("2024-01-01 09:50:00")),   # matches click 1
+        (3, 2, "click", t("2024-01-01 10:00:00")),      # never matched in time
+    ])
+    stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+        "left_outer",
+    ).select("click_id", "user_id", "purchase_id")
+    name = f"loj_evict_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        early = {tuple(r) for r in spark.table(name).collect()}
+        assert not any(r[0] == 3 for r in early), (
+            f"unmatched click emitted BEFORE watermark passed its window: {early}"
+        )
+
+        # Both sides must advance: the global watermark is the MIN of
+        # the click- and purchase-side watermarks, so each flush lands
+        # a far-future row on EACH side (same pattern as the registered
+        # query's sentinel files).
+        land(1, [(90, 9, "click", t("2024-01-01 14:00:00")),
+                 (80, 8, "purchase", t("2024-01-01 14:00:00"))])
+        q.processAllAvailable()
+        land(2, [(91, 9, "click", t("2024-01-01 18:00:00")),
+                 (81, 8, "purchase", t("2024-01-01 18:00:00"))])
+        q.processAllAvailable()
+        mid = sorted(tuple(r) for r in spark.table(name).collect() if r[0] == 3)
+        assert mid == [(3, 2, None)], (
+            f"expected exactly one watermark-released NULL row for click 3, got {mid}"
+        )
+
+        # Late matching purchase: inside click 3's window, far behind
+        # the ~17:30 watermark. Two more batches so the lagging late
+        # filter definitely applies.
+        land(3, [(4, 2, "purchase", t("2024-01-01 09:55:00"))])
+        q.processAllAvailable()
+        land(4, [(92, 9, "click", t("2024-01-01 19:00:00")),
+                 (82, 8, "purchase", t("2024-01-01 19:00:00"))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = sorted(tuple(r) for r in spark.table(name).collect() if r[1] == 2)
+    assert final == [(3, 2, None)], (
+        f"late purchase retro-joined or duplicated the evicted click: {final}"
+    )
+    assert not any(r[2] == 4 for r in spark.table(name).collect()), (
+        "late purchase 4 appeared in the result"
+    )
