@@ -120,6 +120,8 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
     "ivf_centroid_drift_report",
+    "minhash_index_batch_dedup",
+    "cdc_join_view_refresh",
 ]
 
 

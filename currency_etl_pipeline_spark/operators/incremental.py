@@ -119,3 +119,42 @@ def delta_apply_rollup(
         .alias("sum_x2"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+def refresh_join_view(
+    old_view: DataFrame,
+    facts: DataFrame,
+    dim_cdc: DataFrame,
+    join_key: str,
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Maintain a denormalized fact⋈dim (inner) view under DIM CDC
+    without re-running the full join — the join-view counterpart of
+    ``delta_apply_rollup``, completing the incremental family (rollups,
+    join views, ANN index, dedup index).
+
+    Only rows whose dim key CHANGED can differ between the old and new
+    view, so the refresh is: (1) anti-join the old view against the
+    changed-key set (removes every affected row — updates AND
+    deletes), then (2) re-derive the affected slice by joining the
+    facts for those keys against the NEW dim images carried in the CDC
+    feed itself (``new`` struct; deletes have none and thus contribute
+    nothing, matching inner-join semantics). The dim table is never
+    re-read, the old view is touched once, and the fact join is
+    |facts-for-changed-keys|, not |facts|.
+
+    ``join_key`` must be a shared column name across ``old_view``,
+    ``facts``, and the CDC feed's key (pre-alias fact/dim keys to one
+    name). No broadcast hint on the CDC sides: a routine feed is tiny
+    and AQE will broadcast it, but a full-dim rewrite is dim-sized and
+    must be allowed to fall back to a shuffle join (the r5 hint-sweep
+    rule: never force-broadcast a side whose cardinality you don't
+    bound by construction).
+    """
+    changed = dim_cdc.select(join_key).distinct()
+    new_dim = dim_cdc.filter(F.col("new").isNotNull()).select(
+        join_key, *[F.col(f"new.{c}").alias(c) for c in dim_cols]
+    )
+    kept = old_view.join(changed, join_key, "left_anti")
+    refreshed = facts.join(new_dim, join_key).select(*old_view.columns)
+    return kept.unionByName(refreshed)

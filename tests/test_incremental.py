@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from currency_etl_pipeline_spark.operators.incremental import (
     algebraic_rollup,
     delta_apply_rollup,
+    refresh_join_view,
 )
 from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
 from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
@@ -96,7 +97,9 @@ _SPLIT = 400  # vec_id < _SPLIT is the "historical" build corpus
 
 
 def _index_files(spark, path):
-    return {f.split("/")[-1]: f for f in spark.read.parquet(path).inputFiles()}
+    # Keyed by FULL path: partitionBy writes the same part-file basename
+    # into every cid= dir, so basenames collide across partitions.
+    return set(spark.read.parquet(path).inputFiles())
 
 
 def _search_rows(spark, sf_dir, path):
@@ -136,11 +139,11 @@ def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
     )
     base_files = {
         f: os.path.getsize(f.removeprefix("file:"))
-        for f in _index_files(spark, inc).values()
+        for f in _index_files(spark, inc)
     }
     append_ivf_index(spark, inc, v.filter(F.col("vec_id") >= _SPLIT))
 
-    after = _index_files(spark, inc).values()
+    after = _index_files(spark, inc)
     for f, size in base_files.items():
         assert f in after, f"append rewrote/removed base file {f}"
         assert os.path.getsize(f.removeprefix("file:")) == size
@@ -413,3 +416,47 @@ def test_minhash_index_rejects_param_drift(spark, sf_dir, tmp_path):
         spark, docs.filter(F.col("doc_id") < 100), idx, num_hashes=4, band_size=2
     )
     assert load_index_params(idx) == {"num_hashes": 4, "band_size": 2}
+
+
+# --- join-view refresh (operators/incremental.refresh_join_view) ----------
+
+_F_SCHEMA = "k bigint, amt double"
+_D_SCHEMA = "k bigint, color string"
+
+
+def _view_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_refresh_join_view_insert_update_delete(spark):
+    """All three CDC classes against an inner fact⋈dim view: an
+    updated dim rewrites its rows' attributes, a deleted dim drops its
+    rows, and an INSERTED dim key makes previously-dangling facts
+    appear — each derived purely from the CDC feed, and the result
+    equals the from-scratch join against v2."""
+    facts = spark.createDataFrame(
+        [(k, float(10 * k + i)) for k in range(1, 7) for i in range(2)], _F_SCHEMA
+    )
+    v1 = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "green"), (4, "cyan"), (5, "pink")], _D_SCHEMA
+    )
+    # k=2 deleted, k=3 recolored, k=6 inserted (its facts were dangling)
+    v2 = spark.createDataFrame(
+        [(1, "red"), (3, "BLACK"), (4, "cyan"), (5, "pink"), (6, "gold")], _D_SCHEMA
+    )
+    old_view = facts.join(v1, "k").select("k", "amt", "color")
+    out = refresh_join_view(
+        old_view, facts, snapshot_diff(v1, v2, ["k"]), "k", ["color"]
+    )
+    assert _view_rows(out) == _view_rows(facts.join(v2, "k").select("k", "amt", "color"))
+    got = {r["k"] for r in out.collect()}
+    assert 2 not in got and 6 in got
+    assert {r["color"] for r in out.collect() if r["k"] == 3} == {"BLACK"}
+
+
+def test_refresh_join_view_empty_cdc_is_identity(spark):
+    facts = spark.createDataFrame([(1, 5.0), (2, 6.0)], _F_SCHEMA)
+    v1 = spark.createDataFrame([(1, "red"), (2, "blue")], _D_SCHEMA)
+    view = facts.join(v1, "k").select("k", "amt", "color")
+    out = refresh_join_view(view, facts, snapshot_diff(v1, v1, ["k"]), "k", ["color"])
+    assert _view_rows(out) == _view_rows(view)
