@@ -372,3 +372,51 @@ def centroid_drift_report(
         )
         .orderBy("cid")
     )
+
+
+def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
+    """Right-to-be-forgotten for the vector index: remove ``vec_ids``
+    by rewriting ONLY the cell partitions that contain them — the same
+    partition-rewrite discipline as the warehouse's
+    ``delete_from_historical`` (tmp-dir rewrite, exact survivor-count
+    verification BEFORE the old directory is removed; a failed rewrite
+    never destroys data). Works on both the float and SQ8 layouts
+    (both carry vec_id).
+
+    Scale: locating the affected cells is one pushed-filter scan
+    (``vec_id IN (...)`` literal — row-group stats skip most files);
+    the rewrite cost is |affected cells|, not |index|. RTBF batches
+    are bounded by construction (a deletion request list), so the
+    driver-side cell list is a handful of ints. Returns rows removed.
+    """
+    import os
+    import shutil
+
+    ids = sorted(set(vec_ids))
+    if not ids:
+        return 0
+    idx = spark.read.parquet(index_path)
+    affected = sorted(
+        r["cid"]
+        for r in idx.filter(F.col("vec_id").isin(*ids)).select("cid").distinct().collect()
+    )
+    removed = 0
+    for cid in affected:
+        part_dir = f"{index_path}/cid={cid}"
+        cell = spark.read.parquet(part_dir)
+        n_before = cell.count()
+        survivors = cell.filter(~F.col("vec_id").isin(*ids))
+        n_after = survivors.count()
+        tmp = part_dir + "__delete_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        n_written = spark.read.parquet(tmp).count()
+        if n_written != n_after:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"cell {cid} rewrite count mismatch ({n_after} -> {n_written}); "
+                "original partition left untouched"
+            )
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        removed += n_before - n_after
+    return removed

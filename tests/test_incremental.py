@@ -460,3 +460,67 @@ def test_refresh_join_view_empty_cdc_is_identity(spark):
     view = facts.join(v1, "k").select("k", "amt", "color")
     out = refresh_join_view(view, facts, snapshot_diff(v1, v1, ["k"]), "k", ["color"])
     assert _view_rows(out) == _view_rows(view)
+
+
+def test_ivf_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
+    """RTBF deletes: removed ids disappear from search, the rewrite
+    touches ONLY the cells that contained them (other cells' files are
+    byte-identical), and the removed-row count is exact."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_del")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    n_total = spark.read.parquet(idx).count()
+    # Delete the exact top hits of query 0 so the search visibly changes.
+    pre = search_ivf_index(spark, sf_dir, idx, (0,), CENTROID_IDS, nprobe=2, k=3)
+    victims = [r["vec_id"] for r in pre.collect()]
+    assert len(victims) == 3
+    victim_cells = {
+        r["cid"]
+        for r in spark.read.parquet(idx)
+        .filter(F.col("vec_id").isin(*victims))
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    untouched_before = {
+        f: os.path.getsize(f.removeprefix("file:"))
+        for f in _index_files(spark, idx)
+        if not any(f"cid={c}/" in f for c in victim_cells)
+    }
+
+    removed = delete_from_ivf_index(spark, idx, victims)
+    assert removed == 3
+    assert spark.read.parquet(idx).count() == n_total - 3
+    left = spark.read.parquet(idx).filter(F.col("vec_id").isin(*victims)).count()
+    assert left == 0, "deleted ids still present in the index"
+    post_ids = {
+        r["vec_id"]
+        for r in search_ivf_index(
+            spark, sf_dir, idx, (0,), CENTROID_IDS, nprobe=2, k=3
+        ).collect()
+    }
+    assert not (post_ids & set(victims)), "search still returns deleted vectors"
+    for f, size in untouched_before.items():
+        assert os.path.getsize(f.removeprefix("file:")) == size, (
+            f"delete rewrote an unaffected cell file: {f}"
+        )
+
+
+def test_ivf_delete_empty_list_is_noop(spark, sf_dir, tmp_path):
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_del_noop")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    before = _index_files(spark, idx)
+    assert delete_from_ivf_index(spark, idx, []) == 0
+    assert _index_files(spark, idx) == before
