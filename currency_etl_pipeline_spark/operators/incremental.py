@@ -45,9 +45,9 @@ def algebraic_rollup(
     snapshot: DataFrame, group_keys: Sequence[str], value_col: str
 ) -> DataFrame:
     """(n, Σx, Σx²) partials per group — the from-scratch builder whose
-    output ``delta_apply_rollup`` maintains. Kept as raw partials (plus
-    a derived mean) so downstream can derive mean/variance/stddev
-    without another scan; DECIMAL so recompute == incremental exactly.
+    output ``delta_apply_rollup`` maintains. Kept as raw partials so
+    downstream can derive mean/variance/stddev without another scan;
+    DECIMAL so recompute == incremental exactly.
     """
     keys = list(group_keys)
     x = dec(value_col, _SUM_PREC, _SUM_SCALE)
@@ -108,8 +108,17 @@ def delta_apply_rollup(
     )
     zero_sum = F.lit(0).cast(f"decimal({_SUM_PREC},{_SUM_SCALE})")
     zero_sq = F.lit(0).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")
-    merged = prev.join(delta, keys, "full_outer").select(
-        *keys,
+    # NULL-SAFE key equality: groupBy treats NULL as a real group, so a
+    # plain equi-join would fail to line the NULL group's delta up with
+    # its prev row and emit two half-merged rows. <=> matches the
+    # groupBy semantics exactly.
+    from functools import reduce
+
+    cond = reduce(
+        lambda a, b: a & b, [prev[k].eqNullSafe(delta[k]) for k in keys]
+    )
+    merged = prev.join(delta, cond, "full_outer").select(
+        *[F.coalesce(prev[k], delta[k]).alias(k) for k in keys],
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
         (F.coalesce(F.col("sum_x"), zero_sum) + F.coalesce(F.col("_dsum"), zero_sum))
         .cast(f"decimal({_SUM_PREC},{_SUM_SCALE})")

@@ -27,30 +27,34 @@ GAP_SCHEMA = (
 
 
 def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    # exact integer microseconds; median of ints is exact (or a .5
-    # midpoint). Normalize the unit explicitly — pandas may hold
-    # datetime64[ns] or [us] depending on the Arrow path.
-    us = pdf["ts"].astype("datetime64[us]").astype("int64")
-    gaps = us.diff().dropna()
+    # Numpy throughout: this function runs once PER GROUP, and with
+    # millions of small groups the pandas idioms (sort_values, a
+    # DataFrame built from a list of dicts) cost milliseconds each —
+    # they dominated the whole query's wall clock (~4x) before this
+    # rewrite. lexsort + diff on raw int64 arrays is microseconds.
+    import numpy as np
+
+    # exact integer microseconds; normalize the unit explicitly —
+    # pandas may hold datetime64[ns] or [us] depending on the Arrow path.
+    ts = pdf["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts))
+    gaps = np.diff(ts[order])
     if len(gaps) == 0:
         med = mx = None
     else:
         # Keep exact: integer micros, or an n.5 midpoint for even-count
         # medians — both exactly representable in float64. No division,
         # no rounding, so no cross-engine tie-breaking to disagree on.
-        med = float(gaps.median())
+        med = float(np.median(gaps))
         mx = float(gaps.max())
     return pd.DataFrame(
-        [
-            {
-                "user_id": int(pdf["user_id"].iloc[0]),
-                "n_events": len(pdf),
-                "n_gaps": len(gaps),
-                "median_gap_us": med,
-                "max_gap_us": mx,
-            }
-        ]
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "n_gaps": [len(gaps)],
+            "median_gap_us": [med],
+            "max_gap_us": [mx],
+        }
     )
 
 

@@ -21,8 +21,8 @@ _SCHEMA = "k bigint, grp string, x double"
 
 def _rollup_rows(df):
     return sorted(
-        (r["grp"], r["n"], str(r["sum_x"]), str(r["sum_x2"]))
-        for r in df.collect()
+        ((r["grp"], r["n"], str(r["sum_x"]), str(r["sum_x2"])) for r in df.collect()),
+        key=repr,  # grp may legitimately be None (NULL group)
     )
 
 
@@ -524,3 +524,17 @@ def test_ivf_delete_empty_list_is_noop(spark, sf_dir, tmp_path):
     before = _index_files(spark, idx)
     assert delete_from_ivf_index(spark, idx, []) == 0
     assert _index_files(spark, idx) == before
+
+
+def test_delta_apply_handles_null_group_key(spark):
+    """groupBy treats NULL as a real group; the maintenance join must
+    line the NULL group's delta up with its prev row (null-safe keys)
+    instead of emitting two half-merged rows."""
+    v1 = spark.createDataFrame([(1, None, 2.0), (2, None, 3.0), (3, "a", 1.0)], _SCHEMA)
+    v2 = spark.createDataFrame([(1, None, 2.0), (3, "a", 1.0), (4, None, 5.0)], _SCHEMA)
+    out = delta_apply_rollup(
+        algebraic_rollup(v1, ["grp"], "x"), snapshot_diff(v1, v2, ["k"]), ["grp"], "x"
+    )
+    assert _rollup_rows(out) == _rollup_rows(algebraic_rollup(v2, ["grp"], "x"))
+    nulls = [r for r in out.collect() if r["grp"] is None]
+    assert len(nulls) == 1 and nulls[0]["n"] == 2, nulls
