@@ -62,7 +62,7 @@ def algebraic_rollup(
 
 
 def delta_apply_rollup(
-    prev: DataFrame,
+    prev: DataFrame | None,
     cdc: DataFrame,
     group_keys: Sequence[str],
     value_col: str,
@@ -81,7 +81,9 @@ def delta_apply_rollup(
 
     ``group_keys``/``value_col`` may name snapshot key columns (top
     level in the CDC feed) or value columns (fields of the old/new
-    structs) — resolved per side.
+    structs) — resolved per side. ``prev=None`` is the cold start: the
+    rollup is exactly the feed's positive contributions (a streaming
+    consumer's first micro-batch, before any committed version exists).
     """
     keys = list(group_keys)
     top = set(cdc.columns) - {"change_type", "old", "new"}
@@ -106,6 +108,13 @@ def delta_apply_rollup(
             "_dsum2"
         ),
     )
+    if prev is None:
+        return delta.select(
+            *keys,
+            F.col("_dn").alias("n"),
+            F.col("_dsum").cast(f"decimal({_SUM_PREC},{_SUM_SCALE})").alias("sum_x"),
+            F.col("_dsum2").cast(f"decimal({_SQ_PREC},{_SQ_SCALE})").alias("sum_x2"),
+        ).filter(F.col("n") > 0)
     zero_sum = F.lit(0).cast(f"decimal({_SUM_PREC},{_SUM_SCALE})")
     zero_sq = F.lit(0).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")
     # NULL-SAFE key equality: groupBy treats NULL as a real group, so a

@@ -705,3 +705,81 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         q.stop()
     # Sentinels out HERE, on the batch result (see docstring).
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+from currency_etl_pipeline_spark.queries.incremental_queries import (  # noqa: E402
+    _CDC_ORACLE,
+)
+
+
+@query(
+    "streaming_cdc_rollup",
+    # Same oracle as the batch twin (single source of truth): the
+    # maintained rollup must land on the from-scratch rollup of v2 no
+    # matter how the CDC history was chunked into micro-batches.
+    oracle=_CDC_ORACLE,
+)
+def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``cdc_delta_apply_rollup`` — the retraction
+    case no built-in streaming aggregation can express: the same
+    v1→v2 CDC scenario (inserts, updates with group migration,
+    modulo-purge deletes) arrives as a FILE-TAILED change feed in
+    multiple micro-batches (batch 0 = v1 as pure inserts, then the
+    v1→v2 diff split into chunks), consumed by
+    ``streaming/pipeline.stream_cdc_rollup``: foreachBatch applies
+    each batch's signed contributions to the committed SnapshotStore
+    rollup, epoch-tagged so replays are no-ops. The final committed
+    version must hash-match the SAME DuckDB oracle as the batch twin —
+    chunking the history must not change a single bit.
+
+    Chunk-order safety: each key appears once per diff, and a group
+    emptied by one chunk has exactly-zero partials (DECIMAL), so the
+    n>0 drop loses nothing regardless of which chunk lands first.
+
+    Scale: per micro-batch the work is |batch changes| + |rollup|
+    rows; the snapshot the feed describes is never read.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+    from currency_etl_pipeline_spark.queries.incremental_queries import _snapshots
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_rollup
+
+    v1, v2 = _snapshots(spark, sf_dir)
+    feed = tempfile.mkdtemp(prefix="cdc_feed_")
+    batches = [snapshot_diff(v1.limit(0), v1, ["user_id"])] + [
+        snapshot_diff(v1, v2, ["user_id"]).filter(
+            F.abs(F.hash("user_id")) % 2 == i
+        )
+        for i in range(2)
+    ]
+    for i, b in enumerate(batches):
+        sub = os.path.join(feed, f"d{i}")
+        b.repartition(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.utime(
+                    os.path.join(sub, f),
+                    (1_000_000_000 + i * 1000,) * 2,
+                )
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    snap = tempfile.mkdtemp(prefix="cdc_snap_")
+    q = stream_cdc_rollup(spark, stream, snap, ["event_type"], "value")
+    q.awaitTermination()
+    out = SnapshotStore(spark, snap).read()
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_x").cast("double"), 4).alias("sum_value"),
+        F.round(F.col("sum_x2").cast("double"), 4).alias("sum_sq"),
+        F.round((F.col("sum_x").cast("double") / F.col("n")), 6).alias("avg_value"),
+    )
+

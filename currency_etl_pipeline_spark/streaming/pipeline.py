@@ -376,3 +376,63 @@ def stream_corpus_to_lake(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_cdc_rollup(
+    spark: SparkSession,
+    cdc_stream: DataFrame,
+    snapshot_path: str,
+    group_keys,
+    value_col: str,
+    checkpoint_dir: str | None = None,
+    retain: int = 4,
+):
+    """Continuously-maintained materialized rollup WITH RETRACTIONS.
+
+    Structured Streaming's built-in aggregations cannot retract: an
+    append-mode agg only ever adds, and update mode still cannot
+    un-count a deleted row. A CDC feed (``snapshot_diff`` schema)
+    carries updates and deletes, so the standard streaming aggs cannot
+    consume it. This closes the gap the same way the other continuous
+    aggregates do — ``foreachBatch`` — but the per-batch step is
+    ``delta_apply_rollup``: each micro-batch of change rows lands on
+    the committed (n, Σx, Σx²) snapshot as SIGNED contributions
+    (insert +, delete −, update −old +new), and the result commits as
+    a new SnapshotStore version (atomic pointer).
+
+    Replay safety: commits are epoch-tagged exactly like
+    ``stream_rollup_snapshot`` — a replayed micro-batch after a crash
+    between commit and checkpoint is a no-op, so each CDC batch
+    applies exactly once (signed deltas are NOT idempotent; the tag is
+    what makes at-least-once delivery safe).
+
+    Scale: per batch this shuffles |batch changes| + |rollup| rows —
+    group cardinality, never snapshot cardinality; the snapshot the
+    CDC describes is never read (the delta_apply contract).
+
+    Returns the StreamingQuery; read via
+    ``SnapshotStore(spark, snapshot_path).read()``.
+    """
+    from currency_etl_pipeline_spark.operators.incremental import delta_apply_rollup
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, snapshot_path, retain=retain)
+    keys = list(group_keys)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = store.latest_tag()
+        if last is not None and epoch_id <= int(last):
+            return  # replayed epoch already applied to the live version
+        prev = store.read() if store.exists() else None
+        store.commit(
+            delta_apply_rollup(prev, batch_df, keys, value_col), tag=str(epoch_id)
+        )
+
+    writer = (
+        cdc_stream.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -673,3 +673,65 @@ def test_left_outer_interval_join_null_emission_and_late_purchase_drop(spark, tm
     assert not any(r[2] == 4 for r in spark.table(name).collect()), (
         "late purchase 4 appeared in the result"
     )
+
+
+def test_stream_cdc_rollup_applies_retractions_across_batches(spark, tmp_path):
+    """A CDC stream consumed by stream_cdc_rollup must leave the
+    maintained SnapshotStore rollup bit-identical to a from-scratch
+    rollup of the final snapshot — across micro-batches that insert,
+    update, DELETE (retraction no built-in streaming agg can express),
+    migrate a row between groups, empty a group out, and re-create it."""
+    import os
+
+    from currency_etl_pipeline_spark.operators.incremental import algebraic_rollup
+    from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_rollup
+
+    schema = "k bigint, grp string, x double"
+    versions = [
+        [(1, "a", 10.0), (2, "b", 5.0)],
+        [(1, "a", 12.0), (2, "b", 5.0), (3, "a", 1.0)],   # update 1, insert 3
+        [(2, "c", 5.0), (3, "a", 1.0)],                   # delete 1; 2 migrates b->c (b empties)
+        [(2, "c", 7.5), (3, "a", 1.0), (4, "b", 2.0)],    # update 2; insert 4 (b reborn)
+    ]
+    dfs = [spark.createDataFrame(v, schema) for v in versions]
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    diffs = [snapshot_diff(dfs[0].limit(0), dfs[0], ["k"])] + [
+        snapshot_diff(dfs[i - 1], dfs[i], ["k"]) for i in range(1, len(dfs))
+    ]
+    for i, d in enumerate(diffs):
+        sub = feed / f"d{i}"
+        d.repartition(1).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 1000,) * 2)
+
+    # Signed deltas commute in value but NOT through the n>0 drop
+    # (out-of-order application could zero a group early), so the feed
+    # is consumed strictly in diff order: mtime + maxFilesPerTrigger=1.
+    stream = (
+        spark.readStream.schema(diffs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = stream_cdc_rollup(
+        spark,
+        stream,
+        str(tmp_path / "snap"),
+        ["grp"],
+        "x",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["n"], str(r["sum_x"]), str(r["sum_x2"])) for r in df.collect()
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    assert rows(store.read()) == rows(algebraic_rollup(dfs[-1], ["grp"], "x"))
+    got = {r["grp"]: r["n"] for r in store.read().collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}, got  # b emptied then reborn
+    assert store.version() == len(diffs), "one committed version per micro-batch"
