@@ -84,7 +84,11 @@ def cdc_delta_apply_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v1, v2 = _snapshots(spark, sf_dir)
     prev = algebraic_rollup(v1, ["event_type"], "value")
-    cdc = snapshot_diff(v1, v2, ["user_id"])
+    # The CDC feed is |changed keys| rows — bounded. localCheckpoint
+    # materializes it once so the downstream plan consumes a feed, not
+    # a re-derivation of both snapshot versions per reference (which is
+    # also the production IO profile: the feed arrives materialized).
+    cdc = snapshot_diff(v1, v2, ["user_id"]).localCheckpoint(eager=True)
     maintained = delta_apply_rollup(prev, cdc, ["event_type"], "value")
     return maintained.select(
         "event_type",
@@ -149,7 +153,10 @@ def cdc_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_view = orders.join(v1, "custkey").select(
         "o_orderkey", "custkey", "o_totalprice", "c_name", "c_mktsegment"
     )
-    cdc = snapshot_diff(v1, v2, ["custkey"])
+    # Materialized once for the same reason as cdc_delta_apply_rollup:
+    # the feed is bounded by changed keys, and refresh_join_view
+    # references it twice (changed keys + new images).
+    cdc = snapshot_diff(v1, v2, ["custkey"]).localCheckpoint(eager=True)
     from currency_etl_pipeline_spark.operators.incremental import refresh_join_view
 
     return refresh_join_view(old_view, orders, cdc, "custkey", ["c_name", "c_mktsegment"])
