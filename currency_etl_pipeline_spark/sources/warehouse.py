@@ -219,9 +219,24 @@ class Warehouse:
 
     # -- S7: create-if-absent is implicit in path-based parquet append --
 
-    def append_historical(self, batch: DataFrame) -> None:
+    def append_historical(
+        self,
+        batch: DataFrame,
+        cluster_by: tuple[str, ...] | list[str] | None = None,
+    ) -> None:
         """S8: append-only history, partitioned by event date so
         time-range queries prune partitions.
+
+        ``cluster_by`` sorts rows within each written file at append
+        time (same knob as ``compact_historical``): micro-batch files
+        get tight row-group key ranges from day one instead of waiting
+        for the cold-partition rewrite. Within-task sort only — no
+        extra shuffle — and the sort leads with ``rate_date``: the
+        dynamic-partition writer requires task rows ordered by the
+        partition column and inserts its own (non-stable) sort when
+        they are not, which would scramble the clustering; pre-sorting
+        (rate_date, *cluster_by) satisfies that requirement as a
+        prefix, so no second sort runs and each file stays key-sorted.
 
         Schema evolution: each append unions the batch's columns into a
         registry sidecar (``_schema_registry.json`` — underscore files
@@ -236,6 +251,8 @@ class Warehouse:
         coercion corrupts history."""
         batch = batch.withColumn("rate_date", F.to_date("timestamp"))
         self._register_schema(batch.schema)
+        if cluster_by:
+            batch = batch.sortWithinPartitions("rate_date", *cluster_by)
         batch.write.mode("append").partitionBy("rate_date").parquet(self.historical_path)
 
     @property

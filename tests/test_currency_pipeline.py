@@ -750,3 +750,41 @@ def test_clustered_compaction_prunes_row_groups(spark, tmp_path):
     )
     assert "PushedFilters:" in plan and "base_currency" in plan.split("PushedFilters:")[1].split("]")[0]
     assert lookup.count() == 250
+
+
+def test_clustered_append_sorts_within_files(spark, tmp_path):
+    """append_historical(cluster_by=...) must land each file key-sorted
+    even when one task writes MULTIPLE date partitions — the
+    dynamic-partition writer's own sort on rate_date must not scramble
+    the clustering (we pre-sort with rate_date leading, so the
+    writer's requirement is already satisfied)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # Interleaved keys across TWO dates in one batch (single partition
+    # -> one task writes both date dirs).
+    rows = [
+        (f"C{p:02d}", "USD", 1.0 + p, f"2024-03-{d:02d} 10:{p:02d}:00")
+        for p in range(30)
+        for d in (1, 2)
+    ]
+    batch = spark.createDataFrame(
+        rows, "base_currency string, target_currency string, rate double, ts string"
+    ).select(
+        "base_currency", "target_currency", "rate",
+        F.to_timestamp("ts").alias("timestamp"),
+    ).repartition(1)
+    wh.append_historical(batch, cluster_by=("base_currency", "target_currency"))
+
+    for d in (1, 2):
+        part = str(tmp_path / "wh" / "historical_rates" / f"rate_date=2024-03-{d:02d}")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert files
+        for f in files:
+            col = pq.read_table(os.path.join(part, f), columns=["base_currency"])
+            vals = col.column(0).to_pylist()
+            assert vals == sorted(vals), f"file {f} not key-sorted: {vals[:6]}..."
