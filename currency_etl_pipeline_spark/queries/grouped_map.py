@@ -77,9 +77,13 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-gap order statistics (median/max gap in
     exact microseconds) via grouped-map ``applyInPandas`` — each user's event
-    sequence arrives as one Arrow-backed pandas frame.
+    sequence arrives as one Arrow-backed pandas frame, processed with
+    numpy (lexsort/diff/median) because the per-group call runs once
+    PER KEY and pandas idioms cost milliseconds each at millions of
+    tiny groups (r6: the body went from ~2.7s to ~1s over the ~2.6
+    ms/group applyInPandas framework floor at sf0.1).
 
-    Plan: ONE shuffle on user_id, then per-group vectorized pandas.
+    Plan: ONE shuffle on user_id, then per-group vectorized numpy.
     State is bounded by the largest single group — at 100 TB a hot user
     is the risk, which is why everything that doesn't need sequence
     order (the agg families) stays JVM-side; this operator exists for

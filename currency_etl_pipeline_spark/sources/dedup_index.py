@@ -162,8 +162,67 @@ def query_minhash_index(
     and signature compare against the persisted relations."""
     p = load_index_params(index_path)
     qbands, qsigs = doc_signature_tables(batch_docs, p["num_hashes"], p["band_size"])
-    ibands = spark.read.parquet(os.path.join(index_path, "bands"))
-    isigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+    ibands = _live(spark, index_path, spark.read.parquet(os.path.join(index_path, "bands")))
+    isigs = _live(spark, index_path, spark.read.parquet(os.path.join(index_path, "sigs")))
     return minhash_cross_candidates(
         ibands, isigs, qbands, qsigs, p["num_hashes"], min_est_jaccard
     )
+
+
+def _tombstones_path(index_path: str) -> str:
+    return os.path.join(index_path, "tombstones")
+
+
+def delete_from_minhash_index(spark: SparkSession, index_path: str, doc_ids) -> None:
+    """Right-to-be-forgotten for the dedup index, tombstone-style.
+
+    bands/sigs are not partitioned by doc_id (they are probed by band
+    key), so a physical per-delete rewrite would touch the whole
+    index. Instead deletes APPEND the ids to a tombstone relation and
+    ``query_minhash_index`` anti-joins it — O(RTBF volume) extra work
+    per query, zero rewrite. ``compact_minhash_index`` applies the
+    tombstones physically when they grow past taste. This is the soft
+    delete + deferred compaction design every log-structured store
+    uses; contrast the IVF index, whose cid partitioning makes an
+    eager partition rewrite the cheaper path (ann_index.py).
+    """
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    spark.createDataFrame([(int(i),) for i in ids], "doc_id bigint").write.mode(
+        "append"
+    ).parquet(_tombstones_path(index_path))
+
+
+def _live(spark: SparkSession, index_path: str, rel: DataFrame) -> DataFrame:
+    t = _tombstones_path(index_path)
+    if not os.path.isdir(t):
+        return rel
+    return rel.join(spark.read.parquet(t), "doc_id", "left_anti")
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
+    """Apply accumulated tombstones physically: rewrite bands/sigs
+    without the deleted ids (tmp dir + count-verified swap, the same
+    never-destroy discipline as the warehouse rewrites), then drop the
+    tombstone relation. Returns the number of doc_ids applied."""
+    import shutil
+
+    t = _tombstones_path(index_path)
+    if not os.path.isdir(t):
+        return 0
+    n_ids = spark.read.parquet(t).distinct().count()
+    for sub in ("bands", "sigs"):
+        path = os.path.join(index_path, sub)
+        rel = spark.read.parquet(path)
+        survivors = _live(spark, index_path, rel)
+        n_expect = survivors.count()
+        tmp = path + "__compact_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        if spark.read.parquet(tmp).count() != n_expect:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"{sub} compaction count mismatch; original untouched")
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    shutil.rmtree(t)
+    return n_ids

@@ -538,3 +538,44 @@ def test_delta_apply_handles_null_group_key(spark):
     assert _rollup_rows(out) == _rollup_rows(algebraic_rollup(v2, ["grp"], "x"))
     nulls = [r for r in out.collect() if r["grp"] is None]
     assert len(nulls) == 1 and nulls[0]["n"] == 2, nulls
+
+
+def test_minhash_index_tombstone_delete_and_compaction(spark, sf_dir, tmp_path):
+    """RTBF on the dedup index: tombstoned corpus docs stop matching
+    immediately (anti-join, no rewrite), and compaction applies the
+    tombstones physically — row counts shrink by exactly the dead ids'
+    rows, the tombstone relation disappears, and query results are
+    unchanged before vs after compaction."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path / "mh_rtbf")
+    build_minhash_index(spark, docs.filter(F.col("doc_id") < 400), idx)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    before = _q_rows(query_minhash_index(spark, idx, batch, min_est_jaccard=0.5))
+    assert before, "fixture lost its cross-split matches"
+    victims = sorted({corpus_id for _, corpus_id, _ in before})[:2]
+
+    delete_from_minhash_index(spark, idx, victims)
+    soft = _q_rows(query_minhash_index(spark, idx, batch, min_est_jaccard=0.5))
+    assert soft == [r for r in before if r[1] not in victims], (
+        "tombstoned docs still matching (or unrelated rows changed)"
+    )
+
+    bands_rows = spark.read.parquet(f"{idx}/bands").count()
+    dead_band_rows = (
+        spark.read.parquet(f"{idx}/bands").filter(F.col("doc_id").isin(victims)).count()
+    )
+    assert compact_minhash_index(spark, idx) == len(victims)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert spark.read.parquet(f"{idx}/bands").count() == bands_rows - dead_band_rows
+    assert _q_rows(query_minhash_index(spark, idx, batch, min_est_jaccard=0.5)) == soft
+    # idempotent: nothing left to apply
+    assert compact_minhash_index(spark, idx) == 0
