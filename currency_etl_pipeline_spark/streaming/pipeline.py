@@ -436,3 +436,54 @@ def stream_cdc_rollup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_append_ivf_index(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the materialized IVF index: each
+    micro-batch of (vec_id, label, v) rows is assigned against the
+    index's frozen sidecar centroids and appended as new files inside
+    the cid= partitions (``sources/ann_index.append_ivf_index``) — the
+    live-ingest half of the index lifecycle, with drift
+    (``centroid_drift_report``) deciding when to retrain.
+
+    Replay protocol: an ``_last_epoch`` marker inside the index dir
+    makes replayed micro-batches no-ops. The marker is written AFTER
+    the append, so a crash in between can duplicate ONE batch's files
+    — append-only parquet has no transaction log to close that window;
+    on Delta/Iceberg the same foreachBatch body commits atomically and
+    the window disappears (the documented upgrade path, matching
+    ``merge_into_available``). Contrast stream_cdc_rollup, where the
+    SnapshotStore's atomic pointer gives exactly-once today.
+
+    Returns the StreamingQuery.
+    """
+    import os
+
+    from currency_etl_pipeline_spark.sources.ann_index import append_ivf_index
+
+    marker = os.path.join(index_path, "_last_epoch")
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if epoch_id <= int(fh.read().strip() or -1):
+                    return  # replayed epoch already appended
+        append_ivf_index(spark, index_path, batch_df)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(epoch_id))
+        os.replace(tmp, marker)
+
+    writer = (
+        vec_stream.writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

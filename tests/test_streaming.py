@@ -735,3 +735,74 @@ def test_stream_cdc_rollup_applies_retractions_across_batches(spark, tmp_path):
     got = {r["grp"]: r["n"] for r in store.read().collect()}
     assert got == {"a": 1, "b": 1, "c": 1}, got  # b emptied then reborn
     assert store.version() == len(diffs), "one committed version per micro-batch"
+
+
+def test_stream_append_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """A vector stream consumed by stream_append_ivf_index must leave
+    the materialized index search-identical to a one-shot batch build
+    over the same corpus, and a replayed epoch must be a no-op (the
+    _last_epoch marker protocol)."""
+    import os
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_append_ivf_index
+
+    CENTROIDS = tuple(range(20, 28))
+    v = _vecs(spark, sf_dir)
+    live = str(tmp_path / "ivf_live")
+    full = str(tmp_path / "ivf_batch")
+    build_ivf_index(spark, sf_dir, full, CENTROIDS)
+    # Seed the live index with the first 300 vectors (build installs
+    # the centroid sidecar the stream appends against).
+    build_ivf_index(
+        spark, sf_dir, live, CENTROIDS, vectors=v.filter(F.col("vec_id") < 300)
+    )
+
+    feed = tmp_path / "vec_feed"
+    feed.mkdir()
+    for i, (lo, hi) in enumerate([(300, 400), (400, 10_000_000)]):
+        sub = feed / f"b{i}"
+        v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).repartition(
+            1
+        ).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = stream_append_ivf_index(
+        spark, stream, live, checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                search_ivf_index(
+                    spark, sf_dir, path, (0, 1, 2), CENTROIDS, nprobe=2, k=5
+                ).collect(),
+            )
+        )
+
+    assert rows(live) == rows(full), "streamed index diverged from batch build"
+
+    # Replay: re-running the drained feed against the same checkpoint
+    # must not duplicate files (epochs already recorded).
+    files_before = set(spark.read.parquet(live).inputFiles())
+    q2 = stream_append_ivf_index(
+        spark,
+        spark.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*"),
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q2.awaitTermination()
+    assert set(spark.read.parquet(live).inputFiles()) == files_before
