@@ -105,7 +105,7 @@ def search_ivf_index(
     sf_dir: str,
     index_path: str,
     query_ids,
-    centroid_ids,
+    centroid_ids=None,
     nprobe: int = 2,
     k: int = 5,
 ) -> DataFrame:
@@ -116,9 +116,19 @@ def search_ivf_index(
     the probed cid list to the driver is O(nprobe × |queries|) ints,
     and embedding it as a LITERAL IN-filter is what turns the read
     into static partition pruning instead of a runtime join filter.
+
+    ``centroid_ids=None`` ranks probes against the index's OWN sidecar
+    centroids — required after ``recluster_ivf_index`` (the stored
+    quantizer no longer corresponds to any corpus vec_ids) and the
+    generally-correct self-describing default; passing ids keeps the
+    legacy derive-from-corpus behavior byte-identical.
     """
     v = _vecs(spark, sf_dir)
-    cents = _centroids(spark, sf_dir, centroid_ids)
+    cents = (
+        load_index_centroids(spark, index_path)
+        if centroid_ids is None
+        else _centroids(spark, sf_dir, centroid_ids)
+    )
     queries = v.filter(F.col("vec_id").isin(*query_ids))
     probes = (
         _ranked_cells(queries, cents)
@@ -420,3 +430,57 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
         os.rename(tmp, part_dir)
         removed += n_before - n_after
     return removed
+
+
+def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> None:
+    """The ACTION the drift metric decides: retrain the coarse
+    quantizer on the index's current population (pyspark.ml KMeans,
+    cosine distance, fixed seed) and rewrite the index against the new
+    centroids — closing the maintain→drift→recluster lifecycle loop.
+
+    The rewrite lands in a sibling tmp dir and is row-count-verified
+    before the swap (the warehouse rewrite discipline: a failed
+    recluster never destroys the serving index). After reclustering,
+    the stored centroids are trained centers, not corpus exemplars, so
+    searches must rank probes against the SIDECAR
+    (``search_ivf_index(..., centroid_ids=None)``); post-recluster
+    drift drops toward zero by construction (KMeans centers ≈ cell
+    means) and recall holds — both pinned in tests/test_incremental.py.
+
+    Cost: a few KMeans passes over the index plus one full rewrite —
+    exactly what append-mode maintenance exists to amortize; run it
+    when ``centroid_drift_report`` flags cells, not on a schedule.
+    Float-layout indexes only (SQ8 codes lose the scale needed to
+    retrain; keep the float twin as the training source).
+    """
+    import os
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    idx = spark.read.parquet(index_path)
+    if "dv" not in idx.columns:
+        raise ValueError("recluster_ivf_index requires the float (dv) layout")
+    n_before = idx.count()
+    feats = idx.select(
+        "vec_id", "label", F.col("dv").alias("v"), array_to_vector(F.col("dv")).alias("features")
+    )
+    model = KMeans(k=k, seed=42, distanceMeasure="cosine", maxIter=20).fit(feats)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    assigned = (
+        _ranked_cells(feats.select("vec_id", "label", "v"), cents)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("v").alias("dv"), "cid")
+    )
+    tmp = index_path + "__recluster_tmp"
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    cents.write.mode("overwrite").parquet(_centroid_sidecar(tmp))
+    if spark.read.parquet(tmp).count() != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("recluster row count mismatch; original index untouched")
+    shutil.rmtree(index_path)
+    os.rename(tmp, index_path)

@@ -579,3 +579,50 @@ def test_minhash_index_tombstone_delete_and_compaction(spark, sf_dir, tmp_path):
     assert _q_rows(query_minhash_index(spark, idx, batch, min_est_jaccard=0.5)) == soft
     # idempotent: nothing left to apply
     assert compact_minhash_index(spark, idx) == 0
+
+
+def test_ivf_recluster_restores_quantizer_health(spark, sf_dir, tmp_path):
+    """The lifecycle loop closes: recluster_ivf_index retrains the
+    coarse quantizer on the index population and rewrites the index —
+    row count preserved, drift collapsing (trained centers track cell
+    means, unlike corpus-exemplar centroids), and search against the
+    new SIDECAR quantizer keeps the exact-top-5 recall floor."""
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        centroid_drift_report,
+        recluster_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_recluster")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    n = spark.read.parquet(idx).count()
+    drift_before = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()
+    }
+
+    recluster_ivf_index(spark, idx, k=8)
+    assert spark.read.parquet(idx).count() == n
+    drift_after = [r["drift"] for r in centroid_drift_report(spark, idx).collect()]
+    assert max(drift_after) < min(drift_before.values()), (
+        f"recluster did not improve quantizer fit: before {drift_before}, "
+        f"after {drift_after}"
+    )
+
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(
+            spark, sf_dir, idx, QUERY_IDS, centroid_ids=None, nprobe=2, k=5
+        ).collect()
+    }
+    exact = all_queries()["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    per_query: dict = {}
+    top5 = set()
+    for r in sorted(exact, key=lambda r: (r["query_id"], -r["cos_sim"], r["vec_id"])):
+        per_query.setdefault(r["query_id"], 0)
+        if per_query[r["query_id"]] < 5:
+            per_query[r["query_id"]] += 1
+            top5.add((r["query_id"], r["vec_id"]))
+    recall = len(got & top5) / len(top5)
+    assert recall >= 0.4, f"post-recluster recall collapsed: {recall:.3f}"
