@@ -336,6 +336,7 @@ class Warehouse:
         rate_date: str,
         target_files: int = 1,
         cluster_by: tuple[str, ...] | list[str] | None = None,
+        zorder_by: tuple[str, ...] | list[str] | None = None,
     ) -> tuple[int, int]:
         """Small-files compaction for one date partition of the
         append-only history — every micro-batch append lands its own
@@ -357,8 +358,13 @@ class Warehouse:
         opening ~1/row_groups of it (pinned by
         tests/test_currency_pipeline.py::test_clustered_compaction_prunes_row_groups).
         Single-key-prefix sort is the right clustering for a dominant
-        lookup key; multi-predicate workloads generalize this to
-        Z-order/Hilbert clustering on lakehouse formats. Compaction is
+        lookup key; ``zorder_by`` is the multi-predicate alternative
+        (``zorder_within_partitions``): bit-interleaved rank sort so
+        predicates on ANY of the named columns prune row groups, where
+        ``cluster_by`` prunes only on its leading key — pinned
+        comparatively in
+        tests/test_currency_pipeline.py::test_zorder_compaction_prunes_on_every_dimension.
+        The two knobs are mutually exclusive. Compaction is
         the natural clustering moment: the partition is cold, and the
         rewrite is already paid for.
 
@@ -380,9 +386,16 @@ class Warehouse:
         df = self._read_partition(part_dir)
         n_before = df.count()
         tmp = part_dir + "__compact_tmp"
-        out = df.coalesce(max(1, target_files))
-        if cluster_by:
-            out = out.sortWithinPartitions(*cluster_by)
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            out = zorder_within_partitions(
+                df, list(zorder_by), coalesce_to=max(1, target_files)
+            )
+        else:
+            out = df.coalesce(max(1, target_files))
+            if cluster_by:
+                out = out.sortWithinPartitions(*cluster_by)
         out.write.mode("overwrite").parquet(tmp)
         n_after = self.spark.read.parquet(tmp).count()
         if n_after != n_before:
@@ -551,3 +564,51 @@ class Warehouse:
         """EP1 load stage: one batch → history append + snapshot upsert."""
         self.append_historical(batch)
         self.upsert_current(batch)
+
+
+def zorder_within_partitions(
+    df: DataFrame, cols, bits: int = 8, coalesce_to: int | None = None
+) -> DataFrame:
+    """Within-partition Z-ORDER sort over ``cols`` — the multi-predicate
+    generalization of single-key clustering: per-column dense ranks are
+    bit-interleaved into one z-value and rows sort by it, so nearby
+    rows agree on the HIGH rank bits of EVERY dimension at once. Row
+    groups then hold tight min/max ranges on ALL sorted columns, and an
+    equality/range predicate on ANY of them prunes — where a
+    lexicographic (a, b) sort prunes only on ``a`` (every row group
+    spans b's whole domain inside one a-run). This is what lakehouse
+    OPTIMIZE ZORDER BY does; here it is the same sortWithinPartitions
+    mechanism as ``cluster_by``, just on a computed key.
+
+    Ranks come from each column's sorted DISTINCT domain (dense_rank
+    over a single-partition window on the distinct set — |domain|
+    rows, which is the operator's contract: Z-order targets
+    bounded-domain dimension columns like currency codes; ranks fold
+    modulo 2**bits beyond that, weakening but not breaking locality).
+    The rank tables join back broadcast-sized; AQE handles selection.
+    ``coalesce_to`` coalesces AFTER the rank joins but BEFORE the sort
+    (a join may repartition, and coalescing after the sort would
+    concatenate sorted runs into unsorted files).
+    """
+    from pyspark.sql.window import Window
+
+    out = df
+    rank_cols = []
+    for c in cols:
+        rk = f"__zrk_{c}"
+        rank_cols.append(rk)
+        ranks = (
+            df.select(c)
+            .distinct()
+            .withColumn(rk, F.dense_rank().over(Window.orderBy(F.col(c))) - 1)
+        )
+        out = out.join(ranks, c)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, rk in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rk) % (1 << bits), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit.cast("long"), i * len(rank_cols) + ci))
+    out = out.withColumn("__zval", z)
+    if coalesce_to is not None:
+        out = out.coalesce(coalesce_to)
+    return out.sortWithinPartitions("__zval").drop("__zval", *rank_cols)

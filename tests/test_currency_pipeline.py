@@ -788,3 +788,83 @@ def test_clustered_append_sorts_within_files(spark, tmp_path):
             col = pq.read_table(os.path.join(part, f), columns=["base_currency"])
             vals = col.column(0).to_pylist()
             assert vals == sorted(vals), f"file {f} not key-sorted: {vals[:6]}..."
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order vs lexicographic clustering, same partition, same row
+    groups: lexicographic (base, target) prunes on base but leaves
+    every row group spanning target's whole domain (a predicate on
+    target alone skips nothing); Z-order tightens min/max on BOTH
+    columns, so predicates on either dimension prune."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (f"C{b:02d}", f"T{t:02d}", 1.0 + b + t / 100.0,
+         f"2024-03-01 {(b + t) % 24:02d}:{b % 60:02d}:{t % 60:02d}")
+        for b in range(32)
+        for t in range(32)
+        for _ in range(32)
+    ]
+    batch = spark.createDataFrame(
+        rows, "base_currency string, target_currency string, rate double, ts string"
+    ).select(
+        "base_currency", "target_currency", "rate",
+        F.to_timestamp("ts").alias("timestamp"),
+    )
+    wh.append_historical(batch)
+    part_dir = str(tmp_path / "wh" / "historical_rates" / "rate_date=2024-03-01")
+
+    def hits(col, key):
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        assert len(files) == 1
+        meta = pq.ParquetFile(os.path.join(part_dir, files[0])).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        spans = [
+            meta.row_group(rg).column(idx[col]).statistics
+            for rg in range(meta.num_row_groups)
+        ]
+        return sum(1 for st in spans if st.min <= key <= st.max), meta.num_row_groups
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block, old_page = hconf.get("parquet.block.size"), hconf.get("parquet.page.size")
+    hconf.set("parquet.block.size", str(8 * 1024))
+    hconf.set("parquet.page.size", str(2 * 1024))
+    try:
+        wh.compact_historical(
+            "2024-03-01", 1, cluster_by=("base_currency", "target_currency")
+        )
+        lex_base, n_lex = hits("base_currency", "C16")
+        lex_tgt, _ = hits("target_currency", "T16")
+        wh.compact_historical(
+            "2024-03-01", 1, zorder_by=("base_currency", "target_currency")
+        )
+        z_base, n_z = hits("base_currency", "C16")
+        z_tgt, _ = hits("target_currency", "T16")
+    finally:
+        (hconf.set("parquet.block.size", old_block) if old_block
+         else hconf.unset("parquet.block.size"))
+        (hconf.set("parquet.page.size", old_page) if old_page
+         else hconf.unset("parquet.page.size"))
+
+    assert n_lex >= 8 and n_z >= 6, (n_lex, n_z)
+    # Lexicographic: leading key prunes hard, trailing key not at all.
+    assert lex_base <= max(2, n_lex // 4), (lex_base, n_lex)
+    assert lex_tgt >= n_lex * 0.9, f"lex target unexpectedly pruned: {lex_tgt}/{n_lex}"
+    # Z-order: BOTH dimensions prune (measured 4/7 and 3/7 — the
+    # documented tradeoff: shallower leading-key pruning than the
+    # lexicographic layout, but no dimension left unprunable; the
+    # fractions sharpen as row-group count grows).
+    assert z_base <= n_z * 0.75, f"zorder base did not prune: {z_base}/{n_z}"
+    assert z_tgt <= n_z * 0.6, f"zorder target did not prune: {z_tgt}/{n_z}"
+    # mutual exclusion guard
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        wh.compact_historical(
+            "2024-03-01", 1, cluster_by=("base_currency",), zorder_by=("target_currency",)
+        )
