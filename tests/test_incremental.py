@@ -626,3 +626,53 @@ def test_ivf_recluster_restores_quantizer_health(spark, sf_dir, tmp_path):
             top5.add((r["query_id"], r["vec_id"]))
     recall = len(got & top5) / len(top5)
     assert recall >= 0.4, f"post-recluster recall collapsed: {recall:.3f}"
+
+
+def test_multi_commit_join_view_refresh_equals_recompute(spark, tmp_path):
+    """Across a random 4-commit dim history (keys churn, attributes
+    rewrite), the view maintained purely from SnapshotStore.diff feeds
+    must equal the from-scratch fact⋈dim join at every commit."""
+    rng = random.Random(20260815)
+    store = SnapshotStore(spark, str(tmp_path / "dims"), retain=10)
+    facts = spark.createDataFrame(
+        [(k, float(100 * k + i)) for k in range(30) for i in range(3)], _F_SCHEMA
+    )
+    colors = ["red", "blue", "green", "gold"]
+
+    def snap(keys):
+        return [(k, rng.choice(colors)) for k in sorted(keys)]
+
+    keys = set(rng.sample(range(30), 18))
+    store.commit(spark.createDataFrame(snap(keys), _D_SCHEMA))
+    view = facts.join(store.read(), "k").select("k", "amt", "color")
+    for step in range(3):
+        keys -= set(rng.sample(sorted(keys), rng.randint(1, 5)))
+        keys |= set(rng.sample(range(30), rng.randint(1, 5)))
+        store.commit(spark.createDataFrame(snap(keys), _D_SCHEMA))
+        v = store.version()
+        view = refresh_join_view(
+            view, facts, store.diff(v - 1, v, ["k"]), "k", ["color"]
+        )
+        view = spark.createDataFrame(view.collect(), view.schema)  # pin lineage
+        assert _view_rows(view) == _view_rows(
+            facts.join(store.read(), "k").select("k", "amt", "color")
+        ), f"diverged from recompute at commit {step + 2}"
+
+
+def test_sq8_drift_report_reads_code_layout(spark, sf_dir, tmp_path):
+    """centroid_drift_report must also work over the int8-coded layout
+    (codes preserve per-row direction, so the code-mean drift is the
+    documented proxy): one row per cell, counts covering the non-zero
+    corpus, drift finite and rounded."""
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_sq8_index,
+        centroid_drift_report,
+    )
+
+    idx = str(tmp_path / "sq8_drift")
+    build_ivf_sq8_index(spark, sf_dir, idx, CENTROID_IDS)
+    rows = centroid_drift_report(spark, idx).collect()
+    assert len(rows) == len(set(r["cid"] for r in rows)) > 2
+    assert sum(r["n"] for r in rows) == spark.read.parquet(idx).count()
+    for r in rows:
+        assert r["drift"] is not None and 0.0 <= r["drift"] <= 2.0, r
