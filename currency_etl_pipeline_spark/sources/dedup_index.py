@@ -226,3 +226,61 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
         os.rename(tmp, path)
     shutil.rmtree(t)
     return n_ids
+
+
+# --- bucketed-table persistence: the claimed 100 TB layout, made real ------
+
+
+def build_minhash_index_table(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_prefix: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    buckets: int = 8,
+) -> None:
+    """Persist the index as BUCKETED managed tables — the layout the
+    module docstring promises for 100 TB: ``{prefix}_bands`` bucketed
+    (+sorted) by band_key, ``{prefix}_sigs`` by doc_id, so a batch
+    check shuffles ONLY the (small) batch side into matching buckets —
+    the index side is scanned in place, no Exchange above its scan,
+    every query, forever (the shuffle was paid once at write time).
+    Params live in a one-row ``{prefix}_params`` table (bucketed
+    tables are catalog objects; a filesystem sidecar would leave the
+    index split across two metadata systems).
+    """
+    from currency_etl_pipeline_spark.sources.bucketed import write_bucketed
+
+    bands, sigs = doc_signature_tables(docs, num_hashes, band_size)
+    # Bucket by the FULL candidate-join key set: Spark's default
+    # co-partition rule (requireAllClusterKeysForCoPartition) only
+    # recognizes a bucketing that covers every join clustering key, so
+    # (band, band_key) it is — band_key alone would still shuffle.
+    write_bucketed(bands, f"{table_prefix}_bands", ["band", "band_key"], buckets)
+    write_bucketed(sigs, f"{table_prefix}_sigs", ["doc_id"], buckets)
+    spark.createDataFrame(
+        [(num_hashes, band_size)], "num_hashes int, band_size int"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_params")
+
+
+def query_minhash_index_table(
+    spark: SparkSession,
+    table_prefix: str,
+    batch_docs: DataFrame,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Batch check against the bucketed index tables: identical
+    semantics to ``query_minhash_index``, but the corpus-side band and
+    signature joins read co-located buckets — pinned by a plan test
+    asserting the bucketed scans carry no Exchange while the path-based
+    variant's corpus sides do."""
+    p = spark.table(f"{table_prefix}_params").collect()[0]
+    qbands, qsigs = doc_signature_tables(batch_docs, p["num_hashes"], p["band_size"])
+    return minhash_cross_candidates(
+        spark.table(f"{table_prefix}_bands"),
+        spark.table(f"{table_prefix}_sigs"),
+        qbands,
+        qsigs,
+        p["num_hashes"],
+        min_est_jaccard,
+    )

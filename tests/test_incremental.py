@@ -676,3 +676,51 @@ def test_sq8_drift_report_reads_code_layout(spark, sf_dir, tmp_path):
     assert sum(r["n"] for r in rows) == spark.read.parquet(idx).count()
     for r in rows:
         assert r["drift"] is not None and 0.0 <= r["drift"] <= 2.0, r
+
+
+def test_minhash_index_bucketed_table_variant(spark, sf_dir, tmp_path):
+    """The bucketed-table index must return exactly the path-based
+    index's rows, and its corpus-side scans must be genuinely
+    co-located: the bands/sigs bucketed scans report bucketing and the
+    plan carries FEWER exchanges than the path-based variant (whose
+    corpus sides must shuffle for the same joins)."""
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        build_minhash_index_table,
+        query_minhash_index,
+        query_minhash_index_table,
+    )
+    from tests.test_scale_plans import plan_of
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+
+    path_idx = str(tmp_path / "mh_path")
+    build_minhash_index(spark, corpus, path_idx)
+    build_minhash_index_table(spark, corpus, "mh_tbl_test")
+    try:
+        tbl = query_minhash_index_table(spark, "mh_tbl_test", batch, 0.5)
+        pathq = query_minhash_index(spark, path_idx, batch, 0.5)
+        assert _q_rows(tbl) == _q_rows(pathq) and len(_q_rows(tbl)) > 0
+
+        # Bucketing pays off in the SORT-MERGE regime (a batch too big
+        # to broadcast — the backfill case). At test scale AQE
+        # broadcasts the batch side everywhere, which hides the index
+        # side's shuffle in BOTH variants, so disable broadcast to
+        # compare the layouts' real shuffle obligations.
+        orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            tplan = plan_of(query_minhash_index_table(spark, "mh_tbl_test", batch, 0.5))
+            pplan = plan_of(query_minhash_index(spark, path_idx, batch, 0.5))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        assert "Bucketed: true" in tplan, "bucketed scans not recognized"
+        assert tplan.count("Exchange") < pplan.count("Exchange"), (
+            f"bucketing saved no exchanges: {tplan.count('Exchange')} vs "
+            f"{pplan.count('Exchange')}"
+        )
+    finally:
+        for t in ("mh_tbl_test_bands", "mh_tbl_test_sigs", "mh_tbl_test_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
