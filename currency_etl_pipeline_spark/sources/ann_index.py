@@ -482,5 +482,12 @@ def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> Non
     if spark.read.parquet(tmp).count() != n_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError("recluster row count mismatch; original index untouched")
+    # Carry the streaming replay marker across the swap: a live
+    # stream_append_ivf_index checkpoint must still see its last
+    # applied epoch after a recluster, or a replayed batch would
+    # double-append into the fresh layout.
+    marker = os.path.join(index_path, "_last_epoch")
+    if os.path.isfile(marker):
+        shutil.copy(marker, os.path.join(tmp, "_last_epoch"))
     shutil.rmtree(index_path)
     os.rename(tmp, index_path)
