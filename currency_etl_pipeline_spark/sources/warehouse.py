@@ -602,7 +602,17 @@ def zorder_within_partitions(
             .distinct()
             .withColumn(rk, F.dense_rank().over(Window.orderBy(F.col(c))) - 1)
         )
-        out = out.join(ranks, c)
+        # Null-safe join + coalesced key: a NULL value is a legitimate
+        # rank (dense_rank sorts it first); a plain equi-join would
+        # silently drop those rows and trip the compaction count check.
+        nk = f"__znk_{c}"
+        out = (
+            out.join(
+                ranks.select(F.col(c).alias(nk), rk),
+                out[c].eqNullSafe(F.col(nk)),
+            )
+            .drop(nk)
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for ci, rk in enumerate(rank_cols):

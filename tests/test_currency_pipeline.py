@@ -868,3 +868,18 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
         wh.compact_historical(
             "2024-03-01", 1, cluster_by=("base_currency",), zorder_by=("target_currency",)
         )
+
+
+def test_zorder_keeps_null_key_rows(spark):
+    """A NULL value in a z-ordered column is a legitimate rank — the
+    null-safe rank join must keep those rows (a plain equi-join would
+    silently drop them and break the compaction row-count contract)."""
+    from currency_etl_pipeline_spark.sources.warehouse import zorder_within_partitions
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), (None, "y", 2.0), ("b", None, 3.0), (None, None, 4.0)],
+        "k1 string, k2 string, v double",
+    )
+    out = zorder_within_partitions(df, ["k1", "k2"], coalesce_to=1)
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 2.0, 3.0, 4.0]
+    assert sorted(out.columns) == ["k1", "k2", "v"]
