@@ -122,6 +122,7 @@ HEADLINE = [
     "ivf_centroid_drift_report",
     "minhash_index_batch_dedup",
     "cdc_join_view_refresh",
+    "cdc_comoment_rollup",
 ]
 
 

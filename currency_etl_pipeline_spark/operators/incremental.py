@@ -101,12 +101,14 @@ def delta_apply_rollup(
     contrib = side(-1, "old").unionByName(side(1, "new"))
     x = dec("_x", _SUM_PREC, _SUM_SCALE)
     x2 = dec("_x", 18, 4)
+    # Negate finished products, not sign*a*b: three-factor decimal
+    # promotion can hit the 38-digit cap and quantize differently from
+    # the from-scratch rollup's two-factor form; negation is exact.
+    sq = (x2 * x2).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")
     delta = contrib.groupBy(*keys).agg(
         F.sum("_sign").alias("_dn"),
         F.sum(F.col("_sign") * x).alias("_dsum"),
-        F.sum((F.col("_sign") * x2 * x2).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")).alias(
-            "_dsum2"
-        ),
+        F.sum(F.when(F.col("_sign") >= 0, sq).otherwise(-sq)).alias("_dsum2"),
     )
     if prev is None:
         return delta.select(
@@ -176,3 +178,104 @@ def refresh_join_view(
     kept = old_view.join(changed, join_key, "left_anti")
     refreshed = facts.join(new_dim, join_key).select(*old_view.columns)
     return kept.unionByName(refreshed)
+
+
+def comoment_rollup(
+    snapshot: DataFrame, group_keys: Sequence[str], x_col: str, y_col: str
+) -> DataFrame:
+    """(n, Σx, Σy, Σx², Σy², Σxy) DECIMAL partials per group — enough
+    to derive mean/variance/covariance/correlation of (x, y) without
+    ever re-scanning the snapshot; the co-moment counterpart of
+    ``algebraic_rollup`` (the module docstring's claim that co-moments
+    are algebraic, made executable)."""
+    keys = list(group_keys)
+
+    def sq(a: str, b: str):
+        return (dec(a, 18, 4) * dec(b, 18, 4)).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")
+
+    return snapshot.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x_col, _SUM_PREC, _SUM_SCALE)).cast(f"decimal({_SUM_PREC},{_SUM_SCALE})").alias("sum_x"),
+        F.sum(dec(y_col, _SUM_PREC, _SUM_SCALE)).cast(f"decimal({_SUM_PREC},{_SUM_SCALE})").alias("sum_y"),
+        F.sum(sq(x_col, x_col)).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})").alias("sum_xx"),
+        F.sum(sq(y_col, y_col)).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})").alias("sum_yy"),
+        F.sum(sq(x_col, y_col)).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})").alias("sum_xy"),
+    )
+
+
+def delta_apply_comoments(
+    prev: DataFrame | None,
+    cdc: DataFrame,
+    group_keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Apply a CDC feed to a maintained co-moment rollup — identical
+    signed-contribution algebra to ``delta_apply_rollup`` (old −,
+    new +, group migration and zero-count drops fall out), extended to
+    the five sums that close variance/covariance/correlation under
+    inserts, updates, and deletes. Null-safe group-key merge for the
+    same reason as the single-measure form."""
+    keys = list(group_keys)
+    top = set(cdc.columns) - {"change_type", "old", "new"}
+
+    def side(sign: int, struct_col: str) -> DataFrame:
+        def resolve(name: str):
+            return F.col(name) if name in top else F.col(f"{struct_col}.{name}")
+
+        return cdc.filter(F.col(struct_col).isNotNull()).select(
+            *[resolve(k).alias(k) for k in keys],
+            F.lit(sign).alias("_sign"),
+            resolve(x_col).alias("_x"),
+            resolve(y_col).alias("_y"),
+        )
+
+    contrib = side(-1, "old").unionByName(side(1, "new"))
+    s = F.col("_sign")
+
+    def sq(a: str, b: str):
+        # Negate the FINISHED product, not sign*a*b: decimal precision
+        # promotion over three factors can hit the 38-digit cap and
+        # quantize differently from comoment_rollup's two-factor form;
+        # negation is always exact.
+        prod = (dec(a, 18, 4) * dec(b, 18, 4)).cast(f"decimal({_SQ_PREC},{_SQ_SCALE})")
+        return F.when(s >= 0, prod).otherwise(-prod)
+
+    delta = contrib.groupBy(*keys).agg(
+        F.sum("_sign").alias("_dn"),
+        F.sum(s * dec("_x", _SUM_PREC, _SUM_SCALE)).alias("_dsum_x"),
+        F.sum(s * dec("_y", _SUM_PREC, _SUM_SCALE)).alias("_dsum_y"),
+        F.sum(sq("_x", "_x")).alias("_dsum_xx"),
+        F.sum(sq("_y", "_y")).alias("_dsum_yy"),
+        F.sum(sq("_x", "_y")).alias("_dsum_xy"),
+    )
+    pairs = [
+        ("sum_x", "_dsum_x", _SUM_PREC, _SUM_SCALE),
+        ("sum_y", "_dsum_y", _SUM_PREC, _SUM_SCALE),
+        ("sum_xx", "_dsum_xx", _SQ_PREC, _SQ_SCALE),
+        ("sum_yy", "_dsum_yy", _SQ_PREC, _SQ_SCALE),
+        ("sum_xy", "_dsum_xy", _SQ_PREC, _SQ_SCALE),
+    ]
+    if prev is None:
+        return delta.select(
+            *keys,
+            F.col("_dn").alias("n"),
+            *[F.col(d).cast(f"decimal({p},{sc})").alias(o) for o, d, p, sc in pairs],
+        ).filter(F.col("n") > 0)
+    from functools import reduce
+
+    cond = reduce(lambda a, b: a & b, [prev[k].eqNullSafe(delta[k]) for k in keys])
+    merged = prev.join(delta, cond, "full_outer").select(
+        *[F.coalesce(prev[k], delta[k]).alias(k) for k in keys],
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
+        *[
+            (
+                F.coalesce(F.col(o), F.lit(0).cast(f"decimal({p},{sc})"))
+                + F.coalesce(F.col(d), F.lit(0).cast(f"decimal({p},{sc})"))
+            )
+            .cast(f"decimal({p},{sc})")
+            .alias(o)
+            for o, d, p, sc in pairs
+        ],
+    )
+    return merged.filter(F.col("n") > 0)

@@ -160,3 +160,111 @@ def cdc_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.operators.incremental import refresh_join_view
 
     return refresh_join_view(old_view, orders, cdc, "custkey", ["c_name", "c_mktsegment"])
+
+
+# Co-moment maintenance scenario over the lineitem "snapshot": v1 =
+# lines shipped before the cutoff; v2 = the full table after (a)
+# post-cutoff lines arrive (inserts), (b) a quantity correction lands
+# on every 11th part's lines (updates), (c) a modulo order purge
+# (deletes). Grouped by returnflag; (qty, price) co-moments maintained.
+_CM_CUTOFF = "1998-01-01"
+_CM_PURGE, _CM_BUMP = 97, 11
+
+_CM_ORACLE = f"""
+    WITH v2 AS (
+        SELECT l_returnflag,
+               l_quantity + CASE WHEN l_partkey % {_CM_BUMP} = 0 THEN 5 ELSE 0 END AS x,
+               l_extendedprice AS y
+        FROM lineitem WHERE l_orderkey % {_CM_PURGE} != 0
+    ),
+    p AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(x AS DECIMAL(28,4))) AS sx,
+               sum(CAST(y AS DECIMAL(28,4))) AS sy,
+               -- DECIMAL(19,4): width > 18 routes DuckDB's multiply through
+               -- int128 (the width-18 path overflows int64 on price^2);
+               -- the product values are exact either way, matching Spark's
+               -- (18,4) x (18,4) form bit-for-bit.
+               sum(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+               sum(CAST(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS syy,
+               sum(CAST(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxy
+        FROM v2 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sy AS DOUBLE), 4) AS sum_price,
+           round(CASE
+               WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+               THEN NULL
+               ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END, 6) AS corr_qty_price
+    FROM p
+"""
+
+
+@query("cdc_comoment_rollup", oracle=_CM_ORACLE)
+def cdc_comoment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CO-MOMENT maintenance: per-returnflag
+    (n, Σx, Σy, Σx², Σy², Σxy) over (quantity, price) maintained from
+    a CDC feed — the rollup of the pre-cutoff snapshot plus
+    ``delta_apply_comoments(snapshot_diff(v1, v2))`` must equal the
+    from-scratch co-moments of v2, closing variance/covariance/
+    CORRELATION under inserts (post-cutoff lines), updates (a
+    quantity correction on every 11th part), and deletes (an order
+    purge). The ORACLE recomputes v2 and derives the same rounded
+    correlation from the identical DECIMAL partials, so the driver
+    hash-checks that incremental co-moments are exact, not just close.
+
+    Scale: the maintained path touches |changes| CDC rows and the
+    |groups| rollup; the snapshot is never re-read (the delta-apply
+    contract). Correlation is derived at the OUTPUT EDGE from exact
+    partials — both engines divide the same doubles, so parity holds
+    without fixed-point tricks on the ratio itself.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_shipdate",
+    )
+    bump = F.when(F.col("l_partkey") % _CM_BUMP == 0, F.lit(5.0)).otherwise(F.lit(0.0))
+    v1 = li.filter(F.col("l_shipdate") < F.to_timestamp(F.lit(_CM_CUTOFF)))
+    v2 = li.filter(F.col("l_orderkey") % _CM_PURGE != 0).withColumn(
+        "l_quantity", F.col("l_quantity") + bump
+    )
+    from currency_etl_pipeline_spark.operators.incremental import (
+        comoment_rollup,
+        delta_apply_comoments,
+    )
+
+    prev = comoment_rollup(v1, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    # Snapshot key: (orderkey, linenumber) is NOT unique in the
+    # synthetic lineitem; the full physical line identity including
+    # shipdate is (verified at every SF) — snapshot_diff requires it.
+    cdc = snapshot_diff(
+        v1,
+        v2,
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"],
+    ).localCheckpoint(eager=True)
+    m = delta_apply_comoments(
+        prev, cdc, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+    n = F.col("n")
+    sx, sy = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
+    sxx, syy, sxy = (
+        F.col("sum_xx").cast("double"),
+        F.col("sum_yy").cast("double"),
+        F.col("sum_xy").cast("double"),
+    )
+    var_term = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(var_term <= 0, F.lit(None)).otherwise(
+        (n * sxy - sx * sy) / F.sqrt(var_term)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx, 4).alias("sum_qty"),
+        F.round(sy, 4).alias("sum_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )

@@ -724,3 +724,51 @@ def test_minhash_index_bucketed_table_variant(spark, sf_dir, tmp_path):
     finally:
         for t in ("mh_tbl_test_bands", "mh_tbl_test_sigs", "mh_tbl_test_params"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_multi_commit_comoment_delta_apply_equals_recompute(spark, tmp_path):
+    """Co-moment partials maintained purely from CDC feeds across a
+    random 5-commit history must equal the from-scratch co-moment
+    rollup at every commit — closing covariance/correlation under
+    churn, not just sums."""
+    from currency_etl_pipeline_spark.operators.incremental import (
+        comoment_rollup,
+        delta_apply_comoments,
+    )
+
+    rng = random.Random(20260816)
+    store = SnapshotStore(spark, str(tmp_path / "snap"), retain=10)
+    schema = "k bigint, grp string, x double, y double"
+
+    def snap(keys):
+        return [
+            (k, rng.choice(["a", "b"]), round(rng.uniform(-20, 20), 2),
+             round(rng.uniform(-5000, 5000), 2))
+            for k in sorted(keys)
+        ]
+
+    def rows(df):
+        return sorted(
+            (
+                (r["grp"], r["n"], str(r["sum_x"]), str(r["sum_y"]),
+                 str(r["sum_xx"]), str(r["sum_yy"]), str(r["sum_xy"]))
+                for r in df.collect()
+            ),
+            key=repr,
+        )
+
+    keys = set(rng.sample(range(40), 22))
+    store.commit(spark.createDataFrame(snap(keys), schema))
+    maintained = comoment_rollup(store.read(), ["grp"], "x", "y")
+    for step in range(4):
+        keys -= set(rng.sample(sorted(keys), rng.randint(1, 6)))
+        keys |= set(rng.sample(range(40), rng.randint(1, 6)))
+        store.commit(spark.createDataFrame(snap(keys), schema))
+        v = store.version()
+        maintained = delta_apply_comoments(
+            maintained, store.diff(v - 1, v, ["k"]), ["grp"], "x", "y"
+        )
+        maintained = spark.createDataFrame(maintained.collect(), maintained.schema)
+        assert rows(maintained) == rows(
+            comoment_rollup(store.read(), ["grp"], "x", "y")
+        ), f"diverged at commit {step + 2}"
