@@ -522,20 +522,35 @@ _DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
         SELECT a.cid, d.i,
                count(*) AS cnt,
                sum(CASE WHEN a.vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS fcnt,
-               sum(CAST(a.dv[d.i] AS DECIMAL(28,9))) AS s
+               CAST(CAST(sum(CAST(a.dv[d.i] AS DECIMAL(28,9))) AS DECIMAL(19,9))
+                    * 1000000000 AS BIGINT) AS sq
         FROM assigned a CROSS JOIN generate_series(1, 64) AS d(i)
         GROUP BY a.cid, d.i
     ),
-    meanvec AS (
+    quant AS (
+        -- scale-9 fixed-point mean (round-half-up integer division)
+        -- and centroid components: the exact_drift discipline — all
+        -- float work deferred to one fixed-form expression below
+        SELECT p.cid, p.cnt, p.fcnt,
+               CASE WHEN p.sq >= 0 THEN (p.sq + p.cnt // 2) // p.cnt
+                    ELSE -((-p.sq + p.cnt // 2) // p.cnt) END AS mq,
+               CAST(CAST(c.cv[p.i] AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS aq
+        FROM per_dim p JOIN cents c ON p.cid = c.cid
+    ),
+    cell AS (
         SELECT cid, max(cnt) AS n, max(fcnt) AS n_new,
-               list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS mv
-        FROM per_dim GROUP BY cid
+               sum(CAST(aq AS HUGEINT) * mq) AS dot,
+               sum(CAST(aq AS HUGEINT) * aq) AS na,
+               sum(CAST(mq AS HUGEINT) * mq) AS nb
+        FROM quant GROUP BY cid
     )
-    SELECT m.cid, m.n, m.n_new,
-           round(1 - {_COS_DUCK.format(a="c.cv", b="m.mv")}, 6) AS drift,
-           round(1 - {_COS_DUCK.format(a="c.cv", b="m.mv")}, 6) > {_DRIFT_THRESHOLD}
-               AS recluster
-    FROM meanvec m JOIN cents c ON m.cid = c.cid
+    SELECT cid, n, n_new,
+           round(1 - CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS drift,
+           round(1 - CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+               > {_DRIFT_THRESHOLD} AS recluster
+    FROM cell
     """,
 )
 def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +564,14 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED index; this filesystem-free twin lets the driver
     hash-check the math end to end (same cell_mean_vectors code path).
 
+    r7: drift is now bit-exact across engines — both sides quantize
+    the centroid and the cell mean to scale-9 integers (DECIMAL
+    partials → round-half-up integer division), accumulate dot/norms
+    as exact DECIMAL(38,0)/HUGEINT sums, and run ONE fixed-form IEEE
+    float expression at the edge. The r6 hash-red row was
+    summation-order ulps in the old double fold flipping the 6 dp
+    round (ADVICE r7 finding 1).
+
     Plan/scale: assignment is the map-side broadcast crossJoin (O(kn),
     no shuffle); the mean is posexplode → per-(cid, dim) DECIMAL
     partials, combined map-side so the exchange carries |cells|×d rows;
@@ -558,6 +581,7 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.sources.ann_index import (
         _ranked_cells,
         cell_mean_vectors,
+        exact_drift,
     )
 
     v = _vecs(spark, sf_dir)
@@ -570,9 +594,9 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("v").alias("dv"), "cid")
     )
     mean = cell_mean_vectors(
-        assigned, vec_col="dv", flag=F.col("vec_id") >= _DRIFT_SPLIT
+        assigned, vec_col="dv", flag=F.col("vec_id") >= _DRIFT_SPLIT, scaled=True
     )
-    drift = F.round(1 - cosine(F.col("cv"), F.col("mv")), 6)
+    drift = exact_drift(F.col("cv"), F.col("mqv"))
     return mean.join(F.broadcast(cents), "cid").select(
         "cid",
         "n",

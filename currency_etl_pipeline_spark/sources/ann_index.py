@@ -265,7 +265,7 @@ def search_ivf_sq8_index(
 
 
 def append_ivf_index(
-    spark: SparkSession, index_path: str, vectors: DataFrame, sq8: bool = False
+    spark: SparkSession, index_path: str, vectors: DataFrame, sq8: bool | None = None
 ) -> None:
     """Append NEW vectors to a materialized IVF index without rebuild.
 
@@ -278,10 +278,26 @@ def append_ivf_index(
     the same logical index as a full rebuild — searching either
     returns identical rows (pinned in tests/test_incremental.py).
 
+    ``sq8=None`` (default) detects the layout from the index's own
+    schema (dv = float, qv = SQ8 codes) — one parquet-footer read; an
+    EXPLICIT sq8 that contradicts the index raises instead of
+    appending mixed-schema rows that null-pad every read (ADVICE r7
+    finding 3). Streaming callers (stream_append_ivf_index) inherit
+    the detection and so work against either layout.
+
     ``vectors`` must carry (vec_id, label, v) with vec_ids NOT already
     in the index — id-level dedup/upsert is the warehouse family's job
     (SnapshotStore), not the index's.
     """
+    existing_sq8 = "qv" in spark.read.parquet(index_path).columns
+    if sq8 is None:
+        sq8 = existing_sq8
+    elif sq8 != existing_sq8:
+        raise ValueError(
+            f"append layout mismatch: index at {index_path} is "
+            f"{'SQ8 (qv)' if existing_sq8 else 'float (dv)'} but caller "
+            f"requested sq8={sq8}; a mixed-schema append would null-pad reads"
+        )
     cents = load_index_centroids(spark, index_path)
     if sq8:
         from currency_etl_pipeline_spark.queries.vectors import quantize_int8
@@ -308,8 +324,11 @@ def append_ivf_index(
 _MEAN_PREC, _MEAN_SCALE = 28, 9
 
 
-def cell_mean_vectors(assigned: DataFrame, vec_col: str = "dv", flag=None) -> DataFrame:
-    """Per-cell member count and mean vector: (cid, n[, n_flagged], mv).
+def cell_mean_vectors(
+    assigned: DataFrame, vec_col: str = "dv", flag=None, scaled: bool = False
+) -> DataFrame:
+    """Per-cell member count and mean vector: (cid, n[, n_flagged], mv
+    [, mqv]).
 
     posexplode → per-(cid, dim) DECIMAL partial sums → re-assembled
     ordered array. The explode multiplies rows by the dimensionality,
@@ -318,6 +337,18 @@ def cell_mean_vectors(assigned: DataFrame, vec_col: str = "dv", flag=None) -> Da
     corpus size never crosses the exchange. ``flag`` (optional boolean
     Column over the input) adds an n_flagged count — e.g. "how many of
     this cell's members arrived after the last build".
+
+    ``scaled=True`` additionally emits ``mqv``: the mean vector as
+    scale-9 fixed-point BIGINTs, derived from the exact DECIMAL
+    partials by pure integer arithmetic (round-half-up division,
+    ``(|sq| + n DIV 2) DIV n`` — truncating integer division on
+    non-negative operands, which Spark's DIV and DuckDB's // agree
+    on). Unlike ``mv`` (a double division whose ulps differ between
+    engines), ``mqv`` is bit-identical everywhere the DECIMAL partials
+    are — the input the drift report's exact cosine needs. Bound: the
+    scaled per-dim sum must fit a BIGINT, i.e. |Σ val| < ~9.2e9 per
+    dimension per cell — unit-norm-ish embeddings stay within that up
+    to ~10^9 rows per cell.
     """
     flag_col = flag if flag is not None else F.lit(False)
     exploded = assigned.select(
@@ -330,21 +361,95 @@ def cell_mean_vectors(assigned: DataFrame, vec_col: str = "dv", flag=None) -> Da
         F.sum("_flagged").alias("fcnt"),
         F.sum(dec("val", _MEAN_PREC, _MEAN_SCALE)).alias("s"),
     )
-    agg = per_dim.groupBy("cid").agg(
+    if scaled:
+        # DECIMAL(19,9) * 1e9 -> DECIMAL(30,9): inside both engines'
+        # 38-digit cap, so the product is exact (no silent scale
+        # reduction) and the BIGINT holds the integer exactly.
+        per_dim = per_dim.withColumn(
+            "sq", (F.col("s").cast("decimal(19,9)") * F.lit(_Q9)).cast("long")
+        ).withColumn(
+            "mq",
+            F.expr(
+                "CASE WHEN sq >= 0 THEN (sq + cnt DIV 2) DIV cnt "
+                "ELSE -((-sq + cnt DIV 2) DIV cnt) END"
+            ),
+        )
+    collected = [
         F.max("cnt").alias("n"),
         F.max("fcnt").alias("n_flagged"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "s"))),
             lambda r: r["s"].cast("double"),
         ).alias("_sums"),
-    )
+    ]
+    if scaled:
+        collected.append(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mq"))),
+                lambda r: r["mq"],
+            ).alias("mqv")
+        )
+    agg = per_dim.groupBy("cid").agg(*collected)
     out = agg.select(
         "cid",
         "n",
         "n_flagged",
         F.transform("_sums", lambda s: s / F.col("n")).alias("mv"),
+        *(["mqv"] if scaled else []),
     )
     return out if flag is not None else out.drop("n_flagged")
+
+
+# Fixed-point quantum for the drift report's exact cosine (scale 9,
+# matching _MEAN_SCALE): small enough that quantization error is noise
+# against the 6 dp output rounding, large enough that the integer
+# norm/dot partials stay far inside DECIMAL(38,0).
+_Q9 = 1_000_000_000
+
+
+def quantize_vec9(v) -> "F.Column":
+    """array<double> → array<long> at scale 9, via an exact DECIMAL
+    intermediate (DECIMAL(19,9) * 1e9 = DECIMAL(30,9), no precision
+    cap in either engine) so Spark and DuckDB produce identical
+    integers — the double→DECIMAL(19,9) cast rounds half-up in both."""
+    col = F.col(v) if isinstance(v, str) else v
+    return F.transform(col, lambda x: (x.cast("decimal(19,9)") * F.lit(_Q9)).cast("long"))
+
+
+def exact_drift(cv, mqv) -> "F.Column":
+    """1 − cosine(cv, mqv) rounded to 6 dp, computed so both engines
+    emit the SAME DOUBLE BITS (the r6 `ivf_centroid_drift_report` hash
+    failure was summation-order ulps in a double fold — see
+    CORRECTNESS_r06 / ADVICE r7; this is the NLL fixed-point
+    discipline applied to cosine, queries/llm_prep.py:953).
+
+    Both vectors are scale-9 integers; dot and both norms are exact
+    integer sums accumulated in DECIMAL(38,0) (order-independent), and
+    only ONE fixed-form float expression runs at the edge:
+    ``dot / sqrt(na * nb)`` — each input an exact integer cast to
+    double (correctly rounded), then one multiply, one sqrt, one
+    divide, one subtract, one 6 dp round. IEEE-754 makes every step
+    deterministic given identical inputs, so the emitted double is
+    bit-identical across engines and partitionings.
+
+    Magnitude bound: |component| ≤ ~1e10 scaled → na, nb ≤ 64·1e20,
+    dot terms ≤ 1e20 — all far inside DECIMAL(38,0) / HUGEINT.
+    """
+    aq = quantize_vec9(cv)
+    mq = F.col(mqv) if isinstance(mqv, str) else mqv
+
+    def isum(pairs):
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        )
+
+    dot = isum(F.zip_with(aq, mq, lambda x, y: x.cast("decimal(38,0)") * y))
+    na = isum(F.transform(aq, lambda x: x.cast("decimal(38,0)") * x))
+    nb = isum(F.transform(mq, lambda y: y.cast("decimal(38,0)") * y))
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    return F.round(F.lit(1.0) - cos, 6)
 
 
 def centroid_drift_report(
@@ -353,7 +458,10 @@ def centroid_drift_report(
     """Per-cell quantizer health: (cid, n, drift, recluster).
 
     drift = 1 − cosine(stored centroid, current cell mean), rounded to
-    6 dp. Centroids are corpus exemplars (or k-means centers), not
+    6 dp — computed through ``exact_drift``'s scale-9 fixed-point
+    partials so the value (and the recluster boolean derived from it)
+    is bit-stable across engines and partition orders.
+    Centroids are corpus exemplars (or k-means centers), not
     means, so drift is nonzero even at build time — the signal is its
     GROWTH after appends: a cell whose new arrivals pull the
     population away from the stored centroid climbs toward the
@@ -369,9 +477,9 @@ def centroid_drift_report(
     """
     idx = spark.read.parquet(index_path)
     vec_col = "dv" if "dv" in idx.columns else "qv"
-    mean = cell_mean_vectors(idx.select("cid", F.col(vec_col)), vec_col=vec_col)
+    mean = cell_mean_vectors(idx.select("cid", F.col(vec_col)), vec_col=vec_col, scaled=True)
     cents = load_index_centroids(spark, index_path)
-    drift = F.round(1 - cosine(F.col("cv"), F.col("mv")), 6)
+    drift = exact_drift(F.col("cv"), F.col("mqv"))
     return (
         mean.join(F.broadcast(cents), "cid")
         .select(
@@ -417,7 +525,11 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
         n_before = cell.count()
         survivors = cell.filter(~F.col("vec_id").isin(*ids))
         n_after = survivors.count()
-        tmp = part_dir + "__delete_tmp"
+        # Leading underscore: Spark's path filter hides the staging dir
+        # from partition discovery, so a crash between the tmp write and
+        # the swap (or a concurrent whole-root reader) can never parse
+        # it as a cid value or double-read survivors (ADVICE r7 #2).
+        tmp = f"{index_path}/_delete_tmp_cid{cid}"
         survivors.write.mode("overwrite").parquet(tmp)
         n_written = spark.read.parquet(tmp).count()
         if n_written != n_after:

@@ -34,6 +34,38 @@ from currency_etl_pipeline_spark.operators.upsert import upsert_newest_wins
 from currency_etl_pipeline_spark.tables import load_table
 
 
+def _epoch_tagger(checkpoint_dir: str | None):
+    """Namespaced replay-guard tags for foreachBatch epoch commits.
+
+    SnapshotStore tags are opaque strings; a store may carry tags from
+    other writers (or from a previous checkpoint lifetime). Returns
+    ``(tag, parse)``: ``tag(epoch)`` renders ``epoch:<ns>:<n>`` with
+    ``ns`` derived from the checkpoint location, and ``parse(tag)``
+    returns the epoch int ONLY for tags this stream wrote — foreign or
+    unparseable tags read as None ("not mine": apply, don't crash).
+    Contract: epochs restart at 0 under a fresh checkpoint and land in
+    a fresh namespace, so their batches RE-apply — a new checkpoint
+    requires a new snapshot_path (ADVICE r7 finding 4).
+    """
+    import hashlib
+
+    ns = hashlib.md5((checkpoint_dir or "ephemeral").encode()).hexdigest()[:8]
+    prefix = f"epoch:{ns}:"
+
+    def tag(epoch_id: int) -> str:
+        return f"{prefix}{epoch_id}"
+
+    def parse(t: str | None) -> int | None:
+        if t is None or not t.startswith(prefix):
+            return None
+        try:
+            return int(t[len(prefix):])
+        except ValueError:
+            return None
+
+    return tag, parse
+
+
 def events_schema(spark: SparkSession, sf_dir: str):
     """The events table's logical schema (post ts-conversion)."""
     return load_table(spark, sf_dir, "events").schema
@@ -291,9 +323,11 @@ def stream_rollup_snapshot(
             )
         )
 
+    mk_tag, parse_tag = _epoch_tagger(checkpoint_dir)
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        last = store.latest_tag()
-        if last is not None and epoch_id <= int(last):
+        last = parse_tag(store.latest_tag())
+        if last is not None and epoch_id <= last:
             return  # replayed epoch already merged into the live version
         part = _partials(batch_df)
         if store.exists():
@@ -305,7 +339,7 @@ def stream_rollup_snapshot(
             )
         else:
             merged = part
-        store.commit(merged, tag=str(epoch_id))
+        store.commit(merged, tag=mk_tag(epoch_id))
 
     writer = stream.writeStream.outputMode("update").foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:
@@ -404,7 +438,15 @@ def stream_cdc_rollup(
     ``stream_rollup_snapshot`` — a replayed micro-batch after a crash
     between commit and checkpoint is a no-op, so each CDC batch
     applies exactly once (signed deltas are NOT idempotent; the tag is
-    what makes at-least-once delivery safe).
+    what makes at-least-once delivery safe). The tag is NAMESPACED to
+    this stream's checkpoint (``epoch:<ns>:<n>``): SnapshotStore tags
+    are opaque and other writers may have committed arbitrary tags, so
+    an unparseable or foreign tag is treated as "not mine" (apply, do
+    not crash) rather than int()-ed (ADVICE r7 finding 4). Corollary,
+    documented contract: restarting with a FRESH checkpoint against an
+    existing store is a different namespace — its epochs re-apply, so
+    a new checkpoint requires a new ``snapshot_path`` (or an explicit
+    rebuild), exactly like any other at-least-once signed-delta sink.
 
     Scale: per batch this shuffles |batch changes| + |rollup| rows —
     group cardinality, never snapshot cardinality; the snapshot the
@@ -418,14 +460,16 @@ def stream_cdc_rollup(
 
     store = SnapshotStore(spark, snapshot_path, retain=retain)
     keys = list(group_keys)
+    mk_tag, parse_tag = _epoch_tagger(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        last = store.latest_tag()
-        if last is not None and epoch_id <= int(last):
+        last = parse_tag(store.latest_tag())
+        if last is not None and epoch_id <= last:
             return  # replayed epoch already applied to the live version
         prev = store.read() if store.exists() else None
         store.commit(
-            delta_apply_rollup(prev, batch_df, keys, value_col), tag=str(epoch_id)
+            delta_apply_rollup(prev, batch_df, keys, value_col),
+            tag=mk_tag(epoch_id),
         )
 
     writer = (
@@ -449,7 +493,10 @@ def stream_append_ivf_index(
     index's frozen sidecar centroids and appended as new files inside
     the cid= partitions (``sources/ann_index.append_ivf_index``) — the
     live-ingest half of the index lifecycle, with drift
-    (``centroid_drift_report``) deciding when to retrain.
+    (``centroid_drift_report``) deciding when to retrain. The append
+    detects the index's layout (float dv vs SQ8 qv) from its schema,
+    so streaming into an SQ8 index quantizes each batch instead of
+    corrupting it with mixed-schema rows (ADVICE r7 finding 3).
 
     Replay protocol: an ``_last_epoch`` marker inside the index dir
     makes replayed micro-batches no-ops. The marker is written AFTER

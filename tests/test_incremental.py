@@ -186,6 +186,39 @@ def test_ivf_sq8_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert rows(inc) == rows(full)
 
 
+def test_ivf_append_detects_layout_and_rejects_mismatch(spark, sf_dir, tmp_path):
+    """Layout safety (ADVICE r7 finding 3): append with the default
+    flag against an SQ8 index must auto-detect and quantize (no mixed
+    dv/qv schema), and an EXPLICIT contradictory flag must raise on
+    both layouts instead of null-padding every subsequent read."""
+    import pytest
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        build_ivf_sq8_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    head, tail = v.filter(F.col("vec_id") < _SPLIT), v.filter(F.col("vec_id") >= _SPLIT)
+
+    sq8_idx = str(tmp_path / "sq8_detect")
+    build_ivf_sq8_index(spark, sf_dir, sq8_idx, CENTROID_IDS, vectors=head)
+    append_ivf_index(spark, sq8_idx, tail)  # default flag: detect SQ8
+    got = spark.read.parquet(sq8_idx)
+    assert set(got.columns) == {"vec_id", "label", "qv", "cid"}, got.columns
+    assert got.filter(F.col("qv").isNull()).count() == 0, "mixed-schema append"
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        append_ivf_index(spark, sq8_idx, tail, sq8=False)
+
+    dv_idx = str(tmp_path / "dv_detect")
+    build_ivf_index(spark, sf_dir, dv_idx, CENTROID_IDS, vectors=head)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        append_ivf_index(spark, dv_idx, tail, sq8=True)
+
+
 def test_ivf_appended_index_recall_floor(spark, sf_dir, tmp_path):
     """Recall vs the exact cosine top-5 must hold on an index that grew
     by appends — the 'done' bar for incremental maintenance: appends
@@ -524,6 +557,29 @@ def test_ivf_delete_empty_list_is_noop(spark, sf_dir, tmp_path):
     before = _index_files(spark, idx)
     assert delete_from_ivf_index(spark, idx, []) == 0
     assert _index_files(spark, idx) == before
+
+
+def test_ivf_delete_staging_dir_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Crash-safety of the RTBF rewrite: the per-cell staging dir lives
+    UNDER the index root but with a leading underscore, so a crash
+    between the tmp write and the swap leaves a dir that partition
+    discovery ignores — no string-typed cid, no double-read survivors
+    (ADVICE r7 finding 2: the old ``cid=<n>__delete_tmp`` name was
+    parsed as a cid value by whole-root readers)."""
+    from currency_etl_pipeline_spark.sources.ann_index import build_ivf_index
+
+    idx = str(tmp_path / "ivf_del_crash")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    base = spark.read.parquet(idx)
+    n_total = base.count()
+    assert dict(base.dtypes)["cid"] == "int"
+    # Simulate a crash mid-delete: a fully-written staging dir for cell
+    # 0 (a duplicate copy of its survivors) abandoned under the root.
+    cell0 = spark.read.parquet(f"{idx}/cid=0")
+    cell0.limit(5).write.parquet(f"{idx}/_delete_tmp_cid0")
+    after = spark.read.parquet(idx)
+    assert after.count() == n_total, "abandoned staging dir leaked into reads"
+    assert dict(after.dtypes)["cid"] == "int", "cid type degraded by staging dir"
 
 
 def test_delta_apply_handles_null_group_key(spark):

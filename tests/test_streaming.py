@@ -737,6 +737,52 @@ def test_stream_cdc_rollup_applies_retractions_across_batches(spark, tmp_path):
     assert store.version() == len(diffs), "one committed version per micro-batch"
 
 
+def test_stream_cdc_rollup_tolerates_foreign_store_tag(spark, tmp_path):
+    """Epoch tags are namespaced per checkpoint (ADVICE r7 finding 4):
+    a store previously committed by ANOTHER writer with an opaque,
+    non-integer tag must not crash the stream — the foreign tag reads
+    as 'not mine' and the CDC batches apply on top of the seeded
+    version. The stream's own commits carry the namespaced format."""
+    import os
+
+    from currency_etl_pipeline_spark.operators.incremental import algebraic_rollup
+    from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_rollup
+
+    schema = "k bigint, grp string, x double"
+    base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 5.0)], schema)
+    final = spark.createDataFrame([(1, "a", 12.0), (2, "b", 5.0), (3, "a", 1.0)], schema)
+
+    # Seed: a manual backfill of the base rollup, tagged opaquely —
+    # the old int(tag) guard raised ValueError on every batch here.
+    snap_path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, snap_path)
+    store.commit(algebraic_rollup(base, ["grp"], "x"), tag="manual-backfill-2026")
+
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    d = snapshot_diff(base, final, ["k"])
+    d.repartition(1).write.parquet(str(feed / "d0"))
+    for f in (feed / "d0").glob("*.parquet"):
+        os.utime(f, (1_000_000_000,) * 2)
+
+    stream = spark.readStream.schema(d.schema).parquet(str(feed) + "/*")
+    q = stream_cdc_rollup(
+        spark, stream, snap_path, ["grp"], "x", checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["n"], str(r["sum_x"]), str(r["sum_x2"])) for r in df.collect()
+        )
+
+    assert rows(store.read()) == rows(algebraic_rollup(final, ["grp"], "x"))
+    tag = store.latest_tag()
+    assert tag is not None and tag.startswith("epoch:"), tag
+
+
 def test_stream_append_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
     """A vector stream consumed by stream_append_ivf_index must leave
     the materialized index search-identical to a one-shot batch build
