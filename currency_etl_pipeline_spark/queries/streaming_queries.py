@@ -783,3 +783,136 @@ def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sum_x").cast("double") / F.col("n")), 6).alias("avg_value"),
     )
 
+
+
+# --- streaming MinHash admission gate twin ---------------------------------
+
+# Corpus = doc_id < 400 (the index build, matching text._IDX_SPLIT);
+# streamed tail splits into micro-batches at 450. Threshold 0.5 keeps
+# est_jaccard comparisons engine-exact (eighths).
+_MINGEST_SPLIT = 400
+_MINGEST_B2 = 450
+_MINGEST_EST = 0.5
+
+from currency_etl_pipeline_spark.queries.text import (  # noqa: E402
+    _SHINGLES_DUCK,
+    _TOKS_DUCK,
+)
+
+
+@query(
+    "streaming_minhash_ingest",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    near AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id <> b.doc_id
+    ),
+    nearj AS (
+      SELECT n.a, n.b FROM near n
+      JOIN sigarr sa ON sa.doc_id = n.a
+      JOIN sigarr sb ON sb.doc_id = n.b
+      WHERE round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i]))
+                  / 8.0, 6) >= {_MINGEST_EST}
+    ),
+    rej1 AS (
+      SELECT DISTINCT b AS doc_id FROM nearj
+      WHERE b >= {_MINGEST_SPLIT} AND b < {_MINGEST_B2}
+        AND (a < {_MINGEST_SPLIT} OR (a >= {_MINGEST_SPLIT} AND a < b))
+    ),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id >= {_MINGEST_SPLIT} AND doc_id < {_MINGEST_B2}
+        AND doc_id NOT IN (SELECT doc_id FROM rej1)
+    ),
+    rej2 AS (
+      SELECT DISTINCT b AS doc_id FROM nearj
+      WHERE b >= {_MINGEST_B2}
+        AND (a < {_MINGEST_SPLIT}
+             OR a IN (SELECT doc_id FROM acc1)
+             OR (a >= {_MINGEST_B2} AND a < b))
+    )
+    SELECT d.doc_id,
+           d.doc_id NOT IN (SELECT doc_id FROM rej1
+                            UNION ALL SELECT doc_id FROM rej2) AS admitted
+    FROM documents d WHERE d.doc_id >= {_MINGEST_SPLIT}
+    """,
+)
+def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION loop, end-to-end: build the MinHash
+    index over the accepted corpus (doc_id < 400), then tail the
+    remaining documents as a 2-micro-batch file stream through
+    ``streaming/pipeline.stream_minhash_ingest`` — each batch checked
+    against the index (band probe + signature compare, est_jaccard ≥
+    0.5) and against its own lower-id rows, survivors landed per epoch
+    AND appended to the index so batch 2 is gated on corpus ∪
+    batch-1-admissions. Returns (doc_id, admitted) for every streamed
+    doc; the oracle replays the same sequential admission in SQL
+    (rej1/acc1/rej2 CTEs), so the driver hash-checks the whole
+    lifecycle: build → query → admit → append → query.
+
+    Scale: per batch, shingling is map-side over the batch only; the
+    index joins are bounded equi-joins (batch side broadcast by AQE);
+    corpus text is never re-hashed. The streamed feed is tiny here by
+    construction — the plan shape, not the volume, is what carries to
+    100 TB (same as the other streaming twins).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.sources.dedup_index import build_minhash_index
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_minhash_ingest
+    from currency_etl_pipeline_spark.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="mh_ingest_idx_")
+    build_minhash_index(
+        spark, docs.filter(F.col("doc_id") < _MINGEST_SPLIT), idx,
+        num_hashes=8, band_size=2,
+    )
+    feed = tempfile.mkdtemp(prefix="mh_ingest_feed_")
+    windows = [(_MINGEST_SPLIT, _MINGEST_B2), (_MINGEST_B2, None)]
+    for i, (lo, hi) in enumerate(windows):
+        b = docs.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        sub = os.path.join(feed, f"b{i}")
+        b.repartition(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    acc = tempfile.mkdtemp(prefix="mh_ingest_acc_")
+    q = stream_minhash_ingest(spark, stream, idx, acc, _MINGEST_EST)
+    q.awaitTermination()
+    admitted = (
+        spark.read.parquet(acc)
+        .select("doc_id")
+        .withColumn("admitted", F.lit(True))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= _MINGEST_SPLIT)
+        .select("doc_id")
+        .join(admitted, "doc_id", "left")
+        .select("doc_id", F.coalesce("admitted", F.lit(False)).alias("admitted"))
+    )

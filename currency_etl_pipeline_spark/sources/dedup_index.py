@@ -156,12 +156,18 @@ def query_minhash_index(
     index_path: str,
     batch_docs: DataFrame,
     min_est_jaccard: float = 0.0,
+    batch_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Check a batch against the accumulated corpus WITHOUT touching
     corpus text: batch-side shingling only, then the band equi-join
-    and signature compare against the persisted relations."""
+    and signature compare against the persisted relations.
+    ``batch_tables`` lets a caller that already shingled the batch
+    (the streaming admission gate runs a within-batch check too) pass
+    its (bands, sigs) instead of re-deriving them."""
     p = load_index_params(index_path)
-    qbands, qsigs = doc_signature_tables(batch_docs, p["num_hashes"], p["band_size"])
+    qbands, qsigs = batch_tables or doc_signature_tables(
+        batch_docs, p["num_hashes"], p["band_size"]
+    )
     ibands = _live(spark, index_path, spark.read.parquet(os.path.join(index_path, "bands")))
     isigs = _live(spark, index_path, spark.read.parquet(os.path.join(index_path, "sigs")))
     return minhash_cross_candidates(

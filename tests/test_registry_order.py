@@ -127,3 +127,20 @@ def test_malformed_rows_reenter_tier_zero(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
     order = ordered_names(root=tmp_path)
     assert order[0] == corrupt
+
+
+def test_readme_catalog_count_matches_registry():
+    """README's catalog line must state the ACTUAL counts — it drifted
+    in r5 (135) and again in r6 (136 vs actual 137), so pin it: the
+    'N named queries (M with DuckDB oracle' numbers are parsed from
+    README.md and compared to the registry (VERDICT r6 task 6)."""
+    import re
+    from pathlib import Path
+
+    from currency_etl_pipeline_spark.queries.registry import all_oracles, all_queries
+
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"(\d+) named queries \((\d+) with DuckDB oracle", readme)
+    assert m, "README catalog line not found"
+    assert int(m.group(1)) == len(all_queries()), "README query count drifted"
+    assert int(m.group(2)) == len(all_oracles()), "README oracle count drifted"

@@ -852,3 +852,91 @@ def test_stream_append_ivf_index_matches_batch_build(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert set(spark.read.parquet(live).inputFiles()) == files_before
+
+
+def test_stream_minhash_ingest_admission_and_replay(spark, tmp_path):
+    """The streaming MinHash admission gate (r7, VERDICT task 3):
+    (a) a batch doc near-dupping the accepted corpus is REJECTED and a
+    novel doc admitted; (b) a later batch is gated on corpus ∪ earlier
+    admissions (a near-dup of a batch-1 ADMISSION is rejected in batch
+    2); (c) the post-stream index is relation-equal to a one-shot
+    build over corpus ∪ admitted docs (streamed ≡ batch); (d) replaying
+    the drained feed against the same checkpoint is a no-op."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        load_index_params,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_minhash_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the crowd cheers loudly for more music tonight"
+    )
+    novel1 = (
+        "completely different subject matter about distributed query engines "
+        "processing petabytes of columnar data with vectorized execution"
+    )
+    novel2 = (
+        "an unrelated culinary essay on fermentation pickles sourdough bread "
+        "and the chemistry of browning onions slowly in butter"
+    )
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame([(0, base)], schema)
+    # batch 1: near-dup of corpus (1) + novel (2); batch 2: near-dup of
+    # batch-1 ADMISSION (3) + novel (4).
+    b1 = [(1, base + " extra"), (2, novel1)]
+    b2 = [(3, novel1 + " extra"), (4, novel2)]
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(spark, corpus, idx)
+    feed = tmp_path / "mh_feed"
+    feed.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        sub = feed / f"b{i}"
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 1000,) * 2)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        q = stream_minhash_ingest(
+            spark, stream, idx, str(tmp_path / "acc"), 0.5, checkpoint_dir=ck
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck"))
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "acc")).collect()
+    )
+    assert admitted == [2, 4], admitted  # 1 rejected vs corpus, 3 vs admission 2
+
+    def rel(path):
+        b = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
+        s = sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in spark.read.parquet(f"{path}/sigs").collect()
+        )
+        return b, s
+
+    # streamed index ≡ one-shot build over corpus ∪ admitted
+    full = str(tmp_path / "mh_full")
+    p = load_index_params(idx)
+    build_minhash_index(
+        spark,
+        corpus.union(spark.createDataFrame([b1[1], b2[1]], schema)),
+        full,
+        p["num_hashes"],
+        p["band_size"],
+    )
+    assert rel(idx) == rel(full), "streamed index diverged from one-shot build"
+
+    # replay: drained feed + same checkpoint must not change the index
+    before = rel(idx)
+    run(str(tmp_path / "ck"))
+    assert rel(idx) == before, "replay mutated the index"
