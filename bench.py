@@ -123,6 +123,8 @@ HEADLINE = [
     "minhash_index_batch_dedup",
     "cdc_join_view_refresh",
     "cdc_comoment_rollup",
+    # round 7 additions (appended; prior rows byte-identical):
+    "cdc_distinct_maintenance",
 ]
 
 

@@ -19,9 +19,15 @@ those two relations: one explode (≤ 2 contributions per CDC row), one
 |changes|-sized aggregation shuffle, one full-outer join on the group
 key. The snapshot itself is never read — that is the whole point.
 
-Holistic aggregates (exact medians, distinct counts) are NOT
-expressible this way; their incremental forms are the sketch family
-(queries/stats.py HLL/CMS) whose registers merge, or a recompute.
+Holistic aggregates (exact medians) are NOT expressible this way;
+their incremental forms are the sketch family (queries/stats.py
+HLL/CMS) whose registers merge, or a recompute. Distinct counts get a
+delete-aware EXACT path via the support-multiset device
+(``distinct_support`` / ``delta_apply_distinct`` — r7, closing the gap
+this paragraph used to document away), with
+``distinct_count_report``'s resketch flag marking the groups where the
+support state outgrows its worth and the HLL + re-sketch-cadence
+fallback takes over.
 """
 
 from __future__ import annotations
@@ -279,3 +285,111 @@ def delta_apply_comoments(
         ],
     )
     return merged.filter(F.col("n") > 0)
+
+
+def distinct_support(
+    snapshot: DataFrame, group_keys: Sequence[str], key_col: str
+) -> DataFrame:
+    """(keys…, key_col, mult): the multiplicity relation that makes
+    DISTINCT COUNT delete-aware — the gap the module docstring used to
+    document away ("distinct counts are not expressible [as signed
+    partials]; sketches or recompute"). True for a BARE counter: HLL
+    registers cannot retract. False once the maintained state is the
+    SUPPORT multiset — the standard IVM device (count-annotated
+    relations, Koch-style delta processing): per (group, distinct key)
+    keep how many snapshot rows witness it; the distinct count is the
+    number of support rows, and a delete decrements a multiplicity
+    instead of poking an irreversible register.
+
+    State bound: |support| = Σ per-group distinct keys — the same
+    quantity being counted, so the state is proportional to the ANSWER
+    domain, not the snapshot. That is the honest cost of exactness
+    under deletes; ``distinct_count_report``'s resketch flag marks the
+    groups where it stops being worth paying.
+    """
+    keys = list(group_keys)
+    return snapshot.groupBy(*keys, key_col).agg(F.count(F.lit(1)).alias("mult"))
+
+
+def delta_apply_distinct(
+    prev_support: DataFrame | None,
+    cdc: DataFrame,
+    group_keys: Sequence[str],
+    key_col: str,
+) -> DataFrame:
+    """Apply a CDC feed to a maintained ``distinct_support`` relation:
+    each change row contributes −1 multiplicity on its old (group, key)
+    witness and +1 on its new one — inserts/deletes have one side,
+    updates whose group or key moved split naturally, and a key whose
+    multiplicity reaches zero drops out (exactly when the from-scratch
+    distinct set loses it). Same signed-contribution algebra and
+    null-safe merge as ``delta_apply_rollup``; multiplicities are
+    integers, so incremental ≡ recompute is exact with no DECIMAL
+    machinery needed.
+
+    Scale: |changes| aggregation + a full-outer merge on the support
+    relation — the snapshot is never re-read. The merge touches
+    |support| rows; at 100 TB partition both sides by the group keys
+    so it is co-located (same note as the rollup merge).
+    """
+    from functools import reduce
+
+    keys = list(group_keys)
+    top = set(cdc.columns) - {"change_type", "old", "new"}
+
+    def side(sign: int, struct_col: str) -> DataFrame:
+        def resolve(name: str):
+            return F.col(name) if name in top else F.col(f"{struct_col}.{name}")
+
+        return cdc.filter(F.col(struct_col).isNotNull()).select(
+            *[resolve(k).alias(k) for k in keys],
+            resolve(key_col).alias(key_col),
+            F.lit(sign).alias("_sign"),
+        )
+
+    contrib = side(-1, "old").unionByName(side(1, "new"))
+    delta = contrib.groupBy(*keys, key_col).agg(F.sum("_sign").alias("_dmult"))
+    if prev_support is None:
+        return delta.select(
+            *keys, key_col, F.col("_dmult").alias("mult")
+        ).filter(F.col("mult") > 0)
+    allk = keys + [key_col]
+    cond = reduce(
+        lambda a, b: a & b, [prev_support[k].eqNullSafe(delta[k]) for k in allk]
+    )
+    merged = prev_support.join(delta, cond, "full_outer").select(
+        *[F.coalesce(prev_support[k], delta[k]).alias(k) for k in allk],
+        (
+            F.coalesce(F.col("mult"), F.lit(0)) + F.coalesce(F.col("_dmult"), F.lit(0))
+        ).alias("mult"),
+    )
+    return merged.filter(F.col("mult") > 0)
+
+
+def distinct_count_report(
+    support: DataFrame,
+    group_keys: Sequence[str],
+    resketch_threshold: int | None = None,
+) -> DataFrame:
+    """(keys…, n_distinct[, resketch]) from a support relation — one
+    count per group, no re-scan of anything. A NULL distinct key is one
+    support row and counts as one distinct value (groupBy semantics;
+    note SQL COUNT(DISTINCT) would ignore it — align inputs if parity
+    with a SQL twin matters).
+
+    ``resketch_threshold`` emits the hybrid-policy flag VERDICT r6
+    task 7 asks for: groups whose support grew past the threshold are
+    marked for demotion to a mergeable sketch (queries/stats.py HLL)
+    with a re-sketch cadence, trading exact deletes for O(registers)
+    state — the same monitor-then-act shape as the IVF drift report's
+    ``recluster`` flag. The flag is advisory (a report), because the
+    right cap is a per-deployment storage decision, not an engine
+    constant.
+    """
+    keys = list(group_keys)
+    agg = support.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_distinct"))
+    if resketch_threshold is not None:
+        agg = agg.withColumn(
+            "resketch", F.col("n_distinct") > F.lit(int(resketch_threshold))
+        )
+    return agg

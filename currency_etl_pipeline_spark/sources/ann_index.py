@@ -510,6 +510,9 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
     import os
     import shutil
 
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    require_local_path(index_path, "IVF index delete")
     ids = sorted(set(vec_ids))
     if not ids:
         return 0
@@ -569,6 +572,10 @@ def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> Non
     import shutil
 
     from pyspark.ml.clustering import KMeans
+
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    require_local_path(index_path, "IVF index recluster")
     from pyspark.ml.functions import array_to_vector
 
     idx = spark.read.parquet(index_path)

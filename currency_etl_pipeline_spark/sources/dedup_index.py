@@ -50,7 +50,11 @@ from currency_etl_pipeline_spark.queries.text import exploded, shingles
 
 
 def _params_file(index_path: str) -> str:
-    return os.path.join(index_path, "_params.json")
+    # Funnel for every params read/write: the sidecar is POSIX-only IO,
+    # so object-store URIs fail loudly here (sources/localfs.py).
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    return os.path.join(require_local_path(index_path, "minhash index"), "_params.json")
 
 
 def load_index_params(index_path: str) -> dict:
@@ -128,6 +132,7 @@ def build_minhash_index(
     band_size: int = 2,
 ) -> None:
     """Shingle + hash the corpus ONCE; land bands and signatures."""
+    _params_file(index_path)  # fail loudly on object-store URIs up front
     bands, sigs = doc_signature_tables(docs, num_hashes, band_size)
     bands.write.mode("overwrite").parquet(os.path.join(index_path, "bands"))
     sigs.write.mode("overwrite").parquet(os.path.join(index_path, "sigs"))
@@ -176,7 +181,11 @@ def query_minhash_index(
 
 
 def _tombstones_path(index_path: str) -> str:
-    return os.path.join(index_path, "tombstones")
+    # Same funnel as _params_file: tombstone probing (os.path.isdir)
+    # and compaction (shutil) are POSIX-only.
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    return os.path.join(require_local_path(index_path, "minhash index"), "tombstones")
 
 
 def delete_from_minhash_index(spark: SparkSession, index_path: str, doc_ids) -> None:

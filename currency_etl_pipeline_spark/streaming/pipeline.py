@@ -535,7 +535,11 @@ def stream_minhash_ingest(
         query_minhash_index,
     )
 
-    marker = os.path.join(index_path, "_last_epoch")
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    marker = os.path.join(
+        require_local_path(index_path, "stream_minhash_ingest"), "_last_epoch"
+    )
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.isfile(marker):
@@ -618,7 +622,11 @@ def stream_append_ivf_index(
 
     from currency_etl_pipeline_spark.sources.ann_index import append_ivf_index
 
-    marker = os.path.join(index_path, "_last_epoch")
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    marker = os.path.join(
+        require_local_path(index_path, "stream_append_ivf_index"), "_last_epoch"
+    )
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
         if os.path.isfile(marker):

@@ -883,3 +883,70 @@ def test_zorder_keeps_null_key_rows(spark):
     out = zorder_within_partitions(df, ["k1", "k2"], coalesce_to=1)
     assert sorted(r["v"] for r in out.collect()) == [1.0, 2.0, 3.0, 4.0]
     assert sorted(out.columns) == ["k1", "k2", "v"]
+
+
+def test_zorder_rejects_unbounded_domain(spark):
+    """The r7 hard guardrail (VERDICT r6 task 4): a column whose
+    distinct domain exceeds max_domain raises — at 100 TB the
+    per-column dense_rank would otherwise funnel the whole domain
+    through one single-partition window task. An explicit raised cap
+    re-admits the same call."""
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.warehouse import zorder_within_partitions
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("k1"),
+        F.col("id").cast("string").alias("hicard"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_domain"):
+        zorder_within_partitions(df, ["k1", "hicard"], max_domain=100)
+    ok = zorder_within_partitions(df, ["k1", "hicard"], max_domain=200)
+    assert ok.count() == 200
+
+
+def test_posix_sidecar_stores_reject_object_store_uris(spark, tmp_path):
+    """VERDICT r6 task 5: every store whose sidecar IO is POSIX-only
+    (open/os.replace/shutil) must fail LOUDLY on an object-store URI at
+    its entry point — the r5 rates_datasource discipline propagated via
+    sources/localfs.require_local_path. Without this, gs:// paths would
+    either crash mid-commit or 'succeed' into a literal ./gs:/ dir."""
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        delete_from_ivf_index,
+        recluster_ivf_index,
+    )
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore, Warehouse
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        stream_append_ivf_index,
+        stream_minhash_ingest,
+    )
+
+    uri = "gs://bucket/store"
+    docs = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
+    stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path))
+
+    for call in [
+        lambda: SnapshotStore(spark, uri),
+        lambda: Warehouse(spark, uri),
+        lambda: build_minhash_index(spark, docs, uri),
+        lambda: append_minhash_index(spark, uri, docs),
+        lambda: query_minhash_index(spark, uri, docs),
+        lambda: delete_from_minhash_index(spark, uri, [1]),
+        lambda: compact_minhash_index(spark, uri),
+        lambda: delete_from_ivf_index(spark, uri, [1]),
+        lambda: recluster_ivf_index(spark, uri),
+        lambda: stream_minhash_ingest(spark, stream, uri, str(tmp_path / "acc")),
+        lambda: stream_append_ivf_index(spark, stream, uri),
+    ]:
+        with pytest.raises(ValueError, match="URI scheme"):
+            call()
