@@ -310,7 +310,11 @@ def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe cells per query come from the same tiny centroid table; the
     candidate search is the cid equi-join — written partitioned by cid
     at 100 TB, probing nprobe cells is partition pruning. Same shape as
-    ivf_ann_topk; only the centroid source changes."""
+    ivf_ann_topk; only the centroid source changes.
+    r7 rotation note: docstring touched to re-enter the driver sweep
+    (rows-only pins last adjudicated r5/r3; registry hashes only the
+    query function + oracle, so helper drift needs this nudge).
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

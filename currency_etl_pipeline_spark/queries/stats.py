@@ -294,6 +294,10 @@ def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate — the only viable form. No oracle twin: sketch
     estimates are implementation-specific (driver does the rows-only
     check; tests/test_stats.py asserts <5% relative error vs exact).
+    
+    r7 rotation note: docstring touched to re-enter the driver sweep
+    (rows-only pins last adjudicated r5/r3; registry hashes only the
+    query function + oracle, so helper drift needs this nudge).
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -664,6 +668,10 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog-wide plan lints build each query once and share the
     DataFrame (tests/test_scale_plans.py::_built_df) so the eager
     work isn't paid per lint.
+    
+    r7 rotation note: docstring touched to re-enter the driver sweep
+    (rows-only pins last adjudicated r5/r3; registry hashes only the
+    query function + oracle, so helper drift needs this nudge).
     """
     watchlist = list(range(20))  # fixed known keys to probe
     ev = load_table(spark, sf_dir, "events")

