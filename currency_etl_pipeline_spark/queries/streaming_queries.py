@@ -920,3 +920,76 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(admitted, "doc_id", "left")
         .select("doc_id", F.coalesce("admitted", F.lit(False)).alias("admitted"))
     )
+
+
+from currency_etl_pipeline_spark.queries.incremental_queries import (  # noqa: E402
+    _DISTINCT_ORACLE,
+    _DISTINCT_RESKETCH_AT,
+)
+
+
+@query(
+    "streaming_cdc_distinct",
+    # Same oracle as the batch twin: the maintained distinct counts
+    # must land on the from-scratch COUNT(DISTINCT) of v2 no matter
+    # how the CDC history was chunked into micro-batches.
+    oracle=_DISTINCT_ORACLE,
+)
+def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``cdc_distinct_maintenance``: the same v1→v2
+    CDC scenario (per-user latest states; inserts, bucket/group-moving
+    updates, modulo-purge deletes) arrives as a file-tailed change feed
+    in 3 micro-batches (v1 as pure inserts, then the v1→v2 diff split
+    in two), consumed by ``streaming/pipeline.stream_cdc_distinct``:
+    each batch's signed witness deltas land on the committed SUPPORT
+    multiset, epoch-tagged so replays are no-ops. The final version's
+    ``distinct_count_report`` must hash-match the SAME DuckDB oracle
+    as the batch twin — chunking must not change a single count.
+
+    Scale: per micro-batch the work is |batch changes| + |support|
+    rows; the snapshot the feed describes is never read.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.operators.incremental import (
+        distinct_count_report,
+    )
+    from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
+    from currency_etl_pipeline_spark.queries.incremental_queries import _snapshots
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_distinct
+
+    v1, v2 = _snapshots(spark, sf_dir)
+    bucket = F.floor("value").cast("long").alias("value_bucket")
+    v1b = v1.select("user_id", "event_type", bucket)
+    v2b = v2.select("user_id", "event_type", bucket)
+    feed = tempfile.mkdtemp(prefix="cdc_dist_feed_")
+    batches = [snapshot_diff(v1b.limit(0), v1b, ["user_id"])] + [
+        snapshot_diff(v1b, v2b, ["user_id"]).filter(
+            F.abs(F.hash("user_id")) % 2 == i
+        )
+        for i in range(2)
+    ]
+    for i, b in enumerate(batches):
+        sub = os.path.join(feed, f"d{i}")
+        b.repartition(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    snap = tempfile.mkdtemp(prefix="cdc_dist_snap_")
+    q = stream_cdc_distinct(
+        spark, stream, snap, ["event_type"], "value_bucket"
+    )
+    q.awaitTermination()
+    support = SnapshotStore(spark, snap).read()
+    return distinct_count_report(
+        support, ["event_type"], resketch_threshold=_DISTINCT_RESKETCH_AT
+    )

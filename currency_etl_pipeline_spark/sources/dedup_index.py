@@ -274,8 +274,42 @@ def build_minhash_index_table(
     write_bucketed(bands, f"{table_prefix}_bands", ["band", "band_key"], buckets)
     write_bucketed(sigs, f"{table_prefix}_sigs", ["doc_id"], buckets)
     spark.createDataFrame(
-        [(num_hashes, band_size)], "num_hashes int, band_size int"
+        [(num_hashes, band_size, buckets)],
+        "num_hashes int, band_size int, buckets int",
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_params")
+
+
+def append_minhash_index_table(
+    spark: SparkSession, table_prefix: str, new_docs: DataFrame
+) -> None:
+    """Admit a batch into the BUCKETED index tables — the maintenance
+    path the 100 TB layout was missing (the path variant has had
+    ``append_minhash_index`` since r6; the table variant was
+    build-only). The batch is hashed with the index's stored params
+    and appended WITH THE SAME bucket spec (count + columns + sort):
+    Spark hash-partitions the new rows into the existing bucket files'
+    Murmur3 buckets, so the bucketed-scan contract — corpus side reads
+    co-located buckets with no Exchange — survives every append;
+    build+append ≡ rebuild is pinned alongside the path variant's test.
+
+    Cost: one pass over the batch text + a |batch|-sized bucketed
+    write. Existing bucket files are never rewritten (each append adds
+    per-bucket files; compact on taste like any bucketed table).
+    """
+    p = spark.table(f"{table_prefix}_params").collect()[0]
+    bands, sigs = doc_signature_tables(new_docs, p["num_hashes"], p["band_size"])
+    (
+        bands.write.mode("append")
+        .bucketBy(p["buckets"], "band", "band_key")
+        .sortBy("band", "band_key")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sigs.write.mode("append")
+        .bucketBy(p["buckets"], "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{table_prefix}_sigs")
+    )
 
 
 def query_minhash_index_table(

@@ -482,6 +482,66 @@ def stream_cdc_rollup(
     return writer.start()
 
 
+def stream_cdc_distinct(
+    spark: SparkSession,
+    cdc_stream: DataFrame,
+    snapshot_path: str,
+    group_keys,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+    retain: int = 4,
+):
+    """Continuously-maintained EXACT distinct counts under deletes —
+    the streaming twin of ``cdc_distinct_maintenance``, completing the
+    incremental family's symmetry (rollup: batch+stream; distinct:
+    batch+stream). Each micro-batch of ``snapshot_diff`` change rows
+    lands on the committed SUPPORT multiset via
+    ``delta_apply_distinct`` (old witness −1, new witness +1,
+    zero-multiplicity rows dropped) and commits as a new SnapshotStore
+    version. No built-in streaming aggregation can express this: a
+    streaming COUNT(DISTINCT) cannot retract, and an HLL register
+    cannot forget.
+
+    Chunk-order safety: multiplicity deltas are exact integers and the
+    mult>0 drop loses nothing (a dropped bucket re-enters through the
+    full-outer merge), so signed contributions commute across
+    micro-batch boundaries — any chunking of the CDC history converges
+    to the same support relation.
+
+    Replay safety: namespaced epoch tags, exactly like
+    ``stream_cdc_rollup`` (signed deltas are not idempotent). Read the
+    counts via ``distinct_count_report(SnapshotStore(...).read(), …)``.
+
+    Scale: per batch, |batch changes| + |support| rows; the snapshot
+    the CDC describes is never read.
+    """
+    from currency_etl_pipeline_spark.operators.incremental import delta_apply_distinct
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, snapshot_path, retain=retain)
+    keys = list(group_keys)
+    mk_tag, parse_tag = _epoch_tagger(checkpoint_dir)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = parse_tag(store.latest_tag())
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch already applied to the live version
+        prev = store.read() if store.exists() else None
+        store.commit(
+            delta_apply_distinct(prev, batch_df, keys, key_col),
+            tag=mk_tag(epoch_id),
+        )
+
+    writer = (
+        cdc_stream.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_minhash_ingest(
     spark: SparkSession,
     doc_stream: DataFrame,

@@ -782,6 +782,55 @@ def test_minhash_index_bucketed_table_variant(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_minhash_index_table_append_equals_rebuild(spark, sf_dir):
+    """The bucketed-table index's r7 append path: build(corpus) +
+    append(batch) must be relation-equal to a one-shot build over
+    corpus∪batch, answer an incremental query identically, and KEEP
+    the bucketed layout (appended rows land in matching Murmur3
+    buckets, so the no-Exchange scan contract survives)."""
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        append_minhash_index_table,
+        build_minhash_index_table,
+        query_minhash_index_table,
+    )
+    from tests.test_scale_plans import plan_of
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 300)
+    mid = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    probe = docs.filter(F.col("doc_id") >= 400)
+
+    def rel(prefix):
+        b = sorted(map(tuple, spark.table(f"{prefix}_bands").collect()))
+        s = sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in spark.table(f"{prefix}_sigs").collect()
+        )
+        return b, s
+
+    try:
+        build_minhash_index_table(spark, corpus, "mh_tbl_inc")
+        append_minhash_index_table(spark, "mh_tbl_inc", mid)
+        build_minhash_index_table(spark, corpus.unionByName(mid), "mh_tbl_full")
+        assert rel("mh_tbl_inc") == rel("mh_tbl_full"), (
+            "table append diverged from rebuild"
+        )
+        got = _q_rows(query_minhash_index_table(spark, "mh_tbl_inc", probe, 0.5))
+        want = _q_rows(query_minhash_index_table(spark, "mh_tbl_full", probe, 0.5))
+        assert got == want and len(got) > 0
+        orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(query_minhash_index_table(spark, "mh_tbl_inc", probe, 0.5))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        assert "Bucketed: true" in plan, "append lost the bucketed layout"
+    finally:
+        for p in ("mh_tbl_inc", "mh_tbl_full"):
+            for t in (f"{p}_bands", f"{p}_sigs", f"{p}_params"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_multi_commit_comoment_delta_apply_equals_recompute(spark, tmp_path):
     """Co-moment partials maintained purely from CDC feeds across a
     random 5-commit history must equal the from-scratch co-moment
