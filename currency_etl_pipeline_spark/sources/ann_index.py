@@ -547,6 +547,59 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
     return removed
 
 
+def compact_ivf_index(
+    spark: SparkSession, index_path: str, max_files_per_cell: int = 1
+) -> int:
+    """Small-files compaction for the IVF index — the missing third of
+    the maintenance triangle (append accumulates files, recluster
+    rewrites everything, RTBF rewrites victims; NOTHING shrank a cell
+    that only ever grew). Every streaming micro-batch append
+    (``stream_append_ivf_index``) lands ≥1 new file per touched cid=
+    partition, so a long-running ingest degrades probe scans into
+    many-small-file reads — the same pathology
+    ``Warehouse.compact_historical`` exists for, solved with the same
+    discipline: per cell over the file budget, rewrite to
+    ``max_files_per_cell`` files via the underscore-hidden staging dir,
+    count-verify BEFORE removing the original, swap atomically. Skips
+    cells already within budget (idempotent; a crash leaves either the
+    old cell or the new one, never a mix). Returns cells compacted.
+
+    Scale: cost is |oversized cells| × cell size — a maintenance pass
+    over exactly the partitions the ingest fragmented, schedulable per
+    cell. Works on both layouts (pure file-level rewrite).
+    """
+    import os
+    import shutil
+    from collections import Counter
+
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    require_local_path(index_path, "IVF index compact")
+    files_per_cell = Counter()
+    for f in spark.read.parquet(index_path).inputFiles():
+        m = f.split("/cid=")
+        if len(m) == 2:
+            files_per_cell[int(m[1].split("/")[0])] += 1
+    compacted = 0
+    for cid, n_files in sorted(files_per_cell.items()):
+        if n_files <= max_files_per_cell:
+            continue
+        part_dir = f"{index_path}/cid={cid}"
+        cell = spark.read.parquet(part_dir)
+        n_rows = cell.count()
+        tmp = f"{index_path}/_compact_tmp_cid{cid}"
+        cell.repartition(max_files_per_cell).write.mode("overwrite").parquet(tmp)
+        if spark.read.parquet(tmp).count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"cell {cid} compaction count mismatch; original untouched"
+            )
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        compacted += 1
+    return compacted
+
+
 def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> None:
     """The ACTION the drift metric decides: retrain the coarse
     quantizer on the index's current population (pyspark.ml KMeans,

@@ -931,3 +931,51 @@ def test_distinct_support_multi_commit_matches_recompute(spark):
     # mid-chain spot checks of the narrative above
     v1 = {(r[0], r[1]): r[2] for r in rows(distinct_support(dfs[1], ["grp"], "b"))}
     assert v1[("a", 10)] == 2 and ("a", 20) not in v1 and ("b", 10) not in v1
+
+
+def test_ivf_compaction_shrinks_cells_preserving_search(spark, sf_dir, tmp_path):
+    """compact_ivf_index (r7): after appends fragment the cells, the
+    compaction must (a) bring every cell to <= the file budget, (b)
+    preserve rows and search results bit-for-bit, (c) be idempotent
+    (second run compacts nothing), and (d) reject object-store URIs."""
+    import pytest
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    idx = str(tmp_path / "ivf_compact")
+    build_ivf_index(
+        spark, sf_dir, idx, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    # two appends fragment the touched cells
+    append_ivf_index(
+        spark, idx, v.filter((F.col("vec_id") >= _SPLIT) & (F.col("vec_id") < 450))
+    )
+    append_ivf_index(spark, idx, v.filter(F.col("vec_id") >= 450))
+
+    def files_per_cell():
+        from collections import Counter
+
+        c = Counter()
+        for f in spark.read.parquet(idx).inputFiles():
+            c[f.split("/cid=")[1].split("/")[0]] += 1
+        return c
+
+    assert max(files_per_cell().values()) > 1, "appends did not fragment"
+    before_rows = _search_rows(spark, sf_dir, idx)
+    n_before = spark.read.parquet(idx).count()
+
+    n_compacted = compact_ivf_index(spark, idx)
+    assert n_compacted > 0
+    assert max(files_per_cell().values()) == 1, files_per_cell()
+    assert spark.read.parquet(idx).count() == n_before
+    assert _search_rows(spark, sf_dir, idx) == before_rows
+
+    assert compact_ivf_index(spark, idx) == 0, "compaction not idempotent"
+    with pytest.raises(ValueError, match="URI scheme"):
+        compact_ivf_index(spark, "gs://bucket/idx")
