@@ -500,9 +500,15 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after _DRIFT_SPLIT model the post-build appends.
 _DRIFT_CENTROID_IDS = tuple(range(20, 28))  # advanced.py's CENTROID_IDS
 _DRIFT_SPLIT = 400
-_DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
-# exemplar centroids sit 0.17-0.26 from their cell means there, so the
-# flag is exercised in BOTH directions by the driver's correctness sweep
+_DRIFT_THRESHOLD_E6 = 180_000  # micro-units; splits the sf0.01 cells
+# 5 True / 3 False: exemplar centroids sit 0.17-0.26 from their cell
+# means there, so the flag is exercised in BOTH directions by the
+# driver's correctness sweep
+
+# Scale-9 quantization of one double component, DuckDB side — the SQL
+# twin of sources/ann_index.quantize_vec9 (exact DECIMAL intermediate,
+# half-up double→DECIMAL(19,9) cast in both engines).
+_Q9_DUCK = "CAST(CAST({x} AS DECIMAL(19,9)) * 1000000000 AS BIGINT)"
 
 
 @query(
@@ -510,21 +516,38 @@ _DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
     cents AS (SELECT vec_id - 20 AS cid, dv AS cv FROM v WHERE vec_id BETWEEN 20 AND 27),
+    pair AS (
+        -- exact integer cosine partials per (vector, centroid): the
+        -- SQL twin of ann_index._ranked_cells_exact — scale-9
+        -- quantized components, HUGEINT dot/norm sums (order-free)
+        SELECT v.vec_id, c.cid,
+               sum(CAST({_Q9_DUCK.format(x="v.dv[d.i]")} AS HUGEINT)
+                   * {_Q9_DUCK.format(x="c.cv[d.i]")}) AS dot,
+               sum(CAST({_Q9_DUCK.format(x="v.dv[d.i]")} AS HUGEINT)
+                   * {_Q9_DUCK.format(x="v.dv[d.i]")}) AS na,
+               sum(CAST({_Q9_DUCK.format(x="c.cv[d.i]")} AS HUGEINT)
+                   * {_Q9_DUCK.format(x="c.cv[d.i]")}) AS nb
+        FROM v CROSS JOIN cents c CROSS JOIN generate_series(1, 64) AS d(i)
+        GROUP BY v.vec_id, c.cid
+    ),
     assigned AS (
-        SELECT v.vec_id, v.dv, c.cid
-        FROM v CROSS JOIN cents c
+        SELECT p.vec_id, p.cid
+        FROM pair p
         QUALIFY row_number() OVER (
-            PARTITION BY v.vec_id
-            ORDER BY round({_COS_DUCK.format(a="v.dv", b="c.cv")}, 6) DESC, c.cid ASC
+            PARTITION BY p.vec_id
+            ORDER BY round(CAST(p.dot AS DOUBLE)
+                           / sqrt(CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)), 6) DESC,
+                     p.cid ASC
         ) = 1
     ),
     per_dim AS (
         SELECT a.cid, d.i,
                count(*) AS cnt,
                sum(CASE WHEN a.vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END) AS fcnt,
-               CAST(CAST(sum(CAST(a.dv[d.i] AS DECIMAL(28,9))) AS DECIMAL(19,9))
+               CAST(CAST(sum(CAST(v.dv[d.i] AS DECIMAL(28,9))) AS DECIMAL(19,9))
                     * 1000000000 AS BIGINT) AS sq
-        FROM assigned a CROSS JOIN generate_series(1, 64) AS d(i)
+        FROM assigned a JOIN v ON a.vec_id = v.vec_id
+        CROSS JOIN generate_series(1, 64) AS d(i)
         GROUP BY a.cid, d.i
     ),
     quant AS (
@@ -534,7 +557,7 @@ _DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
         SELECT p.cid, p.cnt, p.fcnt,
                CASE WHEN p.sq >= 0 THEN (p.sq + p.cnt // 2) // p.cnt
                     ELSE -((-p.sq + p.cnt // 2) // p.cnt) END AS mq,
-               CAST(CAST(c.cv[p.i] AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS aq
+               {_Q9_DUCK.format(x="c.cv[p.i]")} AS aq
         FROM per_dim p JOIN cents c ON p.cid = c.cid
     ),
     cell AS (
@@ -543,14 +566,16 @@ _DRIFT_THRESHOLD = 0.18  # splits the sf0.01 cells 5 True / 3 False:
                sum(CAST(aq AS HUGEINT) * aq) AS na,
                sum(CAST(mq AS HUGEINT) * mq) AS nb
         FROM quant GROUP BY cid
+    ),
+    final AS (
+        SELECT cid, n, n_new,
+               CAST(round((1 - CAST(dot AS DOUBLE)
+                               / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                          * 1000000.0, 0) AS BIGINT) AS drift_e6
+        FROM cell
     )
-    SELECT cid, n, n_new,
-           round(1 - CAST(dot AS DOUBLE)
-                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS drift,
-           round(1 - CAST(dot AS DOUBLE)
-                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
-               > {_DRIFT_THRESHOLD} AS recluster
-    FROM cell
+    SELECT cid, n, n_new, drift_e6, drift_e6 > {_DRIFT_THRESHOLD_E6} AS recluster
+    FROM final
     """,
 )
 def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,19 +583,25 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its nearest stored centroid (the frozen quantizer), and
     per cell the member count, the count of post-build arrivals
     (vec_id >= split — the appended population), and
-    drift = 1 − cosine(stored centroid, exact cell mean). ``recluster``
-    flags cells past the threshold — the metric
-    sources/ann_index.centroid_drift_report computes over a
-    MATERIALIZED index; this filesystem-free twin lets the driver
-    hash-check the math end to end (same cell_mean_vectors code path).
+    drift_e6 = round((1 − cosine(stored centroid, exact cell mean))
+    × 1e6) as BIGINT micro-units. ``recluster`` flags cells past the
+    threshold — the metric sources/ann_index.centroid_drift_report
+    computes over a MATERIALIZED index; this filesystem-free twin lets
+    the driver hash-check the math end to end (same cell_mean_vectors
+    code path).
 
-    r7: drift is now bit-exact across engines — both sides quantize
-    the centroid and the cell mean to scale-9 integers (DECIMAL
-    partials → round-half-up integer division), accumulate dot/norms
-    as exact DECIMAL(38,0)/HUGEINT sums, and run ONE fixed-form IEEE
-    float expression at the edge. The r6 hash-red row was
-    summation-order ulps in the old double fold flipping the 6 dp
-    round (ADVICE r7 finding 1).
+    r8: the query surface is now integer-only END TO END. r7 made the
+    drift edge exact but left ASSIGNMENT ranking on a raw double
+    cosine fold — Spark's sequential `aggregate` vs DuckDB's
+    `list_inner_product` kernel can reassociate a sum by one ulp,
+    flipping the 6 dp round and moving a boundary vector between
+    cells (the r7 hash-red signature: 8 rows, schema green, values
+    off). Now BOTH engines rank by the same scale-9 quantized
+    integer-partial cosine (`_ranked_cells_exact` / the oracle's
+    `pair` CTE), and the output carries drift as BIGINT micro-units
+    with `recluster` from an integer compare — no double appears in
+    the comparison surface at all. If this round stays red, the
+    divergence is provably in the driver's hash protocol, not math.
 
     Plan/scale: assignment is the map-side broadcast crossJoin (O(kn),
     no shuffle); the mean is posexplode → per-(cid, dim) DECIMAL
@@ -579,9 +610,9 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size past the first map stage.
     """
     from currency_etl_pipeline_spark.sources.ann_index import (
-        _ranked_cells,
+        _ranked_cells_exact,
         cell_mean_vectors,
-        exact_drift,
+        exact_drift_e6,
     )
 
     v = _vecs(spark, sf_dir)
@@ -589,18 +620,20 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 20).alias("cid"), F.col("v").alias("cv")
     )
     assigned = (
-        _ranked_cells(v, cents)
+        _ranked_cells_exact(v.select("vec_id", "v"), cents)
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("v").alias("dv"), "cid")
     )
     mean = cell_mean_vectors(
         assigned, vec_col="dv", flag=F.col("vec_id") >= _DRIFT_SPLIT, scaled=True
     )
-    drift = exact_drift(F.col("cv"), F.col("mqv"))
-    return mean.join(F.broadcast(cents), "cid").select(
-        "cid",
-        "n",
-        F.col("n_flagged").alias("n_new"),
-        drift.alias("drift"),
-        (drift > F.lit(_DRIFT_THRESHOLD)).alias("recluster"),
+    return (
+        mean.join(F.broadcast(cents), "cid")
+        .select(
+            "cid",
+            "n",
+            F.col("n_flagged").alias("n_new"),
+            exact_drift_e6(F.col("cv"), F.col("mqv")).alias("drift_e6"),
+        )
+        .withColumn("recluster", F.col("drift_e6") > F.lit(_DRIFT_THRESHOLD_E6))
     )

@@ -423,20 +423,25 @@ def exact_drift(cv, mqv) -> "F.Column":
     CORRECTNESS_r06 / ADVICE r7; this is the NLL fixed-point
     discipline applied to cosine, queries/llm_prep.py:953).
 
-    Both vectors are scale-9 integers; dot and both norms are exact
-    integer sums accumulated in DECIMAL(38,0) (order-independent), and
-    only ONE fixed-form float expression runs at the edge:
-    ``dot / sqrt(na * nb)`` — each input an exact integer cast to
-    double (correctly rounded), then one multiply, one sqrt, one
-    divide, one subtract, one 6 dp round. IEEE-754 makes every step
-    deterministic given identical inputs, so the emitted double is
-    bit-identical across engines and partitionings.
+    ``cv`` is a float array (quantized here to scale 9); ``mqv`` is
+    already scale-9 integers (cell_mean_vectors ``scaled=True``).
+    Exact DECIMAL partials (``_int_cos_parts``) + one fixed-form
+    float edge (``_cos_edge``) + one subtract + one 6 dp round.
+    """
+    aq = quantize_vec9(cv)
+    mq = F.col(mqv) if isinstance(mqv, str) else mqv
+    dot, na, nb = _int_cos_parts(aq, mq)
+    return F.round(F.lit(1.0) - _cos_edge(dot, na, nb), 6)
+
+
+def _int_cos_parts(aq, bq):
+    """(dot, na, nb) of two scale-9 integer arrays as exact
+    DECIMAL(38,0) sums — order-independent, so partitioning and
+    engine summation kernels cannot perturb them.
 
     Magnitude bound: |component| ≤ ~1e10 scaled → na, nb ≤ 64·1e20,
     dot terms ≤ 1e20 — all far inside DECIMAL(38,0) / HUGEINT.
     """
-    aq = quantize_vec9(cv)
-    mq = F.col(mqv) if isinstance(mqv, str) else mqv
 
     def isum(pairs):
         return F.aggregate(
@@ -445,11 +450,64 @@ def exact_drift(cv, mqv) -> "F.Column":
             lambda acc, x: acc + x,
         )
 
-    dot = isum(F.zip_with(aq, mq, lambda x, y: x.cast("decimal(38,0)") * y))
+    dot = isum(F.zip_with(aq, bq, lambda x, y: x.cast("decimal(38,0)") * y))
     na = isum(F.transform(aq, lambda x: x.cast("decimal(38,0)") * x))
-    nb = isum(F.transform(mq, lambda y: y.cast("decimal(38,0)") * y))
-    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
-    return F.round(F.lit(1.0) - cos, 6)
+    nb = isum(F.transform(bq, lambda y: y.cast("decimal(38,0)") * y))
+    return dot, na, nb
+
+
+def _cos_edge(dot, na, nb) -> "F.Column":
+    """The ONE fixed-form float expression at the edge of the exact
+    pipeline: ``dot / sqrt(na * nb)`` — each input an exact integer
+    cast to double (correctly rounded), then one multiply, one sqrt,
+    one divide. IEEE-754 makes every step deterministic given
+    identical inputs, so the double is bit-identical across engines
+    and partitionings."""
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+def exact_cos6(aq, bq) -> "F.Column":
+    """Cosine of two scale-9 integer arrays rounded to 6 dp — exact
+    DECIMAL partials, one fixed-form float edge. The engine-invariant
+    ranking score the drift report's ASSIGNMENT step needs: the raw
+    double `cosine` fold can reassociate differently per engine, and
+    one ulp flips a 6 dp round and moves a boundary vector to another
+    cell — the r7 `ivf_centroid_drift_report` hash-red signature
+    (rows/schema match, values off in two cells)."""
+    dot, na, nb = _int_cos_parts(aq, bq)
+    return F.round(_cos_edge(dot, na, nb), 6)
+
+
+def exact_drift_e6(cv, mqv) -> "F.Column":
+    """``exact_drift`` in integer micro-units: BIGINT
+    round((1 − cosine) × 1e6). Same exact partials and single float
+    edge, but the OUTPUT is an integer — so a value-hashing driver
+    never sees a double at all (the r8 hardening: after two hash-red
+    rounds with locally-exact doubles, remove floats from the
+    comparison surface entirely). Range [0, 2e6], always positive;
+    Spark's HALF_UP and DuckDB's round() agree on positive doubles."""
+    aq = quantize_vec9(cv)
+    mq = F.col(mqv) if isinstance(mqv, str) else mqv
+    dot, na, nb = _int_cos_parts(aq, mq)
+    edge = (F.lit(1.0) - _cos_edge(dot, na, nb)) * F.lit(1_000_000.0)
+    return F.round(edge, 0).cast("long")
+
+
+def _ranked_cells_exact(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """``_ranked_cells`` with an engine-invariant score: both sides
+    quantized to scale-9 integers, cosine via ``exact_cos6``. Used by
+    the drift report (whose oracle must reproduce the assignment
+    bit-for-bit); ``_ranked_cells``'s raw-double form remains the
+    build/search path so `ivf_ann_topk`'s green oracle is untouched."""
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *(["label"] if "label" in vectors.columns else []),
+        "v",
+        "cid",
+        exact_cos6(quantize_vec9(F.col("v")), quantize_vec9(F.col("cv"))).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return scored.withColumn("rn", F.row_number().over(w))
 
 
 def centroid_drift_report(
@@ -533,6 +591,7 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
         # the swap (or a concurrent whole-root reader) can never parse
         # it as a cid value or double-read survivors (ADVICE r7 #2).
         tmp = f"{index_path}/_delete_tmp_cid{cid}"
+        read_files = {os.path.basename(f) for f in cell.inputFiles()}
         survivors.write.mode("overwrite").parquet(tmp)
         n_written = spark.read.parquet(tmp).count()
         if n_written != n_after:
@@ -541,8 +600,7 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
                 f"cell {cid} rewrite count mismatch ({n_after} -> {n_written}); "
                 "original partition left untouched"
             )
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        _swap_cell_dir(part_dir, tmp, read_files, cid, "RTBF delete")
         removed += n_before - n_after
     return removed
 
@@ -560,9 +618,28 @@ def compact_ivf_index(
     ``Warehouse.compact_historical`` exists for, solved with the same
     discipline: per cell over the file budget, rewrite to
     ``max_files_per_cell`` files via the underscore-hidden staging dir,
-    count-verify BEFORE removing the original, swap atomically. Skips
-    cells already within budget (idempotent; a crash leaves either the
-    old cell or the new one, never a mix). Returns cells compacted.
+    count-verify BEFORE removing the original, then swap. Skips cells
+    already within budget (idempotent). Returns cells compacted.
+
+    Concurrency: the cell read pins its file listing when the rewrite
+    plan executes, so a file appended between that listing and the
+    swap (a live ``stream_append_ivf_index``) would be deleted without
+    being part of the rewrite. The swap therefore RE-LISTS the cell
+    immediately before removal and aborts (staging dir discarded, cell
+    untouched) if the file set moved — and, like
+    ``Warehouse.compact_historical``, the supported pattern is still
+    to run compaction when the cell is cold / the stream is stopped;
+    the re-list guard narrows the race to microseconds, it does not
+    make concurrent writers safe.
+
+    Crash window: the rm→rename swap is NOT atomic. A crash after the
+    rmtree but before the rename leaves the cell ABSENT from the index
+    (searches silently skip it) with the data intact in the
+    underscore-hidden ``_compact_tmp_cid<cid>`` dir; recovery is to
+    rename that dir back to ``cid=<cid>`` (same recovery contract as
+    ``compact_historical``). A crash before the rmtree leaves the old
+    cell fully intact plus a stale staging dir that the next run
+    overwrites.
 
     Scale: cost is |oversized cells| × cell size — a maintenance pass
     over exactly the partitions the ingest fragmented, schedulable per
@@ -575,6 +652,10 @@ def compact_ivf_index(
     from currency_etl_pipeline_spark.sources.localfs import require_local_path
 
     require_local_path(index_path, "IVF index compact")
+    if max_files_per_cell < 1:
+        raise ValueError(
+            f"max_files_per_cell must be >= 1, got {max_files_per_cell}"
+        )
     files_per_cell = Counter()
     for f in spark.read.parquet(index_path).inputFiles():
         m = f.split("/cid=")
@@ -587,6 +668,7 @@ def compact_ivf_index(
         part_dir = f"{index_path}/cid={cid}"
         cell = spark.read.parquet(part_dir)
         n_rows = cell.count()
+        read_files = {os.path.basename(f) for f in cell.inputFiles()}
         tmp = f"{index_path}/_compact_tmp_cid{cid}"
         cell.repartition(max_files_per_cell).write.mode("overwrite").parquet(tmp)
         if spark.read.parquet(tmp).count() != n_rows:
@@ -594,10 +676,34 @@ def compact_ivf_index(
             raise RuntimeError(
                 f"cell {cid} compaction count mismatch; original untouched"
             )
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        _swap_cell_dir(part_dir, tmp, read_files, cid, "compaction")
         compacted += 1
     return compacted
+
+
+def _swap_cell_dir(part_dir: str, tmp: str, read_files: set, cid: int, op: str) -> None:
+    """Count-verified staging → live swap for one cid= partition, with
+    a last-instant concurrent-writer guard: re-list the live dir and
+    abort (staging discarded, cell untouched) if any data file appeared
+    or vanished since the rewrite read its input — otherwise the rmtree
+    would silently destroy a file the rewrite never saw (ADVICE r8 #1).
+    """
+    import os
+    import shutil
+
+    now_files = {
+        f for f in os.listdir(part_dir) if not f.startswith(("_", "."))
+    }
+    if now_files != read_files:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"cell {cid} changed during {op} "
+            f"(files {sorted(read_files ^ now_files)} appeared/vanished); "
+            "aborted with the original partition untouched — stop the "
+            "writer (e.g. stream_append_ivf_index) and re-run"
+        )
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
 
 
 def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> None:

@@ -979,3 +979,43 @@ def test_ivf_compaction_shrinks_cells_preserving_search(spark, sf_dir, tmp_path)
     assert compact_ivf_index(spark, idx) == 0, "compaction not idempotent"
     with pytest.raises(ValueError, match="URI scheme"):
         compact_ivf_index(spark, "gs://bucket/idx")
+    # ADVICE r8 #3: a 0/negative budget must fail loudly BEFORE any
+    # cell is rewritten, not as an opaque repartition(0) error mid-loop
+    with pytest.raises(ValueError, match="max_files_per_cell"):
+        compact_ivf_index(spark, idx, max_files_per_cell=0)
+
+
+def test_ivf_swap_aborts_if_cell_changed_under_rewrite(tmp_path):
+    """ADVICE r8 #1 (data-loss race): if a writer lands a file in a
+    cell between the rewrite's pinned listing and the swap, the swap
+    must abort — staging discarded, live cell (INCLUDING the unseen
+    file) untouched — instead of rmtree'ing data the rewrite never
+    read. Exercised directly on the swap primitive both maintenance
+    paths (compaction, RTBF delete) share."""
+    import os
+
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.ann_index import _swap_cell_dir
+
+    part = tmp_path / "cid=3"
+    part.mkdir()
+    (part / "part-0.parquet").write_bytes(b"old0")
+    tmp = tmp_path / "_compact_tmp_cid3"
+    tmp.mkdir()
+    (tmp / "part-new.parquet").write_bytes(b"rewritten")
+
+    # happy path: listing unchanged -> swap
+    _swap_cell_dir(str(part), str(tmp), {"part-0.parquet"}, 3, "compaction")
+    assert os.listdir(part) == ["part-new.parquet"] and not tmp.exists()
+
+    # racy path: a concurrent append landed part-1 after the read
+    tmp.mkdir()
+    (tmp / "part-new2.parquet").write_bytes(b"rewritten2")
+    (part / "part-1.parquet").write_bytes(b"concurrent-append")
+    with pytest.raises(RuntimeError, match="changed during compaction"):
+        _swap_cell_dir(
+            str(part), str(tmp), {"part-new.parquet"}, 3, "compaction"
+        )
+    assert sorted(os.listdir(part)) == ["part-1.parquet", "part-new.parquet"]
+    assert not tmp.exists(), "staging dir must be discarded on abort"

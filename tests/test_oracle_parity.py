@@ -41,7 +41,28 @@ _PARTITION_SENSITIVE = [
     # the same partition-count independence.
     "perplexity_quality_score",
     "passage_dedup_rewrite",
+    # r8: integer-only end to end — exact-partial assignment ranking
+    # AND BIGINT micro-unit drift output claim the same invariance.
+    "ivf_centroid_drift_report",
 ]
+
+
+def test_drift_report_surface_is_integer_only(spark, sf_dir):
+    """r8 hardening for the twice-hash-red drift report: after the
+    assignment ranking moved to exact scale-9 integer partials
+    (`_ranked_cells_exact`), NO floating-point column may remain in
+    the output — drift is BIGINT micro-units, recluster an integer
+    compare. A float type reappearing here would silently reopen the
+    engine-variant surface the r7/r8 fixes closed."""
+    df = SPECS["ivf_centroid_drift_report"].spark(spark, sf_dir)
+    kinds = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    assert kinds == {
+        "cid": "long",
+        "n": "long",
+        "n_new": "long",
+        "drift_e6": "long",
+        "recluster": "boolean",
+    }
 
 
 @pytest.mark.parametrize("name", _PARTITION_SENSITIVE)
