@@ -125,6 +125,72 @@ HEADLINE = [
     "cdc_comoment_rollup",
     # round 7 additions (appended; prior rows byte-identical):
     "cdc_distinct_maintenance",
+    # round 8 additions (appended; prior rows byte-identical): the
+    # ENTIRE remaining catalog — VERDICT r7 "What's missing" #1 found
+    # 54 of 140 registered queries with no timing history at all
+    # (the whole streaming family, the rollup/cube/grouping-sets
+    # shapes, the media stubs, both skew-salting twins, ...). From
+    # this round the bench list is definitionally "every registered
+    # query": a test at the bottom of this file's sibling
+    # (tests/test_registry_order.py) pins HEADLINE == registry, so a
+    # new query cannot land unbenched by accident. Streaming entries
+    # time the FULL run (file-source stream driven to completion
+    # inside the callable — run_stream_to_memory / foreachBatch), so
+    # their numbers include micro-batch scheduling overhead by design.
+    "point_lookup_latest",
+    "filtered_topn_fixed_semantic",
+    "props_extract_clean",
+    "pair_split_roundtrip",
+    "scd2_rate_history",
+    "pricing_rollup",
+    "events_cube",
+    "lineitem_grouping_sets",
+    "customers_with_orders_semi",
+    "customers_without_orders_anti",
+    "top3_lineitems_per_returnflag",
+    "distinct_parts_per_status",
+    "pivot_qty_by_linestatus",
+    "nationkeys_intersect",
+    "nationkeys_except",
+    "part_string_functions",
+    "daily_event_rollup",
+    "asof_next_purchase_after_click",
+    "dedup_clusters",
+    "token_positions",
+    "embedding_label_stats",
+    "near_dup_embeddings",
+    "embedding_l2_normalize",
+    "streaming_sliding_counts",
+    "streaming_window_approx_users",
+    "streaming_stateful_first_seen",
+    "streaming_enrich_static_dim",
+    "streaming_interval_join",
+    "streaming_dedup_union",
+    "streaming_hourly_rates",
+    "streaming_sessionization",
+    "streaming_corpus_ingest",
+    "streaming_rates_raw_zone_tail",
+    "streaming_interval_join_left_outer",
+    "streaming_cdc_rollup",
+    "streaming_minhash_ingest",
+    "streaming_cdc_distinct",
+    "media_frame_sample",
+    "media_resize_stats",
+    "media_audio_rms",
+    "lineitem_percentiles_approx",
+    "order_rank_functions",
+    "ivf_ann_topk_trained",
+    "skew_salted_event_stats",
+    "skew_salted_supplier_revenue",
+    "event_transition_matrix",
+    "event_funnel_conversion",
+    "weekly_retention_cohorts",
+    "lineitem_unpivot",
+    "hll_user_cardinality",
+    "cms_user_event_counts",
+    "events_profile",
+    "monthly_revenue_momentum",
+    "udtf_token_positions",
 ]
 
 
@@ -185,10 +251,11 @@ def main() -> None:
 def _persist(result: dict) -> None:
     """Write the COMPLETE result to bench_results/r<NN>.json.
 
-    The driver captures only the stdout tail: BENCH_r06 preserved 60 of
-    103 per-query timings, gutting cross-round ratio comparison
-    (VERDICT r6 'What's missing' #1). The committed file is the durable
-    per-query history; the one-line stdout contract is unchanged. The
+    The driver captures only the stdout tail: BENCH_r06's committed
+    artifact preserved only a SUFFIX of that round's 85 per-query
+    timings, gutting cross-round ratio comparison (VERDICT r6 'What's
+    missing' #1). The committed file is the durable per-query history;
+    the one-line stdout contract is unchanged. The
     round number comes from the newest BENCH_r<N>.json the driver wrote
     (+1 = the round being benched now); repeated runs within a round
     overwrite the same file, which is the desired 'latest run' record.

@@ -144,3 +144,20 @@ def test_readme_catalog_count_matches_registry():
     assert m, "README catalog line not found"
     assert int(m.group(1)) == len(all_queries()), "README query count drifted"
     assert int(m.group(2)) == len(all_oracles()), "README oracle count drifted"
+
+
+def test_bench_headline_covers_entire_registry():
+    """r8: the bench list is definitionally 'every registered query' —
+    VERDICT r7 found 54 of 140 queries with no timing history at all,
+    an accident this pin makes impossible (a new query must be added
+    to bench.py::HEADLINE or this fails). Order is NOT pinned: HEADLINE
+    is append-only so cross-round per-query ratios stay comparable, and
+    set equality leaves that discipline to review."""
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench entries"
+    assert set(bench.HEADLINE) == set(_REGISTRY), (
+        "bench/registry drift: "
+        f"unbenched={sorted(set(_REGISTRY) - set(bench.HEADLINE))} "
+        f"unknown={sorted(set(bench.HEADLINE) - set(_REGISTRY))}"
+    )
