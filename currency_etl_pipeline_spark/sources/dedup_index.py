@@ -50,16 +50,22 @@ from currency_etl_pipeline_spark.queries.text import exploded, shingles
 
 
 def _params_file(index_path: str) -> str:
-    # Funnel for every params read/write: the sidecar is POSIX-only IO,
-    # so object-store URIs fail loudly here (sources/localfs.py).
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
-
-    return os.path.join(require_local_path(index_path, "minhash index"), "_params.json")
+    return os.path.join(index_path, "_params.json")
 
 
 def load_index_params(index_path: str) -> dict:
-    with open(_params_file(index_path)) as fh:
-        return json.load(fh)
+    # Sidecar IO dispatches on the path: POSIX open() for plain paths,
+    # the JVM Hadoop filesystem for URIs (sources/localfs.sidecar_fs) —
+    # the index's params/tombstones work on object stores; only the
+    # physical tombstone COMPACTION stays POSIX (directory swaps).
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
+    text = sidecar_fs(index_path).read_text(_params_file(index_path))
+    if text is None:
+        raise FileNotFoundError(
+            f"no _params.json under {index_path} — not a MinHash index?"
+        )
+    return json.loads(text)
 
 
 def doc_signature_tables(
@@ -132,14 +138,15 @@ def build_minhash_index(
     band_size: int = 2,
 ) -> None:
     """Shingle + hash the corpus ONCE; land bands and signatures."""
-    _params_file(index_path)  # fail loudly on object-store URIs up front
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
     bands, sigs = doc_signature_tables(docs, num_hashes, band_size)
     bands.write.mode("overwrite").parquet(os.path.join(index_path, "bands"))
     sigs.write.mode("overwrite").parquet(os.path.join(index_path, "sigs"))
-    tmp = _params_file(index_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"num_hashes": num_hashes, "band_size": band_size}, fh)
-    os.replace(tmp, _params_file(index_path))
+    sidecar_fs(index_path, spark).write_text(
+        _params_file(index_path),
+        json.dumps({"num_hashes": num_hashes, "band_size": band_size}),
+    )
 
 
 def append_minhash_index(spark: SparkSession, index_path: str, new_docs: DataFrame) -> None:
@@ -181,11 +188,7 @@ def query_minhash_index(
 
 
 def _tombstones_path(index_path: str) -> str:
-    # Same funnel as _params_file: tombstone probing (os.path.isdir)
-    # and compaction (shutil) are POSIX-only.
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
-
-    return os.path.join(require_local_path(index_path, "minhash index"), "tombstones")
+    return os.path.join(index_path, "tombstones")
 
 
 def delete_from_minhash_index(spark: SparkSession, index_path: str, doc_ids) -> None:
@@ -210,8 +213,10 @@ def delete_from_minhash_index(spark: SparkSession, index_path: str, doc_ids) -> 
 
 
 def _live(spark: SparkSession, index_path: str, rel: DataFrame) -> DataFrame:
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
     t = _tombstones_path(index_path)
-    if not os.path.isdir(t):
+    if not sidecar_fs(index_path, spark).is_dir(t):
         return rel
     return rel.join(spark.read.parquet(t), "doc_id", "left_anti")
 
@@ -223,6 +228,9 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
     tombstone relation. Returns the number of doc_ids applied."""
     import shutil
 
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    require_local_path(index_path, "minhash index compact")
     t = _tombstones_path(index_path)
     if not os.path.isdir(t):
         return 0

@@ -77,22 +77,26 @@ class SnapshotStore:
         """``retain`` is the reader grace window: a reader that resolved
         ``_LATEST`` must finish its scan within ``retain - 1`` subsequent
         commits or its version dir may be pruned under it. The default (4)
-        gives streaming per-micro-batch commits three commits of slack."""
-        from currency_etl_pipeline_spark.sources.localfs import require_local_path
+        gives streaming per-micro-batch commits three commits of slack.
+
+        ``base`` may be a plain path (POSIX sidecar IO, pointer flips
+        atomic via ``os.replace``) or a Hadoop URI (``file://`` /
+        ``hdfs://`` / object stores — pointer flips via the JVM
+        FileContext rename; see sources/localfs.py for the object-store
+        atomicity caveat)."""
+        from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
         self.spark = spark
-        self.base = require_local_path(base, "SnapshotStore")
+        self.base = str(base)
+        self._fs = sidecar_fs(self.base, spark)
         self.retain = max(1, retain)
 
     def _pointer_path(self) -> str:
         return os.path.join(self.base, self.POINTER)
 
     def _latest(self) -> str | None:
-        try:
-            with open(self._pointer_path()) as fh:
-                return fh.read().strip() or None
-        except OSError:
-            return None
+        text = self._fs.read_text(self._pointer_path())
+        return (text.strip() or None) if text is not None else None
 
     def exists(self) -> bool:
         return self._latest() is not None
@@ -104,10 +108,7 @@ class SnapshotStore:
         return self.spark.read.parquet(os.path.join(self.base, latest))
 
     def _versions_on_disk(self) -> list[int]:
-        try:
-            names = os.listdir(self.base)
-        except OSError:
-            return []
+        names = self._fs.list_names(self.base)
         return [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
 
     def commit(self, snap: DataFrame, tag: str | None = None) -> None:
@@ -127,12 +128,10 @@ class SnapshotStore:
         # The one data write; may lazily read the old version dir.
         snap.write.mode("error").parquet(os.path.join(self.base, version))
         if tag is not None:
-            with open(os.path.join(self.base, version, self.TAG), "w") as fh:
-                fh.write(tag)
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+            self._fs.write_text(os.path.join(self.base, version, self.TAG), tag)
+        # Atomic flip: os.replace on POSIX, FileContext OVERWRITE rename
+        # on Hadoop filesystems (sidecar_fs dispatches on the path).
+        self._fs.write_text(self._pointer_path(), version)
         self._prune(n + 1)
 
     def version(self) -> int | None:
@@ -146,11 +145,11 @@ class SnapshotStore:
         same guards as ``rollback``."""
         name = f"v{version:08d}"
         vdir = os.path.join(self.base, name)
-        if not os.path.isdir(vdir):
+        if not self._fs.is_dir(vdir):
             raise FileNotFoundError(
                 f"version {name} not on disk under {self.base} (pruned? raise retain)"
             )
-        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+        if not self._fs.is_file(os.path.join(vdir, "_SUCCESS")):
             raise FileNotFoundError(
                 f"version {name} has no _SUCCESS marker — partially-written orphan"
             )
@@ -173,18 +172,15 @@ class SnapshotStore:
         latest = self._latest()
         if latest is None:
             return None
-        try:
-            with open(os.path.join(self.base, latest, self.TAG)) as fh:
-                return fh.read().strip() or None
-        except OSError:
-            return None
+        text = self._fs.read_text(os.path.join(self.base, latest, self.TAG))
+        return (text.strip() or None) if text is not None else None
 
     def _prune(self, live: int) -> None:
         """Drop versions older than the retained window (prune AFTER the
         pointer flip so no reader can still resolve to them)."""
-        for name in os.listdir(self.base):
+        for name in self._fs.list_names(self.base):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - self.retain:
-                shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
+                self._fs.delete(os.path.join(self.base, name))
 
     def rollback(self, version: int) -> None:
         """Flip the pointer back to a retained version (recovery after a
@@ -196,25 +192,29 @@ class SnapshotStore:
         installed as the live snapshot)."""
         name = f"v{version:08d}"
         vdir = os.path.join(self.base, name)
-        if not os.path.isdir(vdir):
+        if not self._fs.is_dir(vdir):
             raise FileNotFoundError(
                 f"version {name} not on disk under {self.base} (pruned? raise retain)"
             )
-        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+        if not self._fs.is_file(os.path.join(vdir, "_SUCCESS")):
             raise FileNotFoundError(
                 f"version {name} has no _SUCCESS marker — partially-written "
                 "orphan from a crashed commit; refusing to install it as live"
             )
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(name)
-        os.replace(tmp, self._pointer_path())
+        self._fs.write_text(self._pointer_path(), name)
 
 
 class Warehouse:
     def __init__(self, spark: SparkSession, base_path: str):
+        # The warehouse's maintenance surface (partition rewrites,
+        # compaction, schema registry) swaps whole directories with
+        # POSIX renames — unlike SnapshotStore's pointer sidecar, it
+        # does not (yet) dispatch to the Hadoop filesystem, so refuse
+        # object-store URIs up front (sources/localfs.py).
+        from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
         self.spark = spark
-        self.base = base_path
+        self.base = require_local_path(base_path, "Warehouse")
         self.historical_path = os.path.join(base_path, "historical_rates")
         self.current_path = os.path.join(base_path, "current_rates")
         self._store = SnapshotStore(spark, self.current_path)

@@ -66,6 +66,29 @@ def _epoch_tagger(checkpoint_dir: str | None):
     return tag, parse
 
 
+def _last_epoch_marker(spark: SparkSession, index_path: str):
+    """Replay-guard marker for foreachBatch index maintenance:
+    ``(last, record)`` closures over ``<index>/_last_epoch``. IO rides
+    ``sidecar_fs`` — POSIX for plain paths, the JVM Hadoop filesystem
+    for URIs — so streaming index maintenance runs on object stores
+    (VERDICT r7 task 3; see sources/localfs.py for the rename caveat)."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
+    fs = sidecar_fs(index_path, spark)
+    marker = os.path.join(str(index_path), "_last_epoch")
+
+    def last() -> int:
+        text = fs.read_text(marker)
+        return int(text.strip() or -1) if text is not None else -1
+
+    def record(epoch_id: int) -> None:
+        fs.write_text(marker, str(epoch_id))
+
+    return last, record
+
+
 def events_schema(spark: SparkSession, sf_dir: str):
     """The events table's logical schema (post ts-conversion)."""
     return load_table(spark, sf_dir, "events").schema
@@ -585,8 +608,6 @@ def stream_minhash_ingest(
     side) + the batch×batch self-join (micro-batch-sized). The corpus
     text is never re-read. Returns the StreamingQuery.
     """
-    import os
-
     from currency_etl_pipeline_spark.sources.dedup_index import (
         append_minhash_index,
         doc_signature_tables,
@@ -595,17 +616,11 @@ def stream_minhash_ingest(
         query_minhash_index,
     )
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
-
-    marker = os.path.join(
-        require_local_path(index_path, "stream_minhash_ingest"), "_last_epoch"
-    )
+    last_epoch, record_epoch = _last_epoch_marker(spark, index_path)
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                if epoch_id <= int(fh.read().strip() or -1):
-                    return  # replayed epoch already admitted
+        if epoch_id <= last_epoch():
+            return  # replayed epoch already admitted
         batch = batch_df.persist()
         try:
             docs = batch.select("doc_id", "text")
@@ -636,10 +651,7 @@ def stream_minhash_ingest(
             )
         finally:
             batch.unpersist()
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(epoch_id))
-        os.replace(tmp, marker)
+        record_epoch(epoch_id)
 
     writer = (
         doc_stream.writeStream.outputMode("update")
@@ -678,26 +690,15 @@ def stream_append_ivf_index(
 
     Returns the StreamingQuery.
     """
-    import os
-
     from currency_etl_pipeline_spark.sources.ann_index import append_ivf_index
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
-
-    marker = os.path.join(
-        require_local_path(index_path, "stream_append_ivf_index"), "_last_epoch"
-    )
+    last_epoch, record_epoch = _last_epoch_marker(spark, index_path)
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                if epoch_id <= int(fh.read().strip() or -1):
-                    return  # replayed epoch already appended
+        if epoch_id <= last_epoch():
+            return  # replayed epoch already appended
         append_ivf_index(spark, index_path, batch_df)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(epoch_id))
-        os.replace(tmp, marker)
+        record_epoch(epoch_id)
 
     writer = (
         vec_stream.writeStream.outputMode("update")

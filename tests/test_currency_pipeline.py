@@ -906,47 +906,150 @@ def test_zorder_rejects_unbounded_domain(spark):
     assert ok.count() == 200
 
 
-def test_posix_sidecar_stores_reject_object_store_uris(spark, tmp_path):
-    """VERDICT r6 task 5: every store whose sidecar IO is POSIX-only
-    (open/os.replace/shutil) must fail LOUDLY on an object-store URI at
-    its entry point — the r5 rates_datasource discipline propagated via
-    sources/localfs.require_local_path. Without this, gs:// paths would
-    either crash mid-commit or 'succeed' into a literal ./gs:/ dir."""
+def test_partition_rewrite_stores_reject_object_store_uris(spark, tmp_path):
+    """The stores whose maintenance swaps WHOLE DIRECTORIES with POSIX
+    renames (warehouse partition rewrites, MinHash tombstone
+    compaction, IVF cell rewrites) must still fail LOUDLY on an
+    object-store URI at their entry points — the r5 rates_datasource
+    discipline via sources/localfs.require_local_path. The pointer /
+    params / marker SIDECAR stores no longer funnel through the guard:
+    r8 flipped them to the Hadoop-FS dispatch (sidecar_fs), covered by
+    the ``file://`` round-trip tests below; a gs:// path there now
+    fails in FileSystem.get (no connector on this classpath) instead of
+    silently writing a literal ./gs:/ dir."""
     import pytest
 
     from currency_etl_pipeline_spark.sources.ann_index import (
+        compact_ivf_index,
         delete_from_ivf_index,
         recluster_ivf_index,
     )
-    from currency_etl_pipeline_spark.sources.dedup_index import (
-        append_minhash_index,
-        build_minhash_index,
-        compact_minhash_index,
-        delete_from_minhash_index,
-        query_minhash_index,
-    )
-    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore, Warehouse
-    from currency_etl_pipeline_spark.streaming.pipeline import (
-        stream_append_ivf_index,
-        stream_minhash_ingest,
-    )
+    from currency_etl_pipeline_spark.sources.dedup_index import compact_minhash_index
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
 
     uri = "gs://bucket/store"
-    docs = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
-    stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path))
-
     for call in [
-        lambda: SnapshotStore(spark, uri),
         lambda: Warehouse(spark, uri),
-        lambda: build_minhash_index(spark, docs, uri),
-        lambda: append_minhash_index(spark, uri, docs),
-        lambda: query_minhash_index(spark, uri, docs),
-        lambda: delete_from_minhash_index(spark, uri, [1]),
         lambda: compact_minhash_index(spark, uri),
         lambda: delete_from_ivf_index(spark, uri, [1]),
+        lambda: compact_ivf_index(spark, uri),
         lambda: recluster_ivf_index(spark, uri),
-        lambda: stream_minhash_ingest(spark, stream, uri, str(tmp_path / "acc")),
-        lambda: stream_append_ivf_index(spark, stream, uri),
     ]:
         with pytest.raises(ValueError, match="URI scheme"):
             call()
+
+
+def test_sidecar_fs_dispatch_and_file_uri_ops(spark, tmp_path):
+    """sidecar_fs dispatches POSIX vs Hadoop on the path, and the JVM
+    branch (exercised via the ``file://`` scheme — no bucket needed)
+    supports the full sidecar op set with the same contract as the
+    POSIX twin: missing-read -> None, atomic overwrite via FileContext
+    OVERWRITE rename, recursive delete, sorted listing."""
+    from currency_etl_pipeline_spark.sources.localfs import (
+        _HadoopSidecarFS,
+        _PosixSidecarFS,
+        sidecar_fs,
+    )
+
+    assert isinstance(sidecar_fs(str(tmp_path)), _PosixSidecarFS)
+    uri = f"file://{tmp_path}"
+    fs = sidecar_fs(uri, spark)
+    assert isinstance(fs, _HadoopSidecarFS)
+
+    ptr = f"{uri}/_LATEST"
+    assert fs.read_text(ptr) is None
+    assert not fs.exists(ptr)
+    fs.write_text(ptr, "v1")
+    assert fs.read_text(ptr) == "v1"
+    fs.write_text(ptr, "v2")  # overwrite rename, no stale .tmp left
+    assert fs.read_text(ptr) == "v2"
+    assert fs.is_file(ptr) and not fs.is_dir(ptr)
+    assert fs.list_names(uri) == ["_LATEST"]
+    assert fs.list_names(f"{uri}/absent") == []
+    fs.delete(ptr)
+    assert fs.read_text(ptr) is None
+    # POSIX twin agrees on every op against the same directory
+    pfs = sidecar_fs(str(tmp_path))
+    pfs.write_text(str(tmp_path / "x"), "posix")
+    assert fs.read_text(f"{uri}/x") == "posix"
+
+
+def test_snapshot_store_on_hadoop_file_scheme(spark, tmp_path):
+    """VERDICT r7 task 3 'Done' bar: SnapshotStore commit / read /
+    time-travel / rollback / prune round-trip through a ``file://`` URI
+    — every sidecar op (pointer flip, tag, version listing, prune)
+    rides the JVM Hadoop FileSystem branch; the parquet IO rides
+    Spark's own Hadoop layer as always."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, f"file://{tmp_path}/store", retain=2)
+    assert not store.exists()
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    store.commit(df1, tag="epoch:t:0")
+    assert store.exists() and store.version() == 1
+    assert store.latest_tag() == "epoch:t:0"
+    assert sorted(store.read().collect()) == sorted(df1.collect())
+
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string")
+    store.commit(df2)
+    assert store.version() == 2
+    assert store.latest_tag() is None
+    assert sorted(store.read_version(1).collect()) == sorted(df1.collect())
+
+    store.rollback(1)
+    assert store.version() == 1
+    assert sorted(store.read().collect()) == sorted(df1.collect())
+
+    # retain=2: after two more commits, v1 is outside the window
+    store.commit(df2)
+    store.commit(df1)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        store.read_version(1)
+
+
+def test_minhash_index_sidecars_on_hadoop_file_scheme(spark, tmp_path):
+    """The MinHash index's params + tombstone sidecars through
+    ``file://``: build writes _params.json via the JVM branch, query
+    reads it back, the tombstone anti-join probes the dir over the
+    Hadoop FS — the streaming admission gate's whole dependency chain
+    works against an object-store-style URI."""
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        load_index_params,
+        query_minhash_index,
+    )
+
+    uri = f"file://{tmp_path}/mhidx"
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    build_minhash_index(spark, corpus, uri, num_hashes=8, band_size=2)
+    assert load_index_params(uri) == {"num_hashes": 8, "band_size": 2}
+
+    probe = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    hits = query_minhash_index(spark, uri, probe, min_est_jaccard=0.9)
+    assert [r["corpus_id"] for r in hits.collect()] == [1]
+
+    delete_from_minhash_index(spark, uri, [1])
+    assert query_minhash_index(spark, uri, probe, min_est_jaccard=0.9).isEmpty()
+
+
+def test_last_epoch_marker_on_hadoop_file_scheme(spark, tmp_path):
+    """The streaming replay marker closures over a ``file://`` index
+    path: fresh marker reads -1, record/read round-trips, re-record
+    overwrites atomically."""
+    from currency_etl_pipeline_spark.streaming.pipeline import _last_epoch_marker
+
+    last, record = _last_epoch_marker(spark, f"file://{tmp_path}")
+    assert last() == -1
+    record(3)
+    assert last() == 3
+    record(7)
+    assert last() == 7
