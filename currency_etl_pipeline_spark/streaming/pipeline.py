@@ -565,6 +565,40 @@ def stream_cdc_distinct(
     return writer.start()
 
 
+def _sequential_admission(pdf):
+    """Strictly-sequential greedy admission within ONE LSH-connected
+    component (pandas, grouped by component): docs in ascending id
+    order; a doc is rejected if it near-dups the accepted corpus or an
+    already-ADMITTED doc of this component — exactly the decision a
+    one-at-a-time ingest loop would make. Component rows carry node
+    rows (b null, rej = corpus-rejected flag) and edge rows (a, b)."""
+    import pandas as pd
+
+    edges: dict[int, set] = {}
+    corpus_rej: set = set()
+    nodes: set = set()
+    for row in pdf.itertuples():
+        a = int(row.a)
+        if pd.isna(row.b):
+            nodes.add(a)
+            if row.rej:
+                corpus_rej.add(a)
+        else:
+            b = int(row.b)
+            nodes.add(a)
+            nodes.add(b)
+            edges.setdefault(a, set()).add(b)
+            edges.setdefault(b, set()).add(a)
+    admitted: list[int] = []
+    admitted_set: set = set()
+    for d in sorted(nodes):
+        if d in corpus_rej or edges.get(d, set()) & admitted_set:
+            continue
+        admitted_set.add(d)
+        admitted.append(d)
+    return pd.DataFrame({"doc_id": pd.Series(admitted, dtype="int64")})
+
+
 def stream_minhash_ingest(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -572,6 +606,7 @@ def stream_minhash_ingest(
     accepted_path: str,
     min_est_jaccard: float = 0.5,
     checkpoint_dir: str | None = None,
+    exact_chains: bool = False,
 ):
     """Streaming near-dup ADMISSION gate against the materialized
     MinHash index — the dedup twin of ``stream_append_ivf_index``,
@@ -590,7 +625,17 @@ def stream_minhash_ingest(
        rejected (pairwise rule — the same a<b keeper convention as
        minhash_lsh_near_dup; a chain a~b~c where only b crosses the
        corpus bar can diverge from strictly-sequential per-doc
-       admission, the documented approximation);
+       admission, the documented approximation). ``exact_chains=True``
+       opts into strict sequential fidelity: LSH-connected components
+       over the within-batch candidate pairs
+       (``operators.graph.connected_components``), then a per-component
+       greedy in id order where a doc is rejected only by the corpus or
+       by an already-ADMITTED neighbor — on the a~b~c chain above, b
+       falls to the corpus and c is admitted (b was never admitted),
+       where the pairwise rule wrongly drops c. Components are bounded
+       by the micro-batch, so the per-component pandas greedy is
+       bounded too; the CC supersteps add latency per batch, which is
+       why the pairwise rule stays the default;
     3. survivors land in ``accepted_path/epoch=<n>/`` (overwrite —
        idempotent commit unit) and their bands/signatures APPEND to
        the index via ``append_minhash_index``, so the NEXT batch is
@@ -622,6 +667,7 @@ def stream_minhash_ingest(
         if epoch_id <= last_epoch():
             return  # replayed epoch already admitted
         batch = batch_df.persist()
+        pinned = [batch]
         try:
             docs = batch.select("doc_id", "text")
             p = load_index_params(index_path)
@@ -629,13 +675,52 @@ def stream_minhash_ingest(
             vs_corpus = query_minhash_index(
                 spark, index_path, docs, min_est_jaccard, batch_tables=(bb, bs)
             ).select(F.col("batch_id").alias("doc_id"))
-            within = (
-                minhash_cross_candidates(bb, bs, bb, bs, p["num_hashes"], min_est_jaccard)
-                .filter(F.col("batch_id") > F.col("corpus_id"))
-                .select(F.col("batch_id").alias("doc_id"))
-            )
-            rejected = vs_corpus.union(within).distinct()
-            accepted = batch.join(rejected, "doc_id", "left_anti")
+            pairs = minhash_cross_candidates(
+                bb, bs, bb, bs, p["num_hashes"], min_est_jaccard
+            ).filter(F.col("batch_id") > F.col("corpus_id"))
+            if exact_chains:
+                from currency_etl_pipeline_spark.operators.graph import (
+                    connected_components,
+                )
+
+                edges = pairs.select(
+                    F.col("corpus_id").alias("a"), F.col("batch_id").alias("b")
+                ).persist()
+                pinned.append(edges)
+                comp = connected_components(edges, "a", "b")
+                rej_flags = vs_corpus.select(
+                    F.col("doc_id").alias("node"), F.lit(1).alias("rej")
+                )
+                node_rows = (
+                    comp.join(rej_flags, "node", "left")
+                    .select(
+                        "component",
+                        F.col("node").alias("a"),
+                        F.lit(None).cast("long").alias("b"),
+                        F.coalesce("rej", F.lit(0)).alias("rej"),
+                    )
+                )
+                edge_rows = edges.join(
+                    comp.withColumnRenamed("node", "a"), "a"
+                ).select("component", "a", "b", F.lit(0).alias("rej"))
+                chain_admitted = (
+                    node_rows.unionByName(edge_rows)
+                    .groupBy("component")
+                    .applyInPandas(_sequential_admission, "doc_id long")
+                )
+                # Docs in no candidate pair gate on the corpus alone.
+                trivially_admitted = (
+                    docs.select("doc_id")
+                    .join(comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+                    .join(vs_corpus, "doc_id", "left_anti")
+                )
+                accepted = batch.join(
+                    trivially_admitted.unionByName(chain_admitted), "doc_id", "leftsemi"
+                )
+            else:
+                within = pairs.select(F.col("batch_id").alias("doc_id"))
+                rejected = vs_corpus.union(within).distinct()
+                accepted = batch.join(rejected, "doc_id", "left_anti")
             epoch_dir = f"{accepted_path}/epoch={epoch_id}"
             accepted.write.mode("overwrite").parquet(epoch_dir)
             # Hash the LANDED rows (one deterministic source) into the
@@ -650,7 +735,8 @@ def stream_minhash_ingest(
                 .select("doc_id", "text"),
             )
         finally:
-            batch.unpersist()
+            for df in pinned:
+                df.unpersist()
         record_epoch(epoch_id)
 
     writer = (

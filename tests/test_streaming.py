@@ -940,3 +940,60 @@ def test_stream_minhash_ingest_admission_and_replay(spark, tmp_path):
     before = rel(idx)
     run(str(tmp_path / "ck"))
     assert rel(idx) == before, "replay mutated the index"
+
+
+def test_stream_minhash_ingest_exact_chains_mode(spark, tmp_path):
+    """VERDICT r7 task 7: the pairwise lower-id rule approximates
+    strictly-sequential admission and diverges on chains. Planted
+    chain: corpus X ~ b; within-batch a ~ b ~ c but a !~ c and only b
+    crosses the corpus bar. Sequential semantics: a admitted, b
+    rejected (corpus), c admitted (its only near-dup neighbor b was
+    never admitted). The default pairwise rule wrongly drops c (b < c
+    and b~c); exact_chains=True runs connected components + a
+    per-component greedy and admits it. Both modes asserted."""
+    import os
+
+    from currency_etl_pipeline_spark.sources.dedup_index import build_minhash_index
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_minhash_ingest
+
+    W = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray"
+    ).split()
+    X = " ".join(W[:20] + ["nest", "owl", "perch", "quill"])
+    a = " ".join(["anchor", "beacon", "candle", "dagger", "ember", "falcon"] + W[6:])
+    b = " ".join(W)
+    c = " ".join(W[:12] + ["garnet", "harbor", "icicle", "jasper"] + W[16:])
+    # est_jaccard at num_hashes=16/band_size=2 (measured, deterministic
+    # hash family): (X,b)=0.75, (a,b)=0.5625, (b,c)=0.5625,
+    # (a,c)=0.3125, X never bands with a or c.
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame([(0, X)], schema)
+
+    def run(mode_dir, exact):
+        idx = str(tmp_path / f"idx_{mode_dir}")
+        build_minhash_index(spark, corpus, idx, num_hashes=16, band_size=2)
+        feed = tmp_path / f"feed_{mode_dir}"
+        feed.mkdir()
+        spark.createDataFrame(
+            [(10, a), (11, b), (12, c)], schema
+        ).repartition(1).write.parquet(str(feed / "b0"))
+        stream = spark.readStream.schema(corpus.schema).parquet(str(feed) + "/*")
+        q = stream_minhash_ingest(
+            spark,
+            stream,
+            idx,
+            str(tmp_path / f"acc_{mode_dir}"),
+            0.5,
+            checkpoint_dir=str(tmp_path / f"ck_{mode_dir}"),
+            exact_chains=exact,
+        )
+        q.awaitTermination()
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"acc_{mode_dir}")).collect()
+        )
+
+    assert run("approx", False) == [10], "pairwise rule must drop c on the chain"
+    assert run("exact", True) == [10, 12], "exact mode must admit c"
