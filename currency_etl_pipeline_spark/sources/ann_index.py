@@ -287,9 +287,24 @@ def append_ivf_index(
 
     ``vectors`` must carry (vec_id, label, v) with vec_ids NOT already
     in the index — id-level dedup/upsert is the warehouse family's job
-    (SnapshotStore), not the index's.
+    (SnapshotStore), not the index's. The batch's carried-through
+    column TYPES (vec_id, label) must match the index's: parquet
+    appends don't unify schemas, so e.g. a string label landing in an
+    int-label index poisons the cell — reads that prune the label
+    still work, and the corruption only surfaces when a maintenance
+    rewrite (split/compact/RTBF) materializes it (r8 hardening).
     """
-    existing_sq8 = "qv" in spark.read.parquet(index_path).columns
+    idx_schema = {f.name: f.dataType for f in spark.read.parquet(index_path).schema}
+    batch_schema = {f.name: f.dataType for f in vectors.schema}
+    for col in ("vec_id", "label"):
+        if col in idx_schema and col in batch_schema and idx_schema[col] != batch_schema[col]:
+            raise ValueError(
+                f"append schema mismatch: index column {col!r} is "
+                f"{idx_schema[col].simpleString()} but the batch carries "
+                f"{batch_schema[col].simpleString()}; parquet appends don't "
+                "unify types and the cell would be unreadable to rewrites"
+            )
+    existing_sq8 = "qv" in idx_schema
     if sq8 is None:
         sq8 = existing_sq8
     elif sq8 != existing_sq8:
@@ -769,3 +784,172 @@ def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> Non
         shutil.copy(marker, os.path.join(tmp, "_last_epoch"))
     shutil.rmtree(index_path)
     os.rename(tmp, index_path)
+
+
+def recluster_flagged_cells(
+    spark: SparkSession,
+    index_path: str,
+    cids,
+    min_split_frac: float = 0.25,
+    max_cost_ratio: float = 0.85,
+) -> dict[int, str]:
+    """Partial recluster: repair ONLY the cells the drift report
+    flagged, leaving every other cell's files byte-identical.
+
+    ``recluster_ivf_index`` retrains and rewrites the WHOLE index; at
+    100 TB that is a campaign, and the drift report exists precisely to
+    say "2 of 200 cells stopped fitting" (VERDICT r7 task 4). Per
+    flagged cell this runs a local KMeans(k=2, cosine) over just that
+    cell's population and picks one of two repairs:
+
+    - **split** (the population went bimodal — both halves hold at
+      least ``max(2, min_split_frac × n)`` members AND the 2-means
+      training cost is below ``max_cost_ratio`` × the 1-means cost,
+      the bisecting-KMeans acceptance rule: a diffuse-but-unimodal
+      cloud halves 50/50 without reducing cost much, and splitting it
+      would fragment the index for nothing): members are
+      re-assigned between the two sub-centers by the standard
+      rounded-cosine/cid rule, the smaller-share half moves to a NEW
+      cell id (max existing cid + 1), and the stored centroid of each
+      half is refined to its exact sub-population mean — so the
+      post-repair drift of both cells collapses toward 0 by
+      construction (one Lloyd refinement step). The old cid= partition
+      is rewritten through the same count-verified staging + re-list
+      guard as RTBF deletes (``_swap_cell_dir``); the new partition
+      lands by rename from an underscore-hidden staging dir.
+    - **re-center** (still unimodal, the mean just moved — or the cell
+      is too small to split): NO data files are touched; the sidecar
+      centroid row is replaced with the cell's exact mean
+      (``cell_mean_vectors``), which zeroes the drift for free.
+
+    The centroid sidecar is rewritten ONCE at the end (count-verified
+    staging + swap, k rows). Crash window: a crash after a cell swap
+    but before the sidecar rewrite leaves a ``cid=<new>`` partition the
+    sidecar doesn't name — searches simply never probe it (recall
+    degrades to the pre-split level for those members, nothing breaks);
+    recovery is re-running with the same flags after restoring the
+    split cell from its halves, or a full ``recluster_ivf_index``.
+    After any repair, searches must rank probes against the sidecar
+    (``search_ivf_index(..., centroid_ids=None)``), exactly as after a
+    full recluster.
+
+    Cost: |flagged cells| × (local 2-means + one partition rewrite) —
+    the full-index KMeans never runs and unflagged partitions are never
+    read beyond the one-row-per-file listing. Float layout only.
+    Returns {cid: "split:<new_cid>" | "recentered"}.
+    """
+    import os
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+
+    require_local_path(index_path, "IVF index partial recluster")
+    cids = sorted({int(c) for c in cids})
+    if not cids:
+        return {}
+    if "dv" not in spark.read.parquet(index_path).columns:
+        raise ValueError("recluster_flagged_cells requires the float (dv) layout")
+    cent_rows = {
+        r["cid"]: [float(x) for x in r["cv"]]
+        for r in load_index_centroids(spark, index_path).collect()  # k rows
+    }
+    missing = [c for c in cids if c not in cent_rows]
+    if missing:
+        raise ValueError(f"cids {missing} not in the index's centroid sidecar")
+    next_cid = max(cent_rows) + 1
+    actions: dict[int, str] = {}
+    for cid in cids:
+        part_dir = f"{index_path}/cid={cid}"
+        cell = spark.read.parquet(part_dir)  # (vec_id, label, dv)
+        n = cell.count()
+        read_files = {os.path.basename(f) for f in cell.inputFiles()}
+        mean = [
+            float(x)
+            for x in cell_mean_vectors(
+                cell.select(F.lit(cid).alias("cid"), "dv")
+            ).collect()[0]["mv"]
+        ]
+        split = None
+        if n >= 4:
+            feats = cell.select(
+                "vec_id", "label", F.col("dv").alias("v"),
+                array_to_vector("dv").alias("features"),
+            ).persist()
+            model2 = KMeans(k=2, seed=42, distanceMeasure="cosine", maxIter=20).fit(feats)
+            # 1-means cost around the cell mean (Spark ML refuses k=1):
+            # same cosine-distance objective KMeans reports, so the
+            # ratio below is apples-to-apples.
+            mean_lit = F.array(*[F.lit(x) for x in mean])
+            cost1 = cell.select(
+                F.sum(F.lit(1.0) - cosine(F.col("dv"), mean_lit)).alias("c")
+            ).collect()[0]["c"]
+            cost2 = model2.summary.trainingCost
+            sub = spark.createDataFrame(
+                [
+                    (cid, [float(x) for x in model2.clusterCenters()[0]]),
+                    (next_cid, [float(x) for x in model2.clusterCenters()[1]]),
+                ],
+                "cid int, cv array<double>",
+            )
+            assigned = (
+                _ranked_cells(feats.select("vec_id", "label", "v"), sub)
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "label", F.col("v").alias("dv"), "cid")
+            )
+            sizes = {r["cid"]: r["cnt"] for r in assigned.groupBy("cid").agg(
+                F.count(F.lit(1)).alias("cnt")).collect()}
+            feats.unpersist()
+            floor = max(2, int(min_split_frac * n))
+            balanced = min(sizes.get(cid, 0), sizes.get(next_cid, 0)) >= floor
+            # Bisecting-KMeans acceptance: the split must buy a real
+            # cost reduction, or the cloud is unimodal and a re-center
+            # fixes the drift without fragmenting the index.
+            if balanced and cost2 <= max_cost_ratio * cost1:
+                split = assigned
+        if split is None:
+            cent_rows[cid] = mean
+            actions[cid] = "recentered"
+            continue
+        # Refine stored centroids to the exact sub-population means so
+        # drift(cid) and drift(next_cid) are ~0 post-repair.
+        means = {
+            r["cid"]: [float(x) for x in r["mv"]]
+            for r in cell_mean_vectors(split.select("cid", "dv")).collect()
+        }
+        tmp_keep = f"{index_path}/_split_tmp_keep{cid}"
+        tmp_new = f"{index_path}/_split_tmp_new{next_cid}"
+        split.filter(F.col("cid") == cid).drop("cid").write.mode(
+            "overwrite").parquet(tmp_keep)
+        split.filter(F.col("cid") == next_cid).drop("cid").write.mode(
+            "overwrite").parquet(tmp_new)
+        n_staged = (
+            spark.read.parquet(tmp_keep).count() + spark.read.parquet(tmp_new).count()
+        )
+        if n_staged != n:
+            shutil.rmtree(tmp_keep, ignore_errors=True)
+            shutil.rmtree(tmp_new, ignore_errors=True)
+            raise RuntimeError(
+                f"cell {cid} split staged {n_staged} rows, expected {n}; "
+                "original partition left untouched"
+            )
+        _swap_cell_dir(part_dir, tmp_keep, read_files, cid, "partial recluster")
+        os.rename(tmp_new, f"{index_path}/cid={next_cid}")
+        cent_rows[cid] = means[cid]
+        cent_rows[next_cid] = means[next_cid]
+        actions[cid] = f"split:{next_cid}"
+        next_cid += 1
+    new_cents = spark.createDataFrame(
+        sorted(cent_rows.items()), "cid int, cv array<double>"
+    )
+    sidecar = _centroid_sidecar(index_path)
+    ctmp = f"{index_path}/_centroids_recluster_tmp"
+    new_cents.write.mode("overwrite").parquet(ctmp)
+    if spark.read.parquet(ctmp).count() != len(cent_rows):
+        shutil.rmtree(ctmp, ignore_errors=True)
+        raise RuntimeError("centroid sidecar rewrite count mismatch; sidecar untouched")
+    shutil.rmtree(sidecar)
+    os.rename(ctmp, sidecar)
+    return actions

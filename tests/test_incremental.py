@@ -218,6 +218,14 @@ def test_ivf_append_detects_layout_and_rejects_mismatch(spark, sf_dir, tmp_path)
     with pytest.raises(ValueError, match="layout mismatch"):
         append_ivf_index(spark, dv_idx, tail, sq8=True)
 
+    # r8 hardening: a batch whose carried-through column TYPES differ
+    # from the index (string label into an int-label index) must raise
+    # — parquet appends don't unify schemas, and the poisoned cell only
+    # explodes later when a maintenance rewrite materializes the column.
+    bad = tail.withColumn("label", F.col("label").cast("string"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_ivf_index(spark, dv_idx, bad)
+
 
 def test_ivf_appended_index_recall_floor(spark, sf_dir, tmp_path):
     """Recall vs the exact cosine top-5 must hold on an index that grew
@@ -319,8 +327,8 @@ def test_centroid_drift_flags_only_shifted_cells(spark, sf_dir, tmp_path):
     tcell, outlier = worst["cid"], list(worst["dv"])
     n_copies = 2 * idx_df.filter(F.col("cid") == tcell).count()
     batch = spark.createDataFrame(
-        [(10_000 + i, outlier, "synthetic") for i in range(n_copies)],
-        "vec_id bigint, v array<double>, label string",
+        [(10_000 + i, outlier, 999) for i in range(n_copies)],
+        "vec_id bigint, v array<double>, label int",
     ).select("vec_id", "label", "v")
     append_ivf_index(spark, idx, batch)
 
@@ -1019,3 +1027,139 @@ def test_ivf_swap_aborts_if_cell_changed_under_rewrite(tmp_path):
         )
     assert sorted(os.listdir(part)) == ["part-1.parquet", "part-new.parquet"]
     assert not tmp.exists(), "staging dir must be discarded on abort"
+
+
+def test_ivf_partial_recluster_repairs_only_flagged_cells(spark, sf_dir, tmp_path):
+    """VERDICT r7 task 4: recluster_flagged_cells repairs EXACTLY the
+    flagged cells. A cell flooded with copies of its own worst outlier
+    goes bimodal -> SPLIT into (old cid, fresh cid), both stored
+    centroids refined to exact sub-means so drift collapses; an
+    unshifted flagged cell stays unimodal -> RE-CENTERED with zero data
+    files touched. Every unflagged cell's parquet files are
+    byte-identical afterwards, total rows are conserved, and search
+    against the updated sidecar keeps the brute-force recall floor."""
+    import hashlib
+    import os
+
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.queries.vectors import cosine
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        centroid_drift_report,
+        load_index_centroids,
+        recluster_flagged_cells,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_partial")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+
+    # Flood the most peripheral member's cell with copies of it — the
+    # same bimodal-drift construction as the drift-report test.
+    idx_df = spark.read.parquet(idx)
+    worst = (
+        idx_df.join(F.broadcast(load_index_centroids(spark, idx)), "cid")
+        .select("cid", "dv", cosine(F.col("dv"), F.col("cv")).alias("csim"))
+        .orderBy(F.col("csim").asc(), F.col("cid").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    tcell, outlier = worst["cid"], list(worst["dv"])
+    n_copies = 2 * idx_df.filter(F.col("cid") == tcell).count()
+    # label matches the corpus column type (int) — the split rewrite
+    # materializes label, so a mixed-type append would corrupt the cell
+    append_ivf_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(10_000 + i, outlier, 999) for i in range(n_copies)],
+            "vec_id bigint, v array<double>, label int",
+        ).select("vec_id", "label", "v"),
+    )
+
+    total_before = spark.read.parquet(idx).count()
+    drift_before = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()
+    }
+    other = next(c for c in sorted(drift_before) if c != tcell)
+
+    def _hashes(skip_cids):
+        out = {}
+        for root, _dirs, files in os.walk(idx):
+            rel = os.path.relpath(root, idx)
+            if rel.startswith("_centroids") or any(
+                rel.startswith(f"cid={c}") for c in skip_cids
+            ):
+                continue
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                with open(os.path.join(root, f), "rb") as fh:
+                    out[os.path.join(rel, f)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    untouched_before = _hashes(skip_cids=[tcell])
+
+    actions = recluster_flagged_cells(spark, idx, [tcell, other])
+    assert actions[tcell].startswith("split:"), actions
+    assert actions[other] == "recentered", actions
+    new_cid = int(actions[tcell].split(":")[1])
+    assert new_cid not in drift_before  # a genuinely fresh cell id
+
+    # Unflagged cells byte-identical — and the re-centered cell's files
+    # too (its repair is sidecar-only).
+    assert _hashes(skip_cids=[tcell, new_cid]) == untouched_before
+    assert spark.read.parquet(idx).count() == total_before
+
+    drift_after = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()
+    }
+    assert set(drift_after) == set(drift_before) | {new_cid}
+    for c in (tcell, other, new_cid):
+        assert drift_after[c] < 0.001, (
+            f"cell {c} drift did not collapse: {drift_after[c]}"
+        )
+    assert drift_after[tcell] < drift_before[tcell]
+
+    # Search must rank probes against the UPDATED sidecar and keep the
+    # exact-top-5 recall floor of the full-recluster test.
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(
+            spark, sf_dir, idx, QUERY_IDS, centroid_ids=None, nprobe=2, k=5
+        ).collect()
+    }
+    exact = all_queries()["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    per_query: dict = {}
+    top5 = set()
+    for r in sorted(exact, key=lambda r: (r["query_id"], -r["cos_sim"], r["vec_id"])):
+        per_query.setdefault(r["query_id"], 0)
+        if per_query[r["query_id"]] < 5:
+            per_query[r["query_id"]] += 1
+            top5.add((r["query_id"], r["vec_id"]))
+    recall = len(got & top5) / len(top5)
+    assert recall >= 0.4, f"post-partial-recluster recall collapsed: {recall:.3f}"
+
+
+def test_ivf_partial_recluster_guards(spark, sf_dir, tmp_path):
+    """Input validation: unknown cid -> ValueError naming it; empty cid
+    list -> no-op {}; SQ8 layout -> ValueError (no floats to retrain)."""
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        build_ivf_sq8_index,
+        recluster_flagged_cells,
+    )
+
+    idx = str(tmp_path / "ivf_g")
+    build_ivf_index(spark, sf_dir, idx, CENTROID_IDS)
+    assert recluster_flagged_cells(spark, idx, []) == {}
+    with pytest.raises(ValueError, match=r"\[999\]"):
+        recluster_flagged_cells(spark, idx, [999])
+
+    sq8 = str(tmp_path / "ivf_g_sq8")
+    build_ivf_sq8_index(spark, sf_dir, sq8, CENTROID_IDS)
+    with pytest.raises(ValueError, match="float"):
+        recluster_flagged_cells(spark, sq8, [0])
