@@ -11,10 +11,13 @@ batch shape — with two codec tiers:
   (width × height × channels) and a frame count derived from the id.
   Decode / resize / frame-sample are REAL numpy operations on those
   bytes, so every stage is deterministic and oracle-checkable.
-- **Real codecs (stubbed)**: Pillow / libav decode behind an
-  import-try; this container ships neither, so those paths raise
-  ``NotImplementedError`` with the swap instructions. The mapInPandas
-  scaffolding is identical — only ``_decode_batch`` changes.
+- **Real codecs (r8)**: genuine PNG and WAV byte streams decode via
+  the stdlib codecs in ``multimodal/codecs.py`` (``codec="png"`` /
+  ``codec="wav"``) — no Pillow needed for 8-bit PNG or PCM WAV. Other
+  formats (JPEG, 16-bit PNG) route through Pillow when importable and
+  raise a documented ``NotImplementedError`` otherwise. The
+  mapInPandas scaffolding is identical across all codecs — only the
+  per-payload decode callable changes.
 
 Scale notes: payloads never hit the driver; every operator is
 ``mapInPandas`` over whatever partitioning the upstream scan produced
@@ -97,22 +100,45 @@ IMAGE_STATS_SCHEMA = T.StructType(
 def decode_image_stats(assets: DataFrame, codec: str = "fake1") -> DataFrame:
     """Decode + per-asset feature extraction (mapInPandas).
 
-    FAKE1: byte-level stats over the raw payload — the decode itself is
-    ``np.frombuffer``, i.e. zero-copy out of the Arrow batch. A real
-    deployment swaps ``_decode_batch`` for a Pillow/libav call with the
-    same signature; everything around it is unchanged.
+    Codecs (r8 — the decode step is no longer a stub):
+    - ``fake1``: byte-level stats over the raw payload; the decode is
+      ``np.frombuffer``, zero-copy out of the Arrow batch. The
+      deterministic oracle path.
+    - ``png``: REAL PNG decode (multimodal/codecs.py — stdlib zlib,
+      8-bit gray/RGB/RGBA, all scanline filters); stats over the
+      decoded PIXEL SAMPLES (n_bytes = decoded sample count).
+    - anything else: Pillow when importable, else a loud
+      NotImplementedError naming the swap point (probe-and-document).
     """
-    if codec != "fake1":
-        if not HAVE_PIL:
-            raise NotImplementedError(
-                f"codec {codec!r} needs Pillow/libav, absent in this environment; "
-                "use codec='fake1' or install the real decoder"
-            )
-        raise NotImplementedError("real-codec decode not wired yet; use codec='fake1'")
+    if codec == "png":
+        from currency_etl_pipeline_spark.multimodal.codecs import decode_png
+
+        def _decode(m):
+            return decode_png(m).ravel()
+
+    elif codec == "fake1":
+
+        def _decode(m):
+            return np.frombuffer(m, dtype=np.uint8)
+
+    elif HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        def _decode(m):
+            return np.asarray(Image.open(io.BytesIO(m))).ravel()
+
+    else:
+        raise NotImplementedError(
+            f"codec {codec!r} needs Pillow, absent in this environment; "
+            "use codec='fake1' (deterministic stub) or 'png' (stdlib "
+            "decoder, multimodal/codecs.py), or install Pillow"
+        )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [np.frombuffer(m, dtype=np.uint8) for m in pdf["media"]]
+            arrs = [_decode(m) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -255,15 +281,19 @@ AUDIO_RMS_SCHEMA = T.StructType(
 )
 
 
-def audio_window_rms(assets: DataFrame, window: int = 256, hop: int = 128) -> DataFrame:
-    """Audio feature extraction for FAKE1 "PCM": the payload bytes are
-    interpreted as unsigned 8-bit samples, framed into overlapping
-    windows (``window`` samples every ``hop``), each window emitting
-    its exact integer sum-of-squares plus the derived RMS — the
-    flat-map shape of a real mel/spectrogram front-end (one asset →
-    many windows). A real deployment swaps the np.frombuffer decode
-    for soundfile/libav with the same signature; tail windows shorter
-    than ``window`` are dropped, as a hop-based STFT would.
+def audio_window_rms(
+    assets: DataFrame, window: int = 256, hop: int = 128, codec: str = "fake1"
+) -> DataFrame:
+    """Audio feature extraction: payload → samples, framed into
+    overlapping windows (``window`` samples every ``hop``), each window
+    emitting its exact integer sum-of-squares plus the derived RMS —
+    the flat-map shape of a real mel/spectrogram front-end (one asset →
+    many windows). ``codec="fake1"`` reads the payload bytes as
+    unsigned 8-bit samples (the deterministic oracle path);
+    ``codec="wav"`` decodes REAL RIFF/WAVE PCM via the stdlib wave
+    module (multimodal/codecs.decode_wav — r8, the decode step is no
+    longer a stub). Tail windows shorter than ``window`` are dropped,
+    as a hop-based STFT would.
 
     Scale notes: identical to the other media ops — Arrow-batched
     mapInPandas over the scan's partitioning, payload pruned right
@@ -272,13 +302,30 @@ def audio_window_rms(assets: DataFrame, window: int = 256, hop: int = 128) -> Da
     floating-point tolerance.
     """
 
+    if codec == "wav":
+        from currency_etl_pipeline_spark.multimodal.codecs import decode_wav
+
+        def _samples(m):
+            return decode_wav(m)[0]
+
+    elif codec == "fake1":
+
+        def _samples(m):
+            return np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+
+    else:
+        raise NotImplementedError(
+            f"codec {codec!r}: use 'fake1' (raw bytes) or 'wav' (stdlib "
+            "RIFF/WAVE PCM decoder, multimodal/codecs.py)"
+        )
+
     def _rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
                 k: [] for k in ("asset_id", "window_idx", "n_samples", "sum_sq", "rms")
             }
             for aid, m in zip(pdf["asset_id"], pdf["media"]):
-                raw = np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+                raw = _samples(m)
                 idx = 0
                 for start in range(0, len(raw) - window + 1, hop):
                     w = raw[start : start + window]

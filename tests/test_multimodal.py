@@ -103,3 +103,148 @@ def test_audio_window_rms_exact_reference(assets):
             assert r["sum_sq"] == ss
             assert r["n_samples"] == window
             assert r["rms"] == pytest.approx(math.sqrt(ss / window))
+
+
+def test_png_codec_roundtrip_and_filters():
+    """multimodal/codecs: encode_png → decode_png round-trips gray /
+    RGB / RGBA exactly, and the decoder reverses ALL five scanline
+    filter types (forward-filtered in the test, per RFC 2083) — so
+    output from standard encoders (which pick filters per row)
+    decodes correctly, not just our own filter-0 stream."""
+    import struct
+    import zlib
+
+    from currency_etl_pipeline_spark.multimodal.codecs import (
+        _chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(5, 7), (6, 4, 3), (3, 5, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(back, want), f"round-trip failed for {shape}"
+
+    # forward-filter one RGB image with every filter type, row-robin
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = y % 5
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            enc = cur - pred
+        raw.append(ftype)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img), "filter inversion failed"
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav → decode_wav round-trips 8-bit and 16-bit PCM
+    exactly; a 16-bit stereo stream decodes to the floor-mean mono."""
+    from currency_etl_pipeline_spark.multimodal.codecs import decode_wav, encode_wav
+
+    u8 = ((np.sin(np.arange(500) / 10.0) + 1) * 127).astype(np.uint8)
+    got, rate = decode_wav(encode_wav(u8, framerate=8000, sampwidth=1))
+    assert rate == 8000 and np.array_equal(got, u8.astype(np.int64))
+
+    i16 = (np.sin(np.arange(300) / 7.0) * 30000).astype(np.int16)
+    got, _ = decode_wav(encode_wav(i16, sampwidth=2))
+    assert np.array_equal(got, i16.astype(np.int64))
+
+    # stereo: interleave two channels by hand into a wave stream
+    import io
+    import wave
+
+    left = np.arange(-100, 100, dtype=np.int16)
+    right = left + 3
+    inter = np.empty(2 * len(left), dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(inter.tobytes())
+    got, rate = decode_wav(buf.getvalue())
+    want = (left.astype(np.int64) + right.astype(np.int64)) // 2
+    assert rate == 16000 and np.array_equal(got, want)
+
+
+def test_decode_image_stats_png_codec(spark):
+    """The Spark-side decode path with codec='png': REAL PNG payloads
+    flow through the same mapInPandas plumbing and the emitted stats
+    equal numpy over the decoded pixel arrays."""
+    from currency_etl_pipeline_spark.multimodal.codecs import encode_png
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, size=(8 + i, 6, 3), dtype=np.uint8) for i in range(3)}
+    assets = spark.createDataFrame(
+        [{"asset_id": i, "media": bytearray(encode_png(img))} for i, img in imgs.items()],
+        "asset_id bigint, media binary",
+    )
+    got = {r["asset_id"]: r for r in decode_image_stats(assets, codec="png").collect()}
+    for i, img in imgs.items():
+        a = img.ravel()
+        assert got[i]["n_bytes"] == len(a)
+        assert got[i]["mean_byte"] == pytest.approx(a.mean())
+        assert (got[i]["min_byte"], got[i]["max_byte"]) == (a.min(), a.max())
+
+
+def test_audio_window_rms_wav_codec(spark):
+    """audio_window_rms with codec='wav': genuine RIFF/WAVE payloads
+    decode to the same samples fake1 would see raw, so the window math
+    (already pinned exactly) applies unchanged to real audio bytes."""
+    from currency_etl_pipeline_spark.multimodal.codecs import encode_wav
+    from currency_etl_pipeline_spark.multimodal.media import audio_window_rms
+
+    samples = ((np.sin(np.arange(400) / 5.0) + 1) * 100).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [{"asset_id": 1, "media": bytearray(encode_wav(samples, sampwidth=1))}],
+        "asset_id bigint, media binary",
+    )
+    window, hop = 32, 16
+    rows = sorted(
+        audio_window_rms(assets, window=window, hop=hop, codec="wav").collect(),
+        key=lambda r: r["window_idx"],
+    )
+    s64 = samples.astype(np.int64)
+    expect = [
+        int((s64[st : st + window] ** 2).sum())
+        for st in range(0, len(s64) - window + 1, hop)
+    ]
+    assert [r["sum_sq"] for r in rows] == expect
+    with pytest.raises(NotImplementedError, match="wav"):
+        audio_window_rms(assets, codec="flac").collect()
