@@ -186,6 +186,17 @@ def ordered_names(root=None) -> list[str]:
     return sorted(names, key=key)
 
 
+def oldest_adjudicated_round(root=None) -> int:
+    """The oldest 'newest CORRECTNESS round' across the whole registry
+    (0 if any query has never received a driver row) — the rotation's
+    health metric: with a ~50-row sweep over 140 queries, a full
+    re-green takes 3 rounds, so this should trail the current round by
+    at most ~3. Surfaced in README's catalog line and pinned by
+    tests/test_registry_order.py (VERDICT r7 task 8)."""
+    coverage = _driver_coverage(root)
+    return min((coverage.get(n, (0, True))[0] for n in _REGISTRY), default=0)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Catalog in stable registration order (environment-independent).
 

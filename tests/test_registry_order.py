@@ -161,3 +161,21 @@ def test_bench_headline_covers_entire_registry():
         f"unbenched={sorted(set(_REGISTRY) - set(bench.HEADLINE))} "
         f"unknown={sorted(set(bench.HEADLINE) - set(_REGISTRY))}"
     )
+
+
+def test_readme_oldest_adjudication_matches_registry():
+    """r8 (VERDICT r7 task 8): README's catalog line also states the
+    rotation's health metric — the oldest 'newest CORRECTNESS round'
+    across the registry. Parsed and compared so it cannot drift the
+    way the counts did in r5/r6."""
+    import re
+    from pathlib import Path
+
+    from currency_etl_pipeline_spark.queries.registry import oldest_adjudicated_round
+
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"oldest driver\s+adjudication entering this round: r(\d+)", readme)
+    assert m, "README oldest-adjudication line not found"
+    assert int(m.group(1)) == oldest_adjudicated_round(), (
+        "README oldest-adjudication round drifted from CORRECTNESS_r* state"
+    )
