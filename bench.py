@@ -191,6 +191,7 @@ HEADLINE = [
     "events_profile",
     "monthly_revenue_momentum",
     "udtf_token_positions",
+    "sequential_dedup_admission",
 ]
 
 

@@ -171,3 +171,45 @@ def simhash_near_dup_pairs(
     )
     hamming = F.expr("bit_count(sim_a ^ sim_b)")
     return cand.filter(hamming <= max_hamming).select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def sequential_admission_pandas(pdf):
+    """Strictly-sequential greedy admission within ONE connected
+    component of a near-dup graph (pandas; use under
+    ``groupBy("component").applyInPandas(..., "doc_id long")``): docs
+    in ascending id order, a doc rejected if it is corpus-flagged or
+    near-dups an already-ADMITTED doc — the exact decision a
+    one-at-a-time ingest loop makes, which the pairwise lower-id rule
+    only approximates on chains. Input rows carry the component's
+    nodes (``b`` null, ``rej`` = corpus-rejected flag) and edges
+    (``a``, ``b``); output is the admitted doc_ids. Components are
+    bounded by their micro-batch / LSH bucket, so the per-group greedy
+    is bounded too. Shared by the streaming admission gate
+    (``streaming.pipeline.stream_minhash_ingest(exact_chains=True)``)
+    and the batch ``sequential_dedup_admission`` query, whose DuckDB
+    twin replays the same greedy as a recursive CTE."""
+    import pandas as pd
+
+    edges: dict[int, set] = {}
+    corpus_rej: set = set()
+    nodes: set = set()
+    for row in pdf.itertuples():
+        a = int(row.a)
+        if pd.isna(row.b):
+            nodes.add(a)
+            if row.rej:
+                corpus_rej.add(a)
+        else:
+            b = int(row.b)
+            nodes.add(a)
+            nodes.add(b)
+            edges.setdefault(a, set()).add(b)
+            edges.setdefault(b, set()).add(a)
+    admitted: list[int] = []
+    admitted_set: set = set()
+    for d in sorted(nodes):
+        if d in corpus_rej or edges.get(d, set()) & admitted_set:
+            continue
+        admitted_set.add(d)
+        admitted.append(d)
+    return pd.DataFrame({"doc_id": pd.Series(admitted, dtype="int64")})

@@ -187,14 +187,17 @@ def ordered_names(root=None) -> list[str]:
 
 
 def oldest_adjudicated_round(root=None) -> int:
-    """The oldest 'newest CORRECTNESS round' across the whole registry
-    (0 if any query has never received a driver row) — the rotation's
-    health metric: with a ~50-row sweep over 140 queries, a full
-    re-green takes 3 rounds, so this should trail the current round by
-    at most ~3. Surfaced in README's catalog line and pinned by
-    tests/test_registry_order.py (VERDICT r7 task 8)."""
+    """The oldest 'newest CORRECTNESS round' among queries the driver
+    has adjudicated at least once — the rotation's health metric: with
+    a ~50-row sweep over 140 queries, a full re-green takes 3 rounds,
+    so this should trail the current round by at most ~3. Queries
+    never yet checked are excluded (they sit in tier 0 of the sweep
+    order and are picked up next round by construction). Surfaced in
+    README's catalog line and pinned by tests/test_registry_order.py
+    (VERDICT r7 task 8)."""
     coverage = _driver_coverage(root)
-    return min((coverage.get(n, (0, True))[0] for n in _REGISTRY), default=0)
+    rounds = [coverage[n][0] for n in _REGISTRY if n in coverage]
+    return min(rounds, default=0)
 
 
 def all_queries() -> dict[str, QuerySpec]:

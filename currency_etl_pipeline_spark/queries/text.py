@@ -847,3 +847,126 @@ def minhash_index_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, cs = doc_signature_tables(corpus, num_hashes=8, band_size=2)
     bb, bs = doc_signature_tables(batch, num_hashes=8, band_size=2)
     return minhash_cross_candidates(cb, cs, bb, bs, 8, _IDX_MIN_EST)
+
+
+# The sequential-admission dedup gate (threshold on the 8-hash MinHash
+# estimate — multiples of 1/8, so the >= compare is engine-exact).
+_SEQ_ADMIT_MIN_EST = 0.5
+
+
+@query(
+    "sequential_dedup_admission",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+    hashed AS (
+      SELECT doc_id, s.i AS pos,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    sig AS (SELECT doc_id, pos, min(h) AS mh FROM hashed GROUP BY doc_id, pos),
+    sigarr AS (SELECT doc_id, list(mh ORDER BY pos) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, pos // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pos) AS band_key
+      FROM sig GROUP BY doc_id, pos // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    -- MATERIALIZED: the recursive step's correlated subquery probes
+    -- pairs once per step; inlined, DuckDB would re-run the whole
+    -- minhash pipeline per probe (hours at sf0.1, seconds materialized)
+    pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigarr sa ON sa.doc_id = c.id_a
+      JOIN sigarr sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6)
+            >= {_SEQ_ADMIT_MIN_EST}
+    ),
+    ordered AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      FROM (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs)
+    ),
+    -- strictly-sequential greedy, replayed as a recursive scan in doc_id
+    -- order carrying the admitted set as a list — the SQL twin of the
+    -- per-component pandas greedy (operators/dedup.py)
+    step AS (
+      SELECT 0 AS rn, CAST([] AS BIGINT[]) AS admitted
+      UNION ALL
+      SELECT o.rn,
+             CASE WHEN (SELECT count(*) FROM pairs p
+                        WHERE p.id_b = o.doc_id AND list_contains(s.admitted, p.id_a)) = 0
+                  THEN list_append(s.admitted, o.doc_id) ELSE s.admitted END
+      FROM step s JOIN ordered o ON o.rn = s.rn + 1
+    ),
+    keep AS (SELECT admitted FROM step ORDER BY rn DESC LIMIT 1)
+    SELECT d.doc_id,
+           (NOT EXISTS (SELECT 1 FROM ordered o WHERE o.doc_id = d.doc_id))
+            OR list_contains((SELECT admitted FROM keep), d.doc_id) AS admitted
+    FROM documents d
+    """,
+)
+def sequential_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sequential near-dup admission over the whole corpus: docs
+    considered in ascending doc_id order, each admitted unless it
+    near-dups (8-hash MinHash estimate >= 0.5) an already-ADMITTED doc
+    — the decision sequence a one-at-a-time ingest loop produces, and
+    the semantics ``stream_minhash_ingest(exact_chains=True)`` applies
+    per micro-batch. Differs from keeper-per-cluster dedup on chains:
+    in a~b~c with a<b<c and no a~c edge, sequential admission keeps
+    BOTH a and c (b fell to a, so c has no admitted neighbor), where
+    cluster-keeper keeps only the cluster minimum.
+
+    The inherently-sequential greedy still runs distributed: LSH
+    candidate pairs (linear in corpus, never all-pairs) -> connected
+    components (operators/graph.py) -> per-component pandas greedy
+    (operators/dedup.sequential_admission_pandas) — components run in
+    parallel, each bounded by its near-dup neighborhood. The DuckDB
+    twin replays the identical greedy as a recursive CTE carrying the
+    admitted set, so the driver hash-checks a semantics that looks
+    non-SQL-expressible. Output: (doc_id, admitted) for every doc.
+    """
+    from currency_etl_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        sequential_admission_pandas,
+    )
+    from currency_etl_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = exploded(
+        spread(docs).select("doc_id", shingles().alias("sh")),
+        ["doc_id"], F.col("sh"), "shingle",
+    )
+    pairs = (
+        minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
+        .filter(F.col("est_jaccard") >= _SEQ_ADMIT_MIN_EST)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    comp = connected_components(pairs, "a", "b")
+    node_rows = comp.select(
+        "component",
+        F.col("node").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(0).alias("rej"),
+    )
+    edge_rows = pairs.join(comp.withColumnRenamed("node", "a"), "a").select(
+        "component", "a", "b", F.lit(0).alias("rej")
+    )
+    admitted = (
+        node_rows.unionByName(edge_rows)
+        .groupBy("component")
+        .applyInPandas(sequential_admission_pandas, "doc_id long")
+        .withColumn("adm", F.lit(True))
+    )
+    in_graph = comp.select(F.col("node").alias("doc_id")).withColumn("g", F.lit(True))
+    return (
+        docs.select("doc_id")
+        .join(in_graph, "doc_id", "left")
+        .join(admitted, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("g").isNull() | F.col("adm").isNotNull()).alias("admitted"),
+        )
+    )

@@ -565,40 +565,6 @@ def stream_cdc_distinct(
     return writer.start()
 
 
-def _sequential_admission(pdf):
-    """Strictly-sequential greedy admission within ONE LSH-connected
-    component (pandas, grouped by component): docs in ascending id
-    order; a doc is rejected if it near-dups the accepted corpus or an
-    already-ADMITTED doc of this component — exactly the decision a
-    one-at-a-time ingest loop would make. Component rows carry node
-    rows (b null, rej = corpus-rejected flag) and edge rows (a, b)."""
-    import pandas as pd
-
-    edges: dict[int, set] = {}
-    corpus_rej: set = set()
-    nodes: set = set()
-    for row in pdf.itertuples():
-        a = int(row.a)
-        if pd.isna(row.b):
-            nodes.add(a)
-            if row.rej:
-                corpus_rej.add(a)
-        else:
-            b = int(row.b)
-            nodes.add(a)
-            nodes.add(b)
-            edges.setdefault(a, set()).add(b)
-            edges.setdefault(b, set()).add(a)
-    admitted: list[int] = []
-    admitted_set: set = set()
-    for d in sorted(nodes):
-        if d in corpus_rej or edges.get(d, set()) & admitted_set:
-            continue
-        admitted_set.add(d)
-        admitted.append(d)
-    return pd.DataFrame({"doc_id": pd.Series(admitted, dtype="int64")})
-
-
 def stream_minhash_ingest(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -679,6 +645,9 @@ def stream_minhash_ingest(
                 bb, bs, bb, bs, p["num_hashes"], min_est_jaccard
             ).filter(F.col("batch_id") > F.col("corpus_id"))
             if exact_chains:
+                from currency_etl_pipeline_spark.operators.dedup import (
+                    sequential_admission_pandas,
+                )
                 from currency_etl_pipeline_spark.operators.graph import (
                     connected_components,
                 )
@@ -706,7 +675,7 @@ def stream_minhash_ingest(
                 chain_admitted = (
                     node_rows.unionByName(edge_rows)
                     .groupBy("component")
-                    .applyInPandas(_sequential_admission, "doc_id long")
+                    .applyInPandas(sequential_admission_pandas, "doc_id long")
                 )
                 # Docs in no candidate pair gate on the corpus alone.
                 trivially_admitted = (
