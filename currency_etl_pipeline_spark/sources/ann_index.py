@@ -508,18 +508,51 @@ def exact_drift_e6(cv, mqv) -> "F.Column":
     return F.round(edge, 0).cast("long")
 
 
+def _sq_norm9(col) -> "F.Column":
+    """Exact DECIMAL(38,0) sum of squares of a scale-9 integer array —
+    the na/nb partial of ``_int_cos_parts``, exposed so callers can
+    hoist it out of a pair loop."""
+    return F.aggregate(
+        F.transform(col, lambda x: x.cast("decimal(38,0)") * x),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _ranked_cells_exact(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """``_ranked_cells`` with an engine-invariant score: both sides
-    quantized to scale-9 integers, cosine via ``exact_cos6``. Used by
-    the drift report (whose oracle must reproduce the assignment
-    bit-for-bit); ``_ranked_cells``'s raw-double form remains the
-    build/search path so `ivf_ann_topk`'s green oracle is untouched."""
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        *(["label"] if "label" in vectors.columns else []),
-        "v",
+    quantized to scale-9 integers, cosine from exact DECIMAL partials
+    (``exact_cos6``'s math). Used by the drift report (whose oracle
+    must reproduce the assignment bit-for-bit); ``_ranked_cells``'s
+    raw-double form remains the build/search path so `ivf_ann_topk`'s
+    green oracle is untouched.
+
+    The quantization and the squared norms are PER-SIDE values, so
+    they are projected once per vector and once per (broadcast)
+    centroid BEFORE the k-way pair loop — interpreted higher-order
+    lambdas get no codegen CSE, and the naive per-pair form
+    re-evaluates quantize+norm k× per vector (measured ~4× the whole
+    report's cost at sf0.1, r8 bench). Per pair only the dot product
+    and the one fixed-form float edge remain; the emitted csim is
+    bit-identical to the per-pair form (same integer partials, same
+    edge expression).
+    """
+    keep = ["vec_id"] + (["label"] if "label" in vectors.columns else []) + ["v"]
+    qv = vectors.select(
+        *keep, quantize_vec9(F.col("v")).alias("_aq")
+    ).withColumn("_na", _sq_norm9(F.col("_aq")))
+    qc = cents.select(
+        "cid", quantize_vec9(F.col("cv")).alias("_bq")
+    ).withColumn("_nb", _sq_norm9(F.col("_bq")))
+    dot = F.aggregate(
+        F.zip_with("_aq", "_bq", lambda x, y: x.cast("decimal(38,0)") * y),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    scored = qv.crossJoin(F.broadcast(qc)).select(
+        *keep,
         "cid",
-        exact_cos6(quantize_vec9(F.col("v")), quantize_vec9(F.col("cv"))).alias("csim"),
+        F.round(_cos_edge(dot, F.col("_na"), F.col("_nb")), 6).alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     return scored.withColumn("rn", F.row_number().over(w))
