@@ -943,6 +943,11 @@ def sequential_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
         .filter(F.col("est_jaccard") >= _SEQ_ADMIT_MIN_EST)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        # Materialize ONCE: the pair relation is bounded (near-dup
+        # edges, not the corpus) and is consumed twice — by the CC
+        # supersteps AND as the component greedy's edge rows; without
+        # this the full shingle->minhash->band pipeline runs twice.
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(pairs, "a", "b")
     node_rows = comp.select(
