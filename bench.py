@@ -192,6 +192,7 @@ HEADLINE = [
     "monthly_revenue_momentum",
     "udtf_token_positions",
     "sequential_dedup_admission",
+    "ann_recall_report",
 ]
 
 

@@ -609,3 +609,109 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+def _registered_oracle(name: str) -> str:
+    """The already-registered oracle SQL of another catalog query —
+    composition device for eval queries that grade one query against
+    another (vectors.py registers before this module runs; import
+    order is pinned by this module's own vectors import)."""
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH exact5 AS (
+      SELECT query_id, vec_id FROM ({_registered_oracle("cosine_topk_bruteforce")})
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) <= 5
+    ),
+    res AS (
+      SELECT 'ivf' AS method, query_id, vec_id
+      FROM ({_registered_oracle("ivf_ann_topk")})
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, vec_id
+      FROM ({_registered_oracle("ann_lsh_topk")})
+    ),
+    hits AS (
+      SELECT r.method, r.query_id,
+             count(*) AS n_returned,
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM res r LEFT JOIN exact5 e
+        ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+      GROUP BY r.method, r.query_id
+    ),
+    scaffold AS (
+      SELECT m.method, CAST(q.query_id AS BIGINT) AS query_id
+      FROM (SELECT unnest(['ivf', 'lsh']) AS method) m
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
+    )
+    SELECT s.method, s.query_id,
+           CAST(COALESCE(h.n_returned, 0) AS BIGINT) AS n_returned,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+    FROM scaffold s LEFT JOIN hits h
+      ON h.method = s.method AND h.query_id = s.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 evaluation of BOTH approximate-NN variants against the
+    exact brute-force top-5, per query: (method, query_id, n_returned,
+    n_hits, recall_at_5) — the measure-don't-guess harness an ANN
+    serving stack needs before tuning nprobe / bucket width. A method
+    may legitimately return fewer than 5 rows (LSH buckets can be
+    small), so n_returned rides along and empty (method, query) cells
+    still emit a zero row via the literal scaffold.
+
+    Composition: reuses the registered ivf_ann_topk / ann_lsh_topk /
+    cosine_topk_bruteforce plans verbatim (the oracle embeds their
+    registered SQL the same way), adding only a broadcast-sized join
+    and a 6-row aggregate on top. The corpus is scanned once per
+    evaluated method plus once for the exact baseline — an eval
+    harness's inherent cost; at scale the probe set is a sample, and
+    each sub-plan keeps its own documented scale story.
+    """
+    from currency_etl_pipeline_spark.queries.vectors import (
+        ann_lsh_topk,
+        cosine_topk_bruteforce,
+    )
+
+    exact5 = top_k_per_group(
+        cosine_topk_bruteforce(spark, sf_dir),
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=5,
+        descending=False,
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    res = (
+        ivf_ann_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("method", F.lit("ivf"))
+        .unionByName(
+            ann_lsh_topk(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("method", F.lit("lsh"))
+        )
+    )
+    agg = (
+        res.join(exact5, ["query_id", "vec_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    scaffold = spark.createDataFrame(
+        [(m, q) for m in ("ivf", "lsh") for q in _IVF_QUERY_IDS],
+        "method string, query_id bigint",
+    )
+    return scaffold.join(agg, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce("n_returned", F.lit(0)).cast("long").alias("n_returned"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6).alias("recall_at_5"),
+    )
