@@ -193,6 +193,7 @@ HEADLINE = [
     "udtf_token_positions",
     "sequential_dedup_admission",
     "ann_recall_report",
+    "ann_lsh_multitable_topk",
 ]
 
 

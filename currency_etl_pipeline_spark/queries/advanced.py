@@ -635,6 +635,9 @@ def _registered_oracle(name: str) -> str:
       UNION ALL
       SELECT 'lsh' AS method, query_id, vec_id
       FROM ({_registered_oracle("ann_lsh_topk")})
+      UNION ALL
+      SELECT 'lsh4' AS method, query_id, vec_id
+      FROM ({_registered_oracle("ann_lsh_multitable_topk")})
     ),
     hits AS (
       SELECT r.method, r.query_id,
@@ -646,7 +649,7 @@ def _registered_oracle(name: str) -> str:
     ),
     scaffold AS (
       SELECT m.method, CAST(q.query_id AS BIGINT) AS query_id
-      FROM (SELECT unnest(['ivf', 'lsh']) AS method) m
+      FROM (SELECT unnest(['ivf', 'lsh', 'lsh4']) AS method) m
       CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
     )
     SELECT s.method, s.query_id,
@@ -658,7 +661,7 @@ def _registered_oracle(name: str) -> str:
     """,
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 evaluation of BOTH approximate-NN variants against the
+    """Recall@5 evaluation of the approximate-NN variants against the
     exact brute-force top-5, per query: (method, query_id, n_returned,
     n_hits, recall_at_5) — the measure-don't-guess harness an ANN
     serving stack needs before tuning nprobe / bucket width. A method
@@ -675,6 +678,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sub-plan keeps its own documented scale story.
     """
     from currency_etl_pipeline_spark.queries.vectors import (
+        ann_lsh_multitable_topk,
         ann_lsh_topk,
         cosine_topk_bruteforce,
     )
@@ -695,6 +699,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
             .withColumn("method", F.lit("lsh"))
         )
+        .unionByName(
+            ann_lsh_multitable_topk(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("method", F.lit("lsh4"))
+        )
     )
     agg = (
         res.join(exact5, ["query_id", "vec_id"], "left")
@@ -705,7 +714,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scaffold = spark.createDataFrame(
-        [(m, q) for m in ("ivf", "lsh") for q in _IVF_QUERY_IDS],
+        [(m, q) for m in ("ivf", "lsh", "lsh4") for q in _IVF_QUERY_IDS],
         "method string, query_id bigint",
     )
     return scaffold.join(agg, ["method", "query_id"], "left").select(

@@ -143,6 +143,122 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "label", "cos_sim")
 
 
+# Multi-table LSH: 8 independent 4-plane signatures (plane vectors
+# 30..61 — disjoint from queries 0..2, single-table planes 10..17 and
+# the IVF centroids 20..27). One 8-bit signature recalls almost
+# nothing on near-orthogonal embeddings (ann_recall_report measured
+# 0-0.2; even OR-ing four 8-bit tables stayed at 0 — p^8 is ~3% for a
+# 0.45-cosine neighbor). The working point trades signature LENGTH
+# for table COUNT at the same 32-plane cost: collision probability
+# 1-(1-p^b)^L with b=4, L=8 lifts a 0.45-cosine neighbor to ~0.8
+# while random (p=1/2) pairs stay filtered at bucket granularity —
+# the candidate set grows, which is exactly the cost the recall
+# report's n_returned/recall columns exist to expose.
+_MT_LO, _MT_TABLES, _MT_BITS = 30, 8, 4
+
+
+@query(
+    "ann_lsh_multitable_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label FROM embeddings),
+    planes AS (
+      SELECT (vec_id - {_MT_LO}) // {_MT_BITS} AS tbl,
+             (vec_id - {_MT_LO}) % {_MT_BITS} AS plane_idx, dv AS pv
+      FROM v WHERE vec_id BETWEEN {_MT_LO} AND {_MT_LO + _MT_TABLES * _MT_BITS - 1}
+    ),
+    sigs AS (
+      SELECT v.vec_id, v.label, p.tbl, any_value(v.dv) AS dv,
+             CAST(sum(CASE WHEN list_inner_product(v.dv, p.pv) >= 0
+                           THEN CAST(pow(2, p.plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.label, p.tbl
+    ),
+    q AS (SELECT vec_id AS query_id, tbl, dv AS qv, bucket FROM sigs WHERE vec_id IN (0, 1, 2)),
+    cand AS (
+      SELECT q.query_id, s.vec_id, any_value(s.label) AS label,
+             any_value(s.dv) AS dv, any_value(q.qv) AS qv
+      FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.query_id
+      GROUP BY q.query_id, s.vec_id
+    )
+    SELECT query_id, vec_id, label,
+           round({_COS_DUCK.format(a="dv", b="qv")}, 6) AS cos_sim
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= 5
+    """,
+)
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH: L=8 independent 4-bit
+    signatures per vector, candidates = the UNION of same-bucket
+    matches across tables (deduped by group-by, each scored once),
+    exact cosine + top-5. The recall repair ``ann_recall_report``
+    prescribes for the single-table variant: one signature's
+    full-match probability is p^b (p = 1 - theta/pi; near zero at
+    b=8 for these weakly-correlated embeddings), and OR-ing L tables
+    lifts it to 1-(1-p^b)^L. Shortening b to 4 while raising L to 8
+    keeps the plane cost identical (32 planes, one broadcast
+    crossJoin) and moves a 0.45-cosine neighbor from ~0 to ~0.8
+    collision probability — at the price of a larger candidate set,
+    the tradeoff the recall report quantifies per method.
+
+    Plan/scale: signatures are map-side (planes broadcast, map-side
+    hash agg per (vec, tbl)); the candidate step is an equi-join on
+    (tbl, bucket) — at 100 TB each table is a separate bucket-
+    partitioned layout and probing stays partition-local; candidates
+    dedup via the same hash agg that carries the vectors, so each
+    candidate's exact cosine runs once no matter how many tables it
+    collided in.
+    """
+    v = _vecs(spark, sf_dir)
+    planes = F.broadcast(
+        v.filter(
+            F.col("vec_id").between(_MT_LO, _MT_LO + _MT_TABLES * _MT_BITS - 1)
+        ).select(
+            ((F.col("vec_id") - _MT_LO) / _MT_BITS).cast("int").alias("tbl"),
+            ((F.col("vec_id") - _MT_LO) % _MT_BITS).alias("plane_idx"),
+            F.col("v").alias("pv"),
+        )
+    )
+    bit = F.when(
+        dot(F.col("v"), F.col("pv")) >= 0,
+        F.pow(F.lit(2.0), F.col("plane_idx")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    sigs = (
+        v.crossJoin(planes)
+        .groupBy("vec_id", "label", "tbl")
+        .agg(F.any_value(F.col("v")).alias("dv"), F.sum(bit).cast("long").alias("bucket"))
+    )
+    q = F.broadcast(
+        sigs.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("tbl").alias("qtbl"),
+            F.col("dv").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = (
+        sigs.join(
+            q,
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.any_value("dv").alias("dv"),
+            F.any_value("qv").alias("qv"),
+        )
+    )
+    scored = cand.select(
+        "query_id", "vec_id", "label",
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    from currency_etl_pipeline_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=5, descending=False
+    ).select("query_id", "vec_id", "label", "cos_sim")
+
+
 @query(
     "embedding_label_stats",
     oracle="""
