@@ -614,11 +614,10 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
     driver-side cell list is a handful of ints. Returns rows removed.
     """
     import os
-    import shutil
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    require_local_path(index_path, "IVF index delete")
+    fs = sidecar_fs(index_path, spark)
     ids = sorted(set(vec_ids))
     if not ids:
         return 0
@@ -643,12 +642,12 @@ def delete_from_ivf_index(spark: SparkSession, index_path: str, vec_ids) -> int:
         survivors.write.mode("overwrite").parquet(tmp)
         n_written = spark.read.parquet(tmp).count()
         if n_written != n_after:
-            shutil.rmtree(tmp, ignore_errors=True)
+            fs.delete(tmp)
             raise RuntimeError(
                 f"cell {cid} rewrite count mismatch ({n_after} -> {n_written}); "
                 "original partition left untouched"
             )
-        _swap_cell_dir(part_dir, tmp, read_files, cid, "RTBF delete")
+        _swap_cell_dir(fs, part_dir, tmp, read_files, cid, "RTBF delete")
         removed += n_before - n_after
     return removed
 
@@ -694,12 +693,11 @@ def compact_ivf_index(
     cell. Works on both layouts (pure file-level rewrite).
     """
     import os
-    import shutil
     from collections import Counter
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    require_local_path(index_path, "IVF index compact")
+    fs = sidecar_fs(index_path, spark)
     if max_files_per_cell < 1:
         raise ValueError(
             f"max_files_per_cell must be >= 1, got {max_files_per_cell}"
@@ -720,38 +718,41 @@ def compact_ivf_index(
         tmp = f"{index_path}/_compact_tmp_cid{cid}"
         cell.repartition(max_files_per_cell).write.mode("overwrite").parquet(tmp)
         if spark.read.parquet(tmp).count() != n_rows:
-            shutil.rmtree(tmp, ignore_errors=True)
+            fs.delete(tmp)
             raise RuntimeError(
                 f"cell {cid} compaction count mismatch; original untouched"
             )
-        _swap_cell_dir(part_dir, tmp, read_files, cid, "compaction")
+        _swap_cell_dir(fs, part_dir, tmp, read_files, cid, "compaction")
         compacted += 1
     return compacted
 
 
-def _swap_cell_dir(part_dir: str, tmp: str, read_files: set, cid: int, op: str) -> None:
+def _swap_cell_dir(fs, part_dir: str, tmp: str, read_files: set, cid: int, op: str) -> None:
     """Count-verified staging → live swap for one cid= partition, with
     a last-instant concurrent-writer guard: re-list the live dir and
     abort (staging discarded, cell untouched) if any data file appeared
-    or vanished since the rewrite read its input — otherwise the rmtree
+    or vanished since the rewrite read its input — otherwise the delete
     would silently destroy a file the rewrite never saw (ADVICE r8 #1).
-    """
-    import os
-    import shutil
 
+    ``fs`` is the sidecar filesystem for the index's path (r8: POSIX or
+    the JVM Hadoop layer — swaps run on any Hadoop filesystem; the
+    delete→rename window is atomic-rename-backed on HDFS/local and a
+    copy+delete emulation on object stores, where the documented
+    contract is cold-partition single-writer maintenance).
+    """
     now_files = {
-        f for f in os.listdir(part_dir) if not f.startswith(("_", "."))
+        f for f in fs.list_names(part_dir) if not f.startswith(("_", "."))
     }
     if now_files != read_files:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         raise RuntimeError(
             f"cell {cid} changed during {op} "
             f"(files {sorted(read_files ^ now_files)} appeared/vanished); "
             "aborted with the original partition untouched — stop the "
             "writer (e.g. stream_append_ivf_index) and re-run"
         )
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    fs.delete(part_dir)
+    fs.rename(tmp, part_dir)
 
 
 def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> None:
@@ -776,13 +777,12 @@ def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> Non
     retrain; keep the float twin as the training source).
     """
     import os
-    import shutil
 
     from pyspark.ml.clustering import KMeans
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    require_local_path(index_path, "IVF index recluster")
+    fs = sidecar_fs(index_path, spark)
     from pyspark.ml.functions import array_to_vector
 
     idx = spark.read.parquet(index_path)
@@ -806,17 +806,17 @@ def recluster_ivf_index(spark: SparkSession, index_path: str, k: int = 8) -> Non
     assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
     cents.write.mode("overwrite").parquet(_centroid_sidecar(tmp))
     if spark.read.parquet(tmp).count() != n_before:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         raise RuntimeError("recluster row count mismatch; original index untouched")
     # Carry the streaming replay marker across the swap: a live
     # stream_append_ivf_index checkpoint must still see its last
     # applied epoch after a recluster, or a replayed batch would
     # double-append into the fresh layout.
     marker = os.path.join(index_path, "_last_epoch")
-    if os.path.isfile(marker):
-        shutil.copy(marker, os.path.join(tmp, "_last_epoch"))
-    shutil.rmtree(index_path)
-    os.rename(tmp, index_path)
+    if fs.is_file(marker):
+        fs.copy_file(marker, os.path.join(tmp, "_last_epoch"))
+    fs.delete(index_path)
+    fs.rename(tmp, index_path)
 
 
 def recluster_flagged_cells(
@@ -872,14 +872,13 @@ def recluster_flagged_cells(
     Returns {cid: "split:<new_cid>" | "recentered"}.
     """
     import os
-    import shutil
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    require_local_path(index_path, "IVF index partial recluster")
+    fs = sidecar_fs(index_path, spark)
     cids = sorted({int(c) for c in cids})
     if not cids:
         return {}
@@ -962,14 +961,14 @@ def recluster_flagged_cells(
             spark.read.parquet(tmp_keep).count() + spark.read.parquet(tmp_new).count()
         )
         if n_staged != n:
-            shutil.rmtree(tmp_keep, ignore_errors=True)
-            shutil.rmtree(tmp_new, ignore_errors=True)
+            fs.delete(tmp_keep)
+            fs.delete(tmp_new)
             raise RuntimeError(
                 f"cell {cid} split staged {n_staged} rows, expected {n}; "
                 "original partition left untouched"
             )
-        _swap_cell_dir(part_dir, tmp_keep, read_files, cid, "partial recluster")
-        os.rename(tmp_new, f"{index_path}/cid={next_cid}")
+        _swap_cell_dir(fs, part_dir, tmp_keep, read_files, cid, "partial recluster")
+        fs.rename(tmp_new, f"{index_path}/cid={next_cid}")
         cent_rows[cid] = means[cid]
         cent_rows[next_cid] = means[next_cid]
         actions[cid] = f"split:{next_cid}"
@@ -981,8 +980,8 @@ def recluster_flagged_cells(
     ctmp = f"{index_path}/_centroids_recluster_tmp"
     new_cents.write.mode("overwrite").parquet(ctmp)
     if spark.read.parquet(ctmp).count() != len(cent_rows):
-        shutil.rmtree(ctmp, ignore_errors=True)
+        fs.delete(ctmp)
         raise RuntimeError("centroid sidecar rewrite count mismatch; sidecar untouched")
-    shutil.rmtree(sidecar)
-    os.rename(ctmp, sidecar)
+    fs.delete(sidecar)
+    fs.rename(ctmp, sidecar)
     return actions

@@ -226,13 +226,11 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
     without the deleted ids (tmp dir + count-verified swap, the same
     never-destroy discipline as the warehouse rewrites), then drop the
     tombstone relation. Returns the number of doc_ids applied."""
-    import shutil
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    from currency_etl_pipeline_spark.sources.localfs import require_local_path
-
-    require_local_path(index_path, "minhash index compact")
+    fs = sidecar_fs(index_path, spark)
     t = _tombstones_path(index_path)
-    if not os.path.isdir(t):
+    if not fs.is_dir(t):
         return 0
     n_ids = spark.read.parquet(t).distinct().count()
     for sub in ("bands", "sigs"):
@@ -243,11 +241,11 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
         tmp = path + "__compact_tmp"
         survivors.write.mode("overwrite").parquet(tmp)
         if spark.read.parquet(tmp).count() != n_expect:
-            shutil.rmtree(tmp, ignore_errors=True)
+            fs.delete(tmp)
             raise RuntimeError(f"{sub} compaction count mismatch; original untouched")
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-    shutil.rmtree(t)
+        fs.delete(path)
+        fs.rename(tmp, path)
+    fs.delete(t)
     return n_ids
 
 

@@ -1,70 +1,53 @@
 """Sidecar IO for stores that pair Spark relations with tiny metadata
 files — POSIX fast path, JVM Hadoop FileSystem dispatch for URI paths.
 
-Several stores pair distributed parquet relations (Spark IO — happy on
-any Hadoop filesystem) with small sidecars: SnapshotStore's ``_LATEST``
+Every store that pairs distributed parquet relations (Spark IO — happy
+on any Hadoop filesystem) with driver-side filesystem operations
+funnels them through :func:`sidecar_fs`: SnapshotStore's ``_LATEST``
 pointer and ``_TAG`` markers, the MinHash index's ``_params.json`` and
-tombstone probes, the streaming ``_last_epoch`` replay markers. Through
-round 7 those sidecars were raw ``open``/``os.replace`` calls guarded
-by :func:`require_local_path`; the 100 TB deployment the module docs
-name lives on an object store, so r8 flips the guard into a dispatch
-(VERDICT r7 task 3):
+tombstone probes, the streaming ``_last_epoch`` replay markers, AND
+(r8, second pass) the directory-swap maintenance machinery — warehouse
+partition compaction/RTBF rewrites, MinHash tombstone compaction, IVF
+cell swaps and reclusters. Through round 7 all of this was raw
+``open``/``os.replace``/``shutil`` guarded by a fail-loud URI check;
+the 100 TB deployment the module docs name lives on HDFS-like or
+object storage, so r8 flips the guard into a dispatch (VERDICT r7
+task 3):
 
 - **Scheme-less path** → :class:`_PosixSidecarFS`: ``open`` /
-  ``os.replace`` / ``os.listdir``, exactly the previous behavior.
-  ``os.replace`` is atomic on POSIX, so pointer flips are torn-free.
+  ``os.replace`` / ``os.listdir`` / ``shutil``, exactly the previous
+  behavior. ``os.replace`` is atomic on POSIX, so pointer flips are
+  torn-free; ``os.rename`` backs the directory swaps.
 - **URI path** (``file://``, ``hdfs://``, ``gs://``, ``s3a://`` …) →
   :class:`_HadoopSidecarFS`: the JVM ``org.apache.hadoop.fs``
   layer reached over py4j — ``FileSystem.create``/``open`` for bytes,
   ``FileContext.rename(..., Options.Rename.OVERWRITE)`` for the
-  pointer flip (atomic on HDFS and local; the ``file://`` scheme is
-  how tests exercise this branch without a real bucket).
+  pointer flip, ``FileSystem.rename``/``delete`` for directory swaps
+  (all atomic metadata ops on HDFS and local; the ``file://`` scheme
+  is how tests exercise this branch without a real bucket).
 
-Atomicity caveat, documented once here: on GCS/S3 a "rename" is
-copy+delete, so the pointer flip degrades to a small torn window and
-last-writer-wins under concurrent writers. The stores' single-writer
-maintenance model (one committer per store, readers resolve the pointer
-at plan time) is safe there; true multi-writer needs a conditional-put
-pointer (GCS ``ifGenerationMatch`` / S3 ``If-None-Match``) or a table
-format whose transaction log replaces the pointer entirely (the
-``merge_into_available`` Delta upgrade path).
+Atomicity caveats, documented once here:
 
-The heavyweight partition-REWRITE machinery (warehouse partition
-swaps, MinHash tombstone compaction, IVF cell swaps/recluster) moves
-whole parquet directories with count-verified staging; those stay
-POSIX-only behind :func:`require_local_path` — on an object store the
-same jobs should run through a transactional table format instead of
-directory renames.
+- On GCS/S3 a "rename" is copy+delete, so the POINTER flip degrades to
+  a small torn window and last-writer-wins under concurrent writers.
+  The stores' single-writer model (one committer per store, readers
+  resolve the pointer at plan time) is safe there; true multi-writer
+  needs a conditional-put pointer (GCS ``ifGenerationMatch`` / S3
+  ``If-None-Match``) or a table format whose transaction log replaces
+  the pointer entirely (the ``merge_into_available`` upgrade path).
+- DIRECTORY swaps (delete live dir → rename staging into place) are a
+  brief non-atomic window even on POSIX (documented per store with the
+  recovery step); on object stores the rename is additionally O(data).
+  The operational contract is unchanged from the POSIX days: run
+  compaction/RTBF/recluster on COLD partitions with a single
+  maintainer — the count-verified staging plus the re-list guard make
+  a crashed swap recoverable, never silently lossy.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-
-
-def require_local_path(path: str, store: str) -> str:
-    """Raise ValueError for scheme-prefixed (object-store) paths.
-
-    The guard for the PARTITION-REWRITE stores (directory-swap
-    machinery): handed an object-store URI the ``shutil`` calls would
-    either crash confusingly deep in a rewrite or — worse — write to a
-    literal ``./gs:/bucket/...`` directory and "succeed". Sidecar
-    pointer/marker IO no longer funnels through here — use
-    :func:`sidecar_fs`, which dispatches URI paths to the JVM Hadoop
-    filesystem instead of refusing them.
-
-    ``store`` names the caller for the error message. Returns ``path``
-    unchanged so call sites can wrap assignments.
-    """
-    if "://" in str(path):
-        raise ValueError(
-            f"{store}: path {path!r} has a URI scheme — this store rewrites "
-            "whole parquet directories with POSIX renames that cannot run "
-            "on an object store; use a local or shared POSIX mount, or a "
-            "transactional table format (see sources/localfs.py)"
-        )
-    return str(path)
 
 
 class _PosixSidecarFS:
@@ -103,6 +86,15 @@ class _PosixSidecarFS:
             shutil.rmtree(path, ignore_errors=True)
         elif os.path.exists(path):
             os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)  # atomic on POSIX; dst must not exist
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        shutil.copy(src, dst)
 
 
 class _HadoopSidecarFS:
@@ -178,6 +170,25 @@ class _HadoopSidecarFS:
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), True)  # recursive; False if absent
+
+    def rename(self, src: str, dst: str) -> None:
+        """No-overwrite rename (dst must not exist) — the directory-swap
+        primitive. Atomic metadata op on HDFS and local; on object
+        stores the connector emulates it as copy+delete (correct, not
+        atomic, O(data) — run swaps cold there, or use a table format)."""
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"Hadoop rename failed: {src!r} -> {dst!r}")
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def copy_file(self, src: str, dst: str) -> None:
+        # Small sidecar files only (markers, params) — streamed through
+        # the driver, not a distcp.
+        text = self.read_text(src)
+        if text is None:
+            raise FileNotFoundError(src)
+        self.write_text(dst, text)
 
 
 def sidecar_fs(path: str, spark=None):

@@ -24,7 +24,6 @@ idea reduced to a pointer file, keeping v1 dependency-free.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,15 +205,18 @@ class SnapshotStore:
 
 class Warehouse:
     def __init__(self, spark: SparkSession, base_path: str):
-        # The warehouse's maintenance surface (partition rewrites,
-        # compaction, schema registry) swaps whole directories with
-        # POSIX renames — unlike SnapshotStore's pointer sidecar, it
-        # does not (yet) dispatch to the Hadoop filesystem, so refuse
-        # object-store URIs up front (sources/localfs.py).
-        from currency_etl_pipeline_spark.sources.localfs import require_local_path
+        # All sidecar and directory-swap IO rides sidecar_fs (r8):
+        # POSIX for plain paths, the JVM Hadoop filesystem for URIs.
+        # Directory swaps are atomic-rename-backed on HDFS/local; on
+        # object stores the connector emulates rename as copy+delete —
+        # correct but non-atomic and O(data), so run maintenance on
+        # cold partitions there (or use a table format, the
+        # merge_into_available upgrade path).
+        from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
         self.spark = spark
-        self.base = require_local_path(base_path, "Warehouse")
+        self.base = str(base_path)
+        self._fs = sidecar_fs(self.base, spark)
         self.historical_path = os.path.join(base_path, "historical_rates")
         self.current_path = os.path.join(base_path, "current_rates")
         self._store = SnapshotStore(spark, self.current_path)
@@ -289,22 +291,18 @@ class Warehouse:
                     f"{old.dataType.simpleString()}, batch has "
                     f"{f.dataType.simpleString()} — evolution only ADDS columns"
                 )
-        os.makedirs(self.historical_path, exist_ok=True)
-        tmp = self._schema_registry_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(T.StructType(merged).jsonValue(), fh)
-        os.replace(tmp, self._schema_registry_file)
+        self._fs.mkdirs(self.historical_path)
+        self._fs.write_text(
+            self._schema_registry_file, json.dumps(T.StructType(merged).jsonValue())
+        )
 
     def _registered_schema(self):
         import json
 
         from pyspark.sql import types as T
 
-        try:
-            with open(self._schema_registry_file) as fh:
-                return T.StructType.fromJson(json.load(fh))
-        except FileNotFoundError:
-            return None
+        text = self._fs.read_text(self._schema_registry_file)
+        return T.StructType.fromJson(json.loads(text)) if text is not None else None
 
     def historical(self) -> DataFrame:
         schema = self._registered_schema()
@@ -382,9 +380,9 @@ class Warehouse:
         history is every partition but today's.
         """
         part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
-        if not os.path.isdir(part_dir):
+        if not self._fs.is_dir(part_dir):
             raise FileNotFoundError(f"no partition dir {part_dir}")
-        files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        files_before = [f for f in self._fs.list_names(part_dir) if f.endswith(".parquet")]
         df = self._read_partition(part_dir)
         n_before = df.count()
         tmp = part_dir + "__compact_tmp"
@@ -401,14 +399,14 @@ class Warehouse:
         out.write.mode("overwrite").parquet(tmp)
         n_after = self.spark.read.parquet(tmp).count()
         if n_after != n_before:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self._fs.delete(tmp)
             raise RuntimeError(
                 f"compaction row count mismatch ({n_before} -> {n_after}); "
                 "original partition left untouched"
             )
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
-        files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        self._fs.delete(part_dir)
+        self._fs.rename(tmp, part_dir)
+        files_after = [f for f in self._fs.list_names(part_dir) if f.endswith(".parquet")]
         return (len(files_before), len(files_after))
 
     def delete_current(self, keys_df: DataFrame) -> int:
@@ -448,7 +446,7 @@ class Warehouse:
         count verification).
         """
         part_dir = os.path.join(self.historical_path, f"rate_date={rate_date}")
-        if not os.path.isdir(part_dir):
+        if not self._fs.is_dir(part_dir):
             raise FileNotFoundError(f"no partition dir {part_dir}")
         df = self._read_partition(part_dir)
         n_before = df.count()
@@ -459,13 +457,13 @@ class Warehouse:
         df.filter(~predicate | predicate.isNull()).write.mode("overwrite").parquet(tmp)
         n_after = self.spark.read.parquet(tmp).count()
         if n_after != n_before - n_match:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self._fs.delete(tmp)
             raise RuntimeError(
                 f"delete row count mismatch ({n_before} - {n_match} != {n_after}); "
                 "original partition left untouched"
             )
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        self._fs.delete(part_dir)
+        self._fs.rename(tmp, part_dir)
         return n_match
 
     def _migrate_legacy_current(self) -> None:
@@ -476,10 +474,10 @@ class Warehouse:
         silently rebuild the snapshot from one batch, discarding every
         previously-merged key. Commit the legacy files as version 1,
         then remove them (the store owns the directory from here on)."""
-        if self._store.exists() or not os.path.isdir(self.current_path):
+        if self._store.exists() or not self._fs.is_dir(self.current_path):
             return
         legacy = [
-            n for n in os.listdir(self.current_path)
+            n for n in self._fs.list_names(self.current_path)
             if n.endswith(".parquet") or n == "_SUCCESS" or n.startswith("part-")
         ]
         if not any(n.startswith("part-") for n in legacy):
@@ -488,8 +486,7 @@ class Warehouse:
         # Materialize before deleting the files the plan reads from.
         self._store.commit(snap.localCheckpoint(eager=True))
         for n in legacy:
-            p = os.path.join(self.current_path, n)
-            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            self._fs.delete(os.path.join(self.current_path, n))
 
     def upsert_current(self, batch: DataFrame) -> None:
         """J1-J3: MERGE rewrite. Equal timestamps keep the existing row

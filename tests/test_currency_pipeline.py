@@ -906,37 +906,117 @@ def test_zorder_rejects_unbounded_domain(spark):
     assert ok.count() == 200
 
 
-def test_partition_rewrite_stores_reject_object_store_uris(spark, tmp_path):
-    """The stores whose maintenance swaps WHOLE DIRECTORIES with POSIX
-    renames (warehouse partition rewrites, MinHash tombstone
-    compaction, IVF cell rewrites) must still fail LOUDLY on an
-    object-store URI at their entry points — the r5 rates_datasource
-    discipline via sources/localfs.require_local_path. The pointer /
-    params / marker SIDECAR stores no longer funnel through the guard:
-    r8 flipped them to the Hadoop-FS dispatch (sidecar_fs), covered by
-    the ``file://`` round-trip tests below; a gs:// path there now
-    fails in FileSystem.get (no connector on this classpath) instead of
-    silently writing a literal ./gs:/ dir."""
+def test_unknown_scheme_fails_loudly_in_hadoop_layer(spark, tmp_path):
+    """r8 flipped every store's filesystem IO to the sidecar_fs
+    dispatch, so a gs:// path no longer hits a ValueError guard — it
+    must instead fail LOUDLY inside the JVM Hadoop layer (no GCS
+    connector on this classpath), never silently write a literal
+    ./gs:/ directory and 'succeed' (the r5 failure mode the old guard
+    existed for)."""
     import pytest
+    from py4j.protocol import Py4JJavaError
 
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    with pytest.raises(Py4JJavaError, match="(?i)no filesystem for scheme"):
+        Warehouse(spark, "gs://bucket/store")
+    import os
+
+    assert not os.path.exists("gs:"), "URI path leaked into a literal local dir"
+
+
+def test_warehouse_maintenance_on_hadoop_file_scheme(spark, tmp_path):
+    """The warehouse's whole maintenance surface through a ``file://``
+    URI — schema-registry sidecar, partition compaction swap, RTBF
+    partition delete — every filesystem op riding the JVM Hadoop
+    branch (VERDICT r7 task 3, second pass: not just the pointer
+    sidecars but the directory-swap machinery)."""
+    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, f"file://{tmp_path}/wh")
+    b1 = _batch(spark, T0)
+    wh.load_batch(b1)
+    wh.append_historical(_batch(spark, T1, quotes={"GBPUSD": "1.3000"}))
+    assert wh.historical().count() == 5
+
+    # compaction swap over file:// (two appends -> >=2 files in the
+    # partition; rewrite to 1, rows conserved)
+    before, after = wh.compact_historical("2024-03-01", target_files=1)
+    assert before >= 2 and after == 1
+    assert wh.historical().count() == 5
+
+    # RTBF partition rewrite over file://
+    n = wh.delete_from_historical("2024-03-01", F.col("target_currency") == "USD")
+    assert n == 2  # one USD row from each batch
+    assert wh.historical().count() == 3
+    got = {r["target_currency"] for r in wh.historical().collect()}
+    assert "USD" not in got
+
+
+def test_ivf_maintenance_on_hadoop_file_scheme(spark, sf_dir, tmp_path):
+    """IVF cell maintenance (RTBF delete + small-files compaction +
+    full recluster) through a ``file://`` index path — the cell swap
+    primitive's list/delete/rename all ride the JVM Hadoop branch."""
     from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
         compact_ivf_index,
         delete_from_ivf_index,
         recluster_ivf_index,
+        search_ivf_index,
     )
-    from currency_etl_pipeline_spark.sources.dedup_index import compact_minhash_index
-    from currency_etl_pipeline_spark.sources.warehouse import Warehouse
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
 
-    uri = "gs://bucket/store"
-    for call in [
-        lambda: Warehouse(spark, uri),
-        lambda: compact_minhash_index(spark, uri),
-        lambda: delete_from_ivf_index(spark, uri, [1]),
-        lambda: compact_ivf_index(spark, uri),
-        lambda: recluster_ivf_index(spark, uri),
-    ]:
-        with pytest.raises(ValueError, match="URI scheme"):
-            call()
+    idx = f"file://{tmp_path}/ivf"
+    centroid_ids = tuple(range(20, 28))
+    v = _vecs(spark, sf_dir)
+    build_ivf_index(spark, sf_dir, idx, centroid_ids, vectors=v.filter(F.col("vec_id") < 300))
+    n0 = spark.read.parquet(idx).count()
+
+    # append (pure Spark IO) then compact the fragmented cells
+    append_ivf_index(spark, idx, v.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)))
+    assert spark.read.parquet(idx).count() > n0
+    compact_ivf_index(spark, idx, max_files_per_cell=1)
+    n1 = spark.read.parquet(idx).count()
+
+    # RTBF delete rewrites only the victims' cells
+    removed = delete_from_ivf_index(spark, idx, [5, 6, 7])
+    assert removed == 3 and spark.read.parquet(idx).count() == n1 - 3
+
+    # full recluster swaps the entire index root via the Hadoop branch
+    recluster_ivf_index(spark, idx, k=4)
+    assert spark.read.parquet(idx).count() == n1 - 3
+    res = search_ivf_index(spark, sf_dir, idx, (0, 1, 2), centroid_ids=None, nprobe=2, k=5)
+    assert res.count() > 0
+
+
+def test_minhash_compaction_on_hadoop_file_scheme(spark, tmp_path):
+    """MinHash tombstone compaction through ``file://``: the physical
+    bands/sigs rewrite + tombstone-relation drop ride the JVM branch,
+    and the compacted index answers queries tombstone-free."""
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    uri = f"file://{tmp_path}/mh"
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely different document about query engines and columnar data")],
+        "doc_id bigint, text string",
+    )
+    build_minhash_index(spark, corpus, uri)
+    delete_from_minhash_index(spark, uri, [1])
+    assert compact_minhash_index(spark, uri) == 1
+    probe = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    assert query_minhash_index(spark, uri, probe, 0.9).isEmpty()
+    # idempotent: nothing left to compact
+    assert compact_minhash_index(spark, uri) == 0
 
 
 def test_sidecar_fs_dispatch_and_file_uri_ops(spark, tmp_path):

@@ -985,7 +985,11 @@ def test_ivf_compaction_shrinks_cells_preserving_search(spark, sf_dir, tmp_path)
     assert _search_rows(spark, sf_dir, idx) == before_rows
 
     assert compact_ivf_index(spark, idx) == 0, "compaction not idempotent"
-    with pytest.raises(ValueError, match="URI scheme"):
+    # r8: URI paths dispatch to the Hadoop layer; an unknown scheme
+    # fails loudly there (no silent literal ./gs:/ dir)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError, match="(?i)no filesystem for scheme"):
         compact_ivf_index(spark, "gs://bucket/idx")
     # ADVICE r8 #3: a 0/negative budget must fail loudly BEFORE any
     # cell is rewritten, not as an opaque repartition(0) error mid-loop
@@ -1005,7 +1009,9 @@ def test_ivf_swap_aborts_if_cell_changed_under_rewrite(tmp_path):
     import pytest
 
     from currency_etl_pipeline_spark.sources.ann_index import _swap_cell_dir
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
+    fs = sidecar_fs(str(tmp_path))
     part = tmp_path / "cid=3"
     part.mkdir()
     (part / "part-0.parquet").write_bytes(b"old0")
@@ -1014,7 +1020,7 @@ def test_ivf_swap_aborts_if_cell_changed_under_rewrite(tmp_path):
     (tmp / "part-new.parquet").write_bytes(b"rewritten")
 
     # happy path: listing unchanged -> swap
-    _swap_cell_dir(str(part), str(tmp), {"part-0.parquet"}, 3, "compaction")
+    _swap_cell_dir(fs, str(part), str(tmp), {"part-0.parquet"}, 3, "compaction")
     assert os.listdir(part) == ["part-new.parquet"] and not tmp.exists()
 
     # racy path: a concurrent append landed part-1 after the read
@@ -1023,7 +1029,7 @@ def test_ivf_swap_aborts_if_cell_changed_under_rewrite(tmp_path):
     (part / "part-1.parquet").write_bytes(b"concurrent-append")
     with pytest.raises(RuntimeError, match="changed during compaction"):
         _swap_cell_dir(
-            str(part), str(tmp), {"part-new.parquet"}, 3, "compaction"
+            fs, str(part), str(tmp), {"part-new.parquet"}, 3, "compaction"
         )
     assert sorted(os.listdir(part)) == ["part-1.parquet", "part-new.parquet"]
     assert not tmp.exists(), "staging dir must be discarded on abort"
