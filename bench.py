@@ -194,6 +194,8 @@ HEADLINE = [
     "sequential_dedup_admission",
     "ann_recall_report",
     "ann_lsh_multitable_topk",
+    "twap_daily_value",
+    "ohlc_daily_bars",
 ]
 
 

@@ -724,3 +724,132 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "twap_daily_value",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS tus,
+             "value", ts, event_id
+      FROM events
+    ),
+    wt AS (
+      SELECT event_type, day, "value",
+             (COALESCE(lead(tus) OVER (PARTITION BY event_type, day
+                                       ORDER BY ts, event_id),
+                       epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+              - tus) // 1000 AS w_ms
+      FROM t
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(w_ms) AS BIGINT) AS total_ms,
+           round(CAST(sum(CAST("value" * w_ms AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(w_ms) AS DOUBLE), 6) AS twap
+    FROM wt GROUP BY event_type, day
+    """,
+)
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — the TWAP the
+    reference's currency domain prices with: each observation holds
+    (last-observation-carried-forward) until the next one in its key's
+    day, the final observation until midnight, and the day's average
+    weighs each value by its holding time. A plain AVG over irregular
+    ticks over-weights bursts; TWAP is the standard fix.
+
+    Exactness: holding times are integer MILLISECONDS (floor of the
+    microsecond gap — sub-ms truncation is the documented quantum, and
+    integer division agrees across engines), each value x weight is
+    one per-row IEEE product cast to DECIMAL(28,6) half-up, the
+    cross-row sums are exact DECIMAL/BIGINT (order-independent), and
+    ONE fixed-form double division + 6 dp round sits at the edge —
+    the drift report's discipline. Scaled-integer magnitude stays far
+    below 2^53, so the DECIMAL->DOUBLE cast is engine-identical.
+
+    Plan/scale: one window pass (lead over (key, day) — shuffles each
+    row once on the partition keys) + one hash aggregate over the same
+    keys, which AQE plans without a second exchange; no self-joins, no
+    corpus-sized state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    eod = F.unix_micros(F.date_add(day, 1).cast("timestamp"))
+    wt = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.col("value"),
+        (F.coalesce(F.lead(tus).over(w), eod) - tus).alias("w_us"),
+    ).withColumn("w_ms", F.expr("w_us DIV 1000"))
+    return wt.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("w_ms").alias("total_ms"),
+        F.round(
+            F.sum((F.col("value") * F.col("w_ms")).cast("decimal(28,6)")).cast("double")
+            / F.sum("w_ms").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@query(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, "value", ts, event_id,
+             first_value("value") OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+             last_value("value") OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+      FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           any_value(open) AS open,
+           max("value") AS high,
+           min("value") AS low,
+           any_value(close) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM t GROUP BY event_type, day
+    """,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, day): open = first tick's
+    value by (ts, event_id), high/low = extremes, close = last tick's —
+    the canonical downsampling every rates dashboard charts (the
+    reference plots raw history; bars are what it would draw at any
+    zoom level). Every output is a RAW input double carried through
+    (first/last/min/max never do arithmetic), so cross-engine parity
+    needs no rounding at all; the (ts, event_id) tie-break makes
+    open/close deterministic under equal timestamps.
+
+    Plan/scale: one full-frame window pass over (key, day) + the
+    aligned hash aggregate — same single-shuffle shape as the TWAP
+    twin; bars output is |keys| x |days| rows, trivially small.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = (
+        Window.partitionBy("event_type", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    t = ev.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return t.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.any_value("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.any_value("close").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
