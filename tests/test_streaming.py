@@ -997,3 +997,61 @@ def test_stream_minhash_ingest_exact_chains_mode(spark, tmp_path):
 
     assert run("approx", False) == [10], "pairwise rule must drop c on the chain"
     assert run("exact", True) == [10, 12], "exact mode must admit c"
+
+
+def test_stream_append_ivf_index_on_hadoop_file_scheme(spark, sf_dir, tmp_path):
+    """Streaming IVF maintenance against a ``file://`` index path: the
+    _last_epoch replay marker, the append, and a post-stream compaction
+    all ride the JVM Hadoop branch — the full streaming-ingest loop
+    works without a POSIX index path (VERDICT r7 task 3, closing the
+    streaming corner)."""
+    import os
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        search_ivf_index,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_append_ivf_index
+
+    CENTROIDS = tuple(range(20, 28))
+    v = _vecs(spark, sf_dir)
+    live = f"file://{tmp_path}/ivf_live"
+    full = str(tmp_path / "ivf_batch")
+    build_ivf_index(spark, sf_dir, full, CENTROIDS)
+    build_ivf_index(
+        spark, sf_dir, live, CENTROIDS, vectors=v.filter(F.col("vec_id") < 300)
+    )
+
+    feed = tmp_path / "vec_feed_uri"
+    feed.mkdir()
+    v.filter(F.col("vec_id") >= 300).repartition(1).write.parquet(str(feed / "b0"))
+    stream = spark.readStream.schema(v.schema).parquet(str(feed) + "/*")
+    q = stream_append_ivf_index(spark, stream, live, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                search_ivf_index(
+                    spark, sf_dir, path, (0, 1, 2), CENTROIDS, nprobe=2, k=5
+                ).collect(),
+            )
+        )
+
+    assert rows(live) == rows(full), "file:// streamed index diverged from batch build"
+    # replay against the marker (read through the Hadoop branch) no-ops
+    files_before = set(spark.read.parquet(live).inputFiles())
+    q2 = stream_append_ivf_index(
+        spark,
+        spark.readStream.schema(v.schema).parquet(str(feed) + "/*"),
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q2.awaitTermination()
+    assert set(spark.read.parquet(live).inputFiles()) == files_before
+    # and the compaction swap works on the streamed file:// index
+    compact_ivf_index(spark, live, max_files_per_cell=1)
+    assert rows(live) == rows(full)
