@@ -353,3 +353,48 @@ def test_sequence_packing_matches_sequential_scan(spark, rows, budget):
         )
         running[lang] = cum + n_tok
     assert len(got) == len(uniq)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=25,
+    ),
+    rejected=st.sets(st.integers(0, 14), max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_sequential_admission_pandas_matches_reference(edges, rejected):
+    """operators/dedup.sequential_admission_pandas (the per-component
+    greedy shared by stream_minhash_ingest(exact_chains=True) and
+    sequential_dedup_admission) must equal a brute-force sequential
+    reference on arbitrary graphs: iterate node ids ascending, reject
+    on corpus flag or any previously-ADMITTED neighbor. Exercised
+    directly on the pandas function (one 'component' holding the whole
+    graph — the grouping only shards the work)."""
+    import pandas as pd
+
+    from currency_etl_pipeline_spark.operators.dedup import (
+        sequential_admission_pandas,
+    )
+
+    nodes = sorted({n for e in edges for n in e} | rejected)
+    rows = [
+        {"component": 0, "a": n, "b": None, "rej": 1 if n in rejected else 0}
+        for n in nodes
+    ] + [{"component": 0, "a": a, "b": b, "rej": 0} for a, b in edges]
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["component", "a", "b", "rej"])
+    got = sorted(sequential_admission_pandas(pdf)["doc_id"].tolist())
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    admitted: set = set()
+    for n in nodes:
+        if n in rejected or adj.get(n, set()) & admitted:
+            continue
+        admitted.add(n)
+    assert got == sorted(admitted)
