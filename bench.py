@@ -196,6 +196,7 @@ HEADLINE = [
     "ann_lsh_multitable_topk",
     "twap_daily_value",
     "ohlc_daily_bars",
+    "bigram_lift_topk",
 ]
 
 

@@ -975,3 +975,106 @@ def sequential_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("g").isNull() | F.col("adm").isNotNull()).alias("admitted"),
         )
     )
+
+
+_LIFT_MIN_COUNT = 5  # bigrams below this are too rare to rank (1/c noise)
+
+
+@query(
+    "bigram_lift_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM toks),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    n_tok AS (SELECT count(*) AS n FROM uni),
+    bi AS (
+      SELECT toks[s.i] || ' ' || toks[s.i + 1] AS bigram,
+             toks[s.i] AS w1, toks[s.i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL unnest(generate_series(1, len(toks) - 1)) AS s(i)
+    ),
+    bcnt AS (SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2,
+                    count(*) AS c_xy
+             FROM bi GROUP BY bigram),
+    m_bi AS (SELECT count(*) AS m FROM bi),
+    lifted AS (
+      SELECT b.bigram, CAST(b.c_xy AS BIGINT) AS c_xy,
+             round(((CAST(b.c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)) * CAST(n.n AS DOUBLE))
+                   / ((CAST(m.m AS DOUBLE) * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)),
+                   6) AS lift
+      FROM bcnt b
+      JOIN ucnt u1 ON u1.tok = b.w1
+      JOIN ucnt u2 ON u2.tok = b.w2
+      CROSS JOIN n_tok n CROSS JOIN m_bi m
+      WHERE b.c_xy >= {_LIFT_MIN_COUNT}
+    )
+    SELECT bigram, c_xy, lift FROM lifted
+    QUALIFY row_number() OVER (ORDER BY lift DESC, bigram ASC) <= 20
+    """,
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by LIFT — P(xy) / (P(x)·P(y)), the
+    association measure behind PMI without its logarithm: every input
+    to the ratio is an exact integer count (bigram count, the two
+    unigram counts, corpus token/bigram totals), so the score is one
+    fixed-form double expression over exactly-representable integers —
+    identical across engines with no libm in sight (log/pow are NOT
+    cross-libm-identical; the lift ordering is the same as PMI's).
+    Bigrams under {min_count} occurrences are excluded (1/c noise
+    dominates tiny counts); ties break on the bigram string.
+
+    Plan/scale: one corpus scan exploded twice (unigrams, bigrams —
+    both map-side), two hash aggregates, then the bounded bigram-count
+    relation joins the unigram counts (AQE broadcasts the smaller
+    side) and the two scalar totals ride literal cross joins. The
+    top-20 is TakeOrderedAndProject. Nothing quadratic, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens().alias("toks"))
+    uni = exploded(toks, [], F.col("toks"), "tok")
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = uni.agg(F.count(F.lit(1)).alias("n"))
+    bigrams = exploded(
+        toks.select(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda x, y: F.struct(
+                    F.concat_ws(" ", x, y).alias("bigram"),
+                    x.alias("w1"),
+                    y.alias("w2"),
+                ),
+            ).alias("bis")
+        ),
+        [],
+        F.col("bis"),
+        "bi",
+    ).select("bi.bigram", "bi.w1", "bi.w2")
+    bcnt = (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.any_value("w1").alias("w1"),
+            F.any_value("w2").alias("w2"),
+            F.count(F.lit(1)).alias("c_xy"),
+        )
+        .filter(F.col("c_xy") >= _LIFT_MIN_COUNT)
+    )
+    m_bi = bigrams.agg(F.count(F.lit(1)).alias("m"))
+    lift = F.round(
+        (
+            (F.col("c_xy").cast("double") * F.col("n").cast("double"))
+            * F.col("n").cast("double")
+        )
+        / (
+            (F.col("m").cast("double") * F.col("u1c").cast("double"))
+            * F.col("u2c").cast("double")
+        ),
+        6,
+    )
+    lifted = (
+        bcnt.join(ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("u1c")), "w1")
+        .join(ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("u2c")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_bi))
+        .select("bigram", "c_xy", lift.alias("lift"))
+    )
+    return lifted.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(20)
