@@ -107,9 +107,20 @@ def decode_image_stats(assets: DataFrame, codec: str = "fake1") -> DataFrame:
     - ``png``: REAL PNG decode (multimodal/codecs.py — stdlib zlib,
       8-bit gray/RGB/RGBA, all scanline filters); stats over the
       decoded PIXEL SAMPLES (n_bytes = decoded sample count).
-    - anything else: Pillow when importable, else a loud
+    - a NAMED Pillow format (``jpeg``, ``bmp``, ``gif``, ``webp``,
+      ``tiff``): Pillow when importable, else a loud
       NotImplementedError naming the swap point (probe-and-document).
+    - anything else: ValueError regardless of what's installed — a
+      typo like ``codec='png8'`` must not silently change semantics
+      to Pillow sniffing on machines that have it and only explode on
+      machines that don't (r9 ADVICE).
     """
+    _PIL_FORMATS = {"jpeg", "jpg", "bmp", "gif", "webp", "tiff"}
+    if codec not in {"fake1", "png"} | _PIL_FORMATS:
+        raise ValueError(
+            f"unknown codec {codec!r}; supported: 'fake1', 'png', "
+            f"or a Pillow format {sorted(_PIL_FORMATS)}"
+        )
     if codec == "png":
         from currency_etl_pipeline_spark.multimodal.codecs import decode_png
 

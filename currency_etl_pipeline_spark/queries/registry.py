@@ -126,7 +126,7 @@ def refresh_checked_hashes(root=None) -> int:
     return len(out)
 
 
-def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
+def _driver_coverage(root=None, max_round: int | None = None) -> dict[str, tuple[int, bool]]:
     """Map query name -> (newest round with a CORRECTNESS row, passed?).
 
     The per-round correctness sweep adjudicates a bounded prefix of
@@ -135,6 +135,11 @@ def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
     never receive the driver's hard correctness signal, no matter how many
     rounds run, unless the ordering changes. ``passed`` reflects only the
     newest round's row for the query.
+
+    ``max_round`` (inclusive) restricts the scan to CORRECTNESS files from
+    that round or earlier — the device that lets a committed statement
+    "as of entering round N" stay verifiable after the round-N sweep
+    lands a newer file the commit could not have seen (VERDICT r8 task 4).
     """
     import json
     import re
@@ -147,6 +152,8 @@ def _driver_coverage(root=None) -> dict[str, tuple[int, bool]]:
         if m is None:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -186,7 +193,7 @@ def ordered_names(root=None) -> list[str]:
     return sorted(names, key=key)
 
 
-def oldest_adjudicated_round(root=None) -> int:
+def oldest_adjudicated_round(root=None, max_round: int | None = None) -> int:
     """The oldest 'newest CORRECTNESS round' among queries the driver
     has adjudicated at least once — the rotation's health metric: with
     a ~50-row sweep over 140 queries, a full re-green takes 3 rounds,
@@ -194,8 +201,16 @@ def oldest_adjudicated_round(root=None) -> int:
     never yet checked are excluded (they sit in tier 0 of the sweep
     order and are picked up next round by construction). Surfaced in
     README's catalog line and pinned by tests/test_registry_order.py
-    (VERDICT r7 task 8)."""
-    coverage = _driver_coverage(root)
+    (VERDICT r7 task 8).
+
+    ``max_round``: compute the metric as of ENTERING round max_round+1,
+    i.e. over CORRECTNESS files ≤ max_round only. README states the
+    metric "entering rN"; the pin test passes max_round=N-1 so the
+    driver's round-N sweep (which lands after the builder's last
+    commit) cannot retroactively falsify the committed line (the r8
+    race: README said r5, true at commit time, the sweep moved it to
+    r6 five hours later — VERDICT r8 What's-wrong #3)."""
+    coverage = _driver_coverage(root, max_round=max_round)
     rounds = [coverage[n][0] for n in _REGISTRY if n in coverage]
     return min(rounds, default=0)
 

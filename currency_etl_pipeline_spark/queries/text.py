@@ -1019,7 +1019,7 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-form double expression over exactly-representable integers —
     identical across engines with no libm in sight (log/pow are NOT
     cross-libm-identical; the lift ordering is the same as PMI's).
-    Bigrams under {min_count} occurrences are excluded (1/c noise
+    Bigrams under _LIFT_MIN_COUNT (= 5) occurrences are excluded (1/c noise
     dominates tiny counts); ties break on the bigram string.
 
     Plan/scale: one corpus scan exploded twice (unigrams, bigrams —

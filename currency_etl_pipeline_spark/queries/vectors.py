@@ -677,7 +677,15 @@ _Q9_DUCK = "CAST(CAST({x} AS DECIMAL(19,9)) * 1000000000 AS BIGINT)"
         FROM per_dim p JOIN cents c ON p.cid = c.cid
     ),
     cell AS (
-        SELECT cid, max(cnt) AS n, max(fcnt) AS n_new,
+        -- CAST: DuckDB types sum(CASE WHEN..THEN 1 ELSE 0 END) as
+        -- HUGEINT (int128) and max() propagates it; the driver's value
+        -- hash serializes int128 differently from int64, which kept
+        -- this query rows/schema-green but hash-red for three rounds
+        -- (r6-r8) while local value comparison was exact. Every other
+        -- oracle normalizes the same construct (e.g. advanced.py
+        -- ann_recall_report) — this was the catalog's only HUGEINT
+        -- output column.
+        SELECT cid, max(cnt) AS n, CAST(max(fcnt) AS BIGINT) AS n_new,
                sum(CAST(aq AS HUGEINT) * mq) AS dot,
                sum(CAST(aq AS HUGEINT) * aq) AS na,
                sum(CAST(mq AS HUGEINT) * mq) AS nb
@@ -716,8 +724,15 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-partial cosine (`_ranked_cells_exact` / the oracle's
     `pair` CTE), and the output carries drift as BIGINT micro-units
     with `recluster` from an integer compare — no double appears in
-    the comparison surface at all. If this round stays red, the
-    divergence is provably in the driver's hash protocol, not math.
+    the comparison surface at all.
+
+    r9: the r8 prediction held — the residual red WAS a serialization
+    artifact, not math. DuckDB typed the oracle's `n_new` column
+    HUGEINT (`sum(CASE..)` → int128, propagated through `max`), the
+    only int128 output column in the whole catalog, and the driver's
+    value hash distinguishes int128 from int64. The oracle now casts
+    it to BIGINT; an oracle-wide output-type lint
+    (tests/test_oracle_types.py) keeps the class out forever.
 
     Plan/scale: assignment is the map-side broadcast crossJoin (O(kn),
     no shuffle); the mean is posexplode → per-(cid, dim) DECIMAL

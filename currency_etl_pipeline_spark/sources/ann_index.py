@@ -187,7 +187,7 @@ def search_ivf_sq8_index(
     sf_dir: str,
     index_path: str,
     query_ids,
-    centroid_ids,
+    centroid_ids=None,
     nprobe: int = 2,
     k: int = 10,
     rerank: int = 30,
@@ -196,7 +196,12 @@ def search_ivf_sq8_index(
     per query by int8 cosine → exact re-rank via a join back to the
     float corpus on vec_id (narrow: ``rerank × |queries|`` rows) →
     top-``k``. Ties break on (rounded score, vec_id) at both stages so
-    the result is engine- and layout-independent."""
+    the result is engine- and layout-independent.
+
+    ``centroid_ids=None`` ranks probes against the index's own sidecar
+    (the self-describing default ``search_ivf_index`` already has) —
+    required after an SQ8 ``recluster_flagged_cells`` re-center, whose
+    repaired centroids correspond to no corpus vec_ids."""
     from currency_etl_pipeline_spark.queries.vectors import quantize_int8
 
     # Zero-norm filter on the query side too (the build already excludes
@@ -206,7 +211,11 @@ def search_ivf_sq8_index(
     # — the same contract as ann_int8_rerank_topk, keeping the pinned
     # bit-equality honest on any corpus.
     v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
-    cents = _centroids(spark, sf_dir, centroid_ids)
+    cents = (
+        load_index_centroids(spark, index_path)
+        if centroid_ids is None
+        else _centroids(spark, sf_dir, centroid_ids)
+    )
     queries = v.filter(F.col("vec_id").isin(*query_ids))
     probes = (
         _ranked_cells(queries, cents)
@@ -868,7 +877,27 @@ def recluster_flagged_cells(
 
     Cost: |flagged cells| × (local 2-means + one partition rewrite) —
     the full-index KMeans never runs and unflagged partitions are never
-    read beyond the one-row-per-file listing. Float layout only.
+    read beyond the one-row-per-file listing.
+
+    **SQ8 layout (r9, VERDICT r8 task 6)**: flagged cells of an int8
+    index get the RE-CENTER repair only — sidecar-only, zero data
+    files touched: the stored centroid is replaced with the cell's
+    code-mean direction (the same L∞-normalized mean-direction proxy
+    the drift report measures against for SQ8 indexes, so the flagged
+    cell's drift collapses by construction; per-row scales cancel in
+    cosine, so a code mean is a valid cosine centroid). SPLIT stays
+    float-only on purpose: splitting needs members re-assigned between
+    two REFINED sub-centers, and int8 codes cannot be compared against
+    refined float centers — the per-vector max_abs/127 scale was
+    discarded at build time (deliberately: scales cancel inside
+    cosine for whole-vector comparisons, but re-assignment against
+    new centers ranks ACROSS centers where the dropped per-row
+    magnitude no longer cancels the k-means objective), and Spark ML's
+    KMeans objective over raw codes would cluster by code magnitude,
+    not direction. A bimodal SQ8 cell therefore still needs the full
+    ``recluster_ivf_index`` (which re-reads the float corpus); the
+    proportionate fix here keeps search healthy until that campaign.
+
     Returns {cid: "split:<new_cid>" | "recentered"}.
     """
     import os
@@ -882,8 +911,12 @@ def recluster_flagged_cells(
     cids = sorted({int(c) for c in cids})
     if not cids:
         return {}
-    if "dv" not in spark.read.parquet(index_path).columns:
-        raise ValueError("recluster_flagged_cells requires the float (dv) layout")
+    idx_cols = spark.read.parquet(index_path).columns
+    sq8 = "dv" not in idx_cols
+    if sq8 and "qv" not in idx_cols:
+        raise ValueError(
+            "recluster_flagged_cells requires the float (dv) or SQ8 (qv) layout"
+        )
     cent_rows = {
         r["cid"]: [float(x) for x in r["cv"]]
         for r in load_index_centroids(spark, index_path).collect()  # k rows
@@ -895,6 +928,22 @@ def recluster_flagged_cells(
     actions: dict[int, str] = {}
     for cid in cids:
         part_dir = f"{index_path}/cid={cid}"
+        if sq8:
+            # Sidecar-only repair: centroid := the cell's code-mean
+            # direction (what the drift metric compares against for
+            # SQ8). One bounded collect (1 row of d means), no data IO.
+            code_mean = [
+                float(x)
+                for x in cell_mean_vectors(
+                    spark.read.parquet(part_dir).select(
+                        F.lit(cid).alias("cid"), "qv"
+                    ),
+                    vec_col="qv",
+                ).collect()[0]["mv"]
+            ]
+            cent_rows[cid] = code_mean
+            actions[cid] = "recentered"
+            continue
         cell = spark.read.parquet(part_dir)  # (vec_id, label, dv)
         n = cell.count()
         read_files = {os.path.basename(f) for f in cell.inputFiles()}
@@ -982,6 +1031,15 @@ def recluster_flagged_cells(
     if spark.read.parquet(ctmp).count() != len(cent_rows):
         fs.delete(ctmp)
         raise RuntimeError("centroid sidecar rewrite count mismatch; sidecar untouched")
-    fs.delete(sidecar)
+    # Install via rename-aside, not delete-then-rename: a crash between
+    # a delete and the rename would leave the index with NO sidecar at
+    # all (every search fails until manual recovery — r9 ADVICE). With
+    # the aside, the worst crash window leaves the OLD sidecar at
+    # _centroids__old and the new one staged: recovery is "rename
+    # whichever exists back", never data loss.
+    old = sidecar + "__old"
+    fs.delete(old)  # clear any leftover from a previous crashed swap
+    fs.rename(sidecar, old)
     fs.rename(ctmp, sidecar)
+    fs.delete(old)
     return actions

@@ -54,10 +54,14 @@ class _PosixSidecarFS:
     """Sidecar IO on a plain mounted filesystem (the fast path)."""
 
     def read_text(self, path: str) -> str | None:
+        # Only ABSENCE maps to None — a real IO error (EACCES, EIO)
+        # must propagate, or a permission problem on _LATEST makes
+        # SnapshotStore.exists() report a populated store as empty
+        # (r9 ADVICE).
         try:
             with open(path) as fh:
                 return fh.read()
-        except OSError:
+        except (FileNotFoundError, NotADirectoryError, IsADirectoryError):
             return None
 
     def write_text(self, path: str, text: str) -> None:

@@ -1150,12 +1150,13 @@ def test_ivf_partial_recluster_repairs_only_flagged_cells(spark, sf_dir, tmp_pat
 
 def test_ivf_partial_recluster_guards(spark, sf_dir, tmp_path):
     """Input validation: unknown cid -> ValueError naming it; empty cid
-    list -> no-op {}; SQ8 layout -> ValueError (no floats to retrain)."""
+    list -> no-op {}; an index with neither dv nor qv -> ValueError
+    (r9: the SQ8 layout is no longer rejected — it gets the sidecar-only
+    re-center repair, test_ivf_sq8_partial_recluster_recenters)."""
     import pytest
 
     from currency_etl_pipeline_spark.sources.ann_index import (
         build_ivf_index,
-        build_ivf_sq8_index,
         recluster_flagged_cells,
     )
 
@@ -1165,7 +1166,81 @@ def test_ivf_partial_recluster_guards(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match=r"\[999\]"):
         recluster_flagged_cells(spark, idx, [999])
 
-    sq8 = str(tmp_path / "ivf_g_sq8")
-    build_ivf_sq8_index(spark, sf_dir, sq8, CENTROID_IDS)
-    with pytest.raises(ValueError, match="float"):
-        recluster_flagged_cells(spark, sq8, [0])
+    bogus = str(tmp_path / "ivf_g_bogus")
+    spark.createDataFrame([(1, 0)], "vec_id bigint, cid int").write.partitionBy(
+        "cid"
+    ).parquet(bogus)
+    with pytest.raises(ValueError, match="dv.*or SQ8"):
+        recluster_flagged_cells(spark, bogus, [0])
+
+
+def test_ivf_sq8_partial_recluster_recenters(spark, sf_dir, tmp_path):
+    """VERDICT r8 task 6: a flagged SQ8 cell gets the sidecar-only
+    re-center — the stored centroid becomes the cell's code-mean
+    direction, so the drift the SQ8 report measures (against exactly
+    that code mean) collapses to 0; NO data file anywhere in the index
+    is touched (byte-identical, including the flagged cell's own);
+    unflagged cells' drift is unchanged; and sidecar-probed search
+    still runs after the repair. Split is deliberately impossible on
+    codes (the per-row scale needed to re-assign against refined float
+    centers was discarded at build time) — a bimodal SQ8 cell escalates
+    to the full recluster_ivf_index."""
+    import hashlib
+    import os
+
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivf_sq8_index,
+        centroid_drift_report,
+        recluster_flagged_cells,
+        search_ivf_sq8_index,
+    )
+
+    idx = str(tmp_path / "ivf_sq8_rc")
+    build_ivf_sq8_index(spark, sf_dir, idx, CENTROID_IDS)
+
+    drift_before = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()
+    }
+    # Exemplar centroids are not code means, so build-time drift is
+    # nonzero — flag the worst cell (non-vacuous: assert it IS nonzero).
+    tcell = max(drift_before, key=lambda c: (drift_before[c], c))
+    assert drift_before[tcell] > 0.001, drift_before
+
+    def _data_hashes():
+        out = {}
+        for root, _dirs, files in os.walk(idx):
+            rel = os.path.relpath(root, idx)
+            if rel.startswith("_centroids"):
+                continue
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                with open(os.path.join(root, f), "rb") as fh:
+                    out[os.path.join(rel, f)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = _data_hashes()
+    actions = recluster_flagged_cells(spark, idx, [tcell])
+    assert actions == {tcell: "recentered"}
+    assert _data_hashes() == before, "SQ8 repair must be sidecar-only"
+
+    drift_after = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, idx).collect()
+    }
+    assert set(drift_after) == set(drift_before)
+    assert drift_after[tcell] == 0.0, drift_after  # centroid == code mean
+    for c in drift_before:
+        if c != tcell:
+            assert drift_after[c] == drift_before[c], c
+
+    # Search against the updated sidecar (centroid_ids=None — the r9
+    # default the float path already had) still returns k rows per
+    # query with exact re-ranked scores.
+    got = search_ivf_sq8_index(
+        spark, sf_dir, idx, QUERY_IDS, centroid_ids=None, nprobe=2, k=5
+    ).collect()
+    per_query: dict = {}
+    for r in got:
+        per_query.setdefault(r["query_id"], 0)
+        per_query[r["query_id"]] += 1
+    assert per_query == {q: 5 for q in QUERY_IDS}, per_query

@@ -167,15 +167,24 @@ def test_readme_oldest_adjudication_matches_registry():
     """r8 (VERDICT r7 task 8): README's catalog line also states the
     rotation's health metric — the oldest 'newest CORRECTNESS round'
     across the registry. Parsed and compared so it cannot drift the
-    way the counts did in r5/r6."""
+    way the counts did in r5/r6.
+
+    r9 (VERDICT r8 task 4): the line now names the round it describes
+    ("entering rN: rM") and the comparison computes the metric over
+    CORRECTNESS files ≤ N-1 only. The previous form ("entering this
+    round") raced the driver: its sweep lands a new CORRECTNESS file
+    AFTER the builder's final commit, so a line that was true when
+    committed was guaranteed stale at judging time whenever the sweep
+    advanced the minimum."""
     import re
     from pathlib import Path
 
     from currency_etl_pipeline_spark.queries.registry import oldest_adjudicated_round
 
     readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
-    m = re.search(r"oldest driver\s+adjudication entering this round: r(\d+)", readme)
+    m = re.search(r"oldest driver\s+adjudication entering r(\d+): r(\d+)", readme)
     assert m, "README oldest-adjudication line not found"
-    assert int(m.group(1)) == oldest_adjudicated_round(), (
+    entering, stated = int(m.group(1)), int(m.group(2))
+    assert stated == oldest_adjudicated_round(max_round=entering - 1), (
         "README oldest-adjudication round drifted from CORRECTNESS_r* state"
     )
