@@ -608,13 +608,27 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     side — stream length never accumulates. The oracle is the batch
     LEFT JOIN over the same predicate; watermark EVICTION (late rows
     actually dropped) is pinned separately in test_streaming.py.
+
+    Drive cost (VERDICT r8 task 8): the bench row used to be ~60%
+    protocol, not engine — each sentinel landed via a full Spark write
+    job (~5 s apiece) and the stream checkpointed 32 state-store
+    partitions per side per micro-batch. The sentinels are now written
+    driver-side with pyarrow (2 rows, milliseconds), and the query
+    starts under 8 shuffle/state partitions (set before ``start()``,
+    which is when Structured Streaming pins state partitioning into
+    the checkpoint, restored after ``stop()``) — results are
+    partitioning-invariant, only the per-batch store-commit overhead
+    changes; production sizes state partitions by rate, not by this
+    fixture.
     """
-    import glob as globmod
+    import datetime as dt
     import os
-    import shutil
     import tempfile
     import uuid
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.functions.scalars import ts_str
@@ -627,41 +641,35 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{zone}/events.parquet")
     probe = events_stream(spark, f"{sf_dir}/events.parquet")  # pins confs
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    import pyspark.sql.types as T
-
     ts_is_long = any(
         f.name == "ts" and isinstance(f.dataType, T.LongType) for f in raw_schema.fields
     )
     del probe
 
     def land_flush(i: int, ts_iso: str) -> None:
-        import datetime as dt
-
-        epoch_ns = int(
-            dt.datetime.fromisoformat(ts_iso + "+00:00").timestamp() * 1_000_000_000
+        # Driver-side pyarrow write — 2 rows don't need a Spark job.
+        # ts matches the fixture's physical type: int64 nanos when the
+        # raw schema reads long (nanosAsLong), else timestamp[us].
+        when = dt.datetime.fromisoformat(ts_iso + "+00:00")
+        epoch_ns = int(when.timestamp() * 1_000_000_000)
+        ts_arr = (
+            pa.array([epoch_ns, epoch_ns], type=pa.int64())
+            if ts_is_long
+            else pa.array([when, when], type=pa.timestamp("us", tz="UTC"))
         )
-        rows = [
-            (-1 - 2 * i, ts_iso, epoch_ns, -1, "click", 0.0, None),
-            (-2 - 2 * i, ts_iso, epoch_ns, -2, "purchase", 0.0, None),
-        ]
-        flush = spark.createDataFrame(
-            rows,
-            "event_id bigint, ts_s string, ts_n bigint, user_id bigint, "
-            "event_type string, value double, props string",
-        ).select(
-            *[
-                (
-                    (F.col("ts_n") if ts_is_long else F.to_timestamp("ts_s"))
-                    if f.name == "ts"
-                    else F.col(f.name).cast(f.dataType)
-                ).alias(f.name)
-                for f in raw_schema.fields
-            ]
-        )
-        stage = tempfile.mkdtemp(prefix="events_flush_stage_")
-        flush.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.copy(part, os.path.join(zone, f"flush_{i}.parquet"))
+        cols = {
+            "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], type=pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([-1, -2], type=pa.int64()),
+            "event_type": pa.array(["click", "purchase"], type=pa.string()),
+            "value": pa.array([0.0, 0.0], type=pa.float64()),
+            "props": pa.array([None, None], type=pa.string()),
+        }
+        table = pa.table([cols[f.name] for f in raw_schema.fields],
+                         names=[f.name for f in raw_schema.fields])
+        tmp = os.path.join(zone, f"_flush_{i}.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(zone, f"flush_{i}.parquet"))
 
     stream = events_stream(spark, zone, schema=raw_schema)
     clicks = (
@@ -696,9 +704,19 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         "purchase_value",
     )
     name = f"loj_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
+    # State partitioning is pinned into the checkpoint at start();
+    # scope it down for the drive (see docstring), restore after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()  # batch 0: the fixture
         land_flush(0, "2024-06-01 00:00:00")
