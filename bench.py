@@ -197,6 +197,8 @@ HEADLINE = [
     "twap_daily_value",
     "ohlc_daily_bars",
     "bigram_lift_topk",
+    "ewma_value_smoothing",
+    "rolling_volatility_close",
 ]
 
 

@@ -853,3 +853,199 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("close").alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# EWMA taps: alpha = 1/2 over the trailing _EWMA_K observations. The
+# weights 2^(K-1-k) are exact integers, so the whole weighted sum is
+# per-row BIGINT arithmetic — no float accumulation to reassociate.
+_EWMA_K = 8
+
+# Scale-6 quantization of one double (the TWAP/drift discipline at the
+# value's natural scale): exact DECIMAL intermediate, half-up in both
+# engines.
+_Q6_DUCK = "CAST(CAST({x} AS DECIMAL(19,6)) * 1000000 AS BIGINT)"
+
+
+@query(
+    "ewma_value_smoothing",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type, ts, "value",
+             {_Q6_DUCK.format(x='"value"')} AS xq
+      FROM events
+    ),
+    t AS (
+      SELECT event_id, event_type, ts, "value",
+             {" + ".join(
+                 f"coalesce(lag(xq, {k}) OVER w, 0) * {1 << (_EWMA_K - 1 - k)}"
+                 for k in range(_EWMA_K)
+             )} AS num,
+             least(row_number() OVER w, {_EWMA_K}) AS avail
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc, "value",
+           round(CAST(num AS DOUBLE)
+                 / (CAST({1 << _EWMA_K} - (1 << ({_EWMA_K} - avail)) AS DOUBLE)
+                    * 1000000.0), 6) AS ewma
+    FROM t
+    """,
+)
+def ewma_value_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per
+    event_type — the standard tick-noise smoother every rates chart
+    draws (alpha = 1/2, truncated to the trailing {_EWMA_K} = 8
+    observations; beyond 8 taps the residual weight is < 0.4% and the
+    truncation makes the recurrence a FIXED-ARITY expression instead
+    of an unboundable sequential scan).
+
+    Engine-exactness: the classic EWMA recurrence compounds float
+    error and a float pow(alpha, k) is not cross-libm identical — so
+    the weights are exact INTEGERS 2^(K-1-k) (alpha = 1/2 makes every
+    weight a power of two), each value is quantized once to scale-6
+    BIGINT (half-up DECIMAL cast, identical in both engines), and the
+    weighted sum is per-row integer arithmetic. The warm-up rows
+    normalize by the weights actually present (denominator
+    2^K − 2^(K−avail), also exact); ONE fixed-form double division +
+    6 dp round sits at the edge. |num| ≤ 2^8 × 1e6 × |value| ≪ 2^63.
+
+    Plan/scale: one window pass (8 lags + row_number share the same
+    (event_type)/(ts, event_id) window — ONE shuffle, one sort, all
+    lags evaluated in the same frame walk), then a map-only
+    projection. No joins, no state beyond the 8-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select("event_id", "event_type", "ts", "value", xq.alias("xq"))
+    num = None
+    for k in range(_EWMA_K):
+        term = F.coalesce(F.lag("xq", k).over(w), F.lit(0)) * F.lit(
+            1 << (_EWMA_K - 1 - k)
+        )
+        num = term if num is None else num + term
+    avail = F.least(F.row_number().over(w), F.lit(_EWMA_K))
+    t = q.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        num.alias("num"),
+        avail.alias("avail"),
+    )
+    denom = F.expr(f"{1 << _EWMA_K} - shiftleft(1, {_EWMA_K} - avail)")
+    return t.select(
+        "event_id",
+        "event_type",
+        ts_str("ts").alias("ts_utc"),
+        "value",
+        F.round(
+            F.col("num").cast("double") / (denom.cast("double") * F.lit(1_000_000.0)),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@query(
+    "rolling_volatility_close",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS tus,
+             {_Q6_DUCK.format(x='"value"')} AS xq
+      FROM events
+    ),
+    roll AS (
+      SELECT event_type, ts, event_id, day,
+             count(*) OVER w AS n,
+             sum(CAST(xq AS HUGEINT)) OVER w AS s1,
+             sum(CAST(xq AS HUGEINT) * xq) OVER w AS s2
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY tus
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    ),
+    closing AS (
+      SELECT event_type, day, n,
+             n * s2 - s1 * s1 AS num,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM roll
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_ticks,
+           round(sqrt(CAST(num AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000000.0),
+                 6) AS close_vol
+    FROM closing WHERE rn = 1
+    """,
+)
+def rolling_volatility_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closing trailing-24h volatility per (event_type, day): at each
+    day's last tick, the population stddev of ``value`` over the
+    trailing 24 hours (RANGE frame — time-bounded, not row-bounded, so
+    quiet and busy periods are measured over the same horizon). The
+    rolling risk metric a rates desk pairs with the OHLC bars.
+
+    Engine-exactness: values quantize once to scale-6 BIGINT; the
+    range frame accumulates exact integer partials (n, Σx, Σx² —
+    DuckDB sums in HUGEINT, Spark in DECIMAL(38,0), both exact and
+    order-free), the variance numerator n·Σx² − (Σx)² stays integer
+    (Cauchy-Schwarz keeps it ≥ 0), and the edge is one fixed-form
+    sqrt + division + 6 dp round (sqrt IS cross-libm identical,
+    unlike pow/log). Magnitudes: |xq| ≤ ~6e8 at the fixture's value
+    range → n·Σx² ≤ ~3e27, inside both DECIMAL(38,0) and int128.
+
+    Plan/scale: the range frame shuffles each row ONCE on event_type
+    (a sliding-window aggregate walks each partition's sort order in
+    one pass, state = the 24 h frame); the per-day argmax window
+    re-uses the same clustering (event_type ⊆ (event_type, day) — no
+    second exchange, one extra sort). Output is |keys| × |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("tus"),
+        xq.alias("xq"),
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("tus")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    roll = q.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "day",
+        F.count(F.lit(1)).over(wr).alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).over(wr).alias("s1"),
+        F.sum(
+            (F.col("xq").cast("decimal(19,0)") * F.col("xq").cast("decimal(19,0)"))
+        ).over(wr).alias("s2"),
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closing = roll.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "num"
+        ),
+        F.row_number().over(wd).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return closing.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_ticks"),
+        F.round(
+            F.sqrt(F.col("num").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1_000_000.0)),
+            6,
+        ).alias("close_vol"),
+    )
