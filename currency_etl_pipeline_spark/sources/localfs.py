@@ -70,6 +70,23 @@ class _PosixSidecarFS:
             fh.write(text)
         os.replace(tmp, path)  # atomic on POSIX
 
+    def create_exclusive(self, path: str, text: str = "") -> bool:
+        """Atomic create-if-absent (O_EXCL): True if THIS call created
+        the file, False if it already existed — the conditional-create
+        commit point for exactly-once protocols. POSIX open('x') is
+        atomic; the Hadoop twin maps to FileSystem.create(overwrite=
+        False), which GCS implements as an ifGenerationMatch=0
+        conditional insert (truly atomic) and HDFS/local as an atomic
+        namespace op. S3A cannot make this atomic without S3
+        conditional writes (If-None-Match, supported by recent
+        connectors) — there the single-writer contract carries it."""
+        try:
+            with open(path, "x") as fh:
+                fh.write(text)
+            return True
+        except FileExistsError:
+            return False
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
@@ -150,6 +167,26 @@ class _HadoopSidecarFS:
         finally:
             out.close()
         self._fc.rename(tmp, self._p(path), self._overwrite)
+
+    def create_exclusive(self, path: str, text: str = "") -> bool:
+        """Atomic create-if-absent: ``FileSystem.create(overwrite=
+        False)`` — FileAlreadyExistsException → False. HDFS/local make
+        this an atomic namespace op; the GCS connector maps it to an
+        ifGenerationMatch=0 conditional insert (the truly-atomic
+        object-store commit point the module docstring names); S3A
+        needs S3 conditional writes (recent connectors) or the
+        single-writer contract."""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._p(path)))
