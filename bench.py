@@ -199,6 +199,7 @@ HEADLINE = [
     "bigram_lift_topk",
     "ewma_value_smoothing",
     "rolling_volatility_close",
+    "media_audio_fp_near_dup",
 ]
 
 

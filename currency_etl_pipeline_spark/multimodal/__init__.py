@@ -7,6 +7,7 @@ from currency_etl_pipeline_spark.multimodal.codecs import (  # noqa: F401
 from currency_etl_pipeline_spark.multimodal.media import (  # noqa: F401
     MEDIA_META_SCHEMA,
     attach_media,
+    audio_fingerprint_assets,
     audio_window_rms,
     decode_image_stats,
     dhash_assets,

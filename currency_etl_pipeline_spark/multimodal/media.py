@@ -281,6 +281,73 @@ def dhash_assets(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "media", "meta").mapInPandas(_dhash, PHASH_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("s0", T.IntegerType()),
+        T.StructField("s1", T.IntegerType()),
+        T.StructField("s2", T.IntegerType()),
+        T.StructField("s3", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint_assets(assets: DataFrame, codec: str = "fake1") -> DataFrame:
+    """64-bit audio envelope fingerprint per asset, emitted as four
+    16-bit slices (s0..s3, MSB-first) — the AUDIO twin of dHash: the
+    payload's samples are cut into 65 equal-share segments
+    (boundaries (k·n)//65, the dHash grid rule), each segment's exact
+    integer energy sum is taken, and the 64 fingerprint bits are the
+    energy-gradient signs seg[k+1] > seg[k] — delta-coding the
+    loudness envelope, the FFT-free core of Chromaprint-style audio
+    fingerprints (gradients survive level shifts that absolute
+    energies don't). Slices instead of one packed long: bit 0 would be
+    the int64 sign bit, and the downstream banded join wants the 16-bit
+    slices anyway.
+
+    ``codec="fake1"`` reads unsigned 8-bit samples (the deterministic
+    oracle path — DuckDB replays the exact integer math from code
+    points); ``codec="wav"`` decodes real RIFF/WAVE PCM
+    (multimodal/codecs.decode_wav) through the identical envelope
+    math. Output is 4 ints + id per asset — the wide binary column
+    dies at this map stage, everything downstream is JVM codegen.
+    """
+    if codec == "wav":
+        from currency_etl_pipeline_spark.multimodal.codecs import decode_wav
+
+        def _samples(m):
+            return decode_wav(m)[0].astype(np.int64)
+
+    elif codec == "fake1":
+
+        def _samples(m):
+            return np.frombuffer(m, dtype=np.uint8).astype(np.int64)
+
+    else:
+        raise NotImplementedError(
+            f"codec {codec!r}: use 'fake1' (raw bytes) or 'wav' (stdlib "
+            "RIFF/WAVE PCM decoder, multimodal/codecs.py)"
+        )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("asset_id", "s0", "s1", "s2", "s3")}
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                raw = _samples(m)
+                n = len(raw)
+                bounds = [(k * n) // 65 for k in range(66)]
+                segs = [int(raw[bounds[k] : bounds[k + 1]].sum()) for k in range(65)]
+                bits = [1 if segs[k + 1] > segs[k] else 0 for k in range(64)]
+                out["asset_id"].append(aid)
+                for b in range(4):
+                    out[f"s{b}"].append(
+                        sum(bit << (15 - i) for i, bit in enumerate(bits[16 * b : 16 * b + 16]))
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(_fp, AUDIO_FP_SCHEMA)
+
+
 AUDIO_RMS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

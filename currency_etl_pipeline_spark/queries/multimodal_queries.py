@@ -162,6 +162,107 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_audio_fp_near_dup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_BYTES_DUCK} AS bytes, length(text) AS n FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, k,
+             coalesce(list_sum(bytes[(k * n) // 65 + 1 : ((k + 1) * n) // 65]), 0) AS e
+      FROM b CROSS JOIN generate_series(0, 64) AS g(k)
+    ),
+    bits AS (
+      SELECT doc_id, k - 1 AS i,
+             CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY k)
+                  THEN 1 ELSE 0 END AS bit
+      FROM seg QUALIFY k >= 1
+    ),
+    sl AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i // 16 = 0 THEN bit << (15 - i % 16) ELSE 0 END) AS INT) AS s0,
+             CAST(sum(CASE WHEN i // 16 = 1 THEN bit << (15 - i % 16) ELSE 0 END) AS INT) AS s1,
+             CAST(sum(CASE WHEN i // 16 = 2 THEN bit << (15 - i % 16) ELSE 0 END) AS INT) AS s2,
+             CAST(sum(CASE WHEN i // 16 = 3 THEN bit << (15 - i % 16) ELSE 0 END) AS INT) AS s3
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS asset_a, c.doc_id AS asset_b,
+           CAST(bit_count(xor(a.s0, c.s0)) + bit_count(xor(a.s1, c.s1))
+              + bit_count(xor(a.s2, c.s2)) + bit_count(xor(a.s3, c.s3)) AS INT) AS hamming
+    FROM sl a JOIN sl c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.s0, c.s0)) + bit_count(xor(a.s1, c.s1))
+        + bit_count(xor(a.s2, c.s2)) + bit_count(xor(a.s3, c.s3)) <= 2
+    """,
+)
+def media_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection — the AUDIO member of the dedup
+    family (text: MinHash/SimHash/Jaccard; embeddings: hyperplane LSH;
+    images: dHash; audio: THIS): a 64-bit energy-envelope gradient
+    fingerprint per asset (multimodal/media.audio_fingerprint_assets,
+    the FFT-free Chromaprint shape), candidates via the (band, 16-bit
+    slice) equi-join, Hamming ≤ 2 verified with codegen bit_count(XOR)
+    over the four slices. By pigeonhole any pair within Hamming 2 of
+    64 bits shares at least one of the 4 slices, so the banded join
+    loses nothing — which is also why the ORACLE can brute-force all
+    pairs (O(n²) is fine for DuckDB at sf0.01) while the Spark plan
+    stays linear: the engine and the oracle take different routes to
+    the provably-identical answer. Unlike the image twin (whose
+    geometry makes organic near-dups impossible, so it plants them),
+    the envelope fingerprint has ORGANIC collisions in the fixture
+    corpus (33 pairs at sf0.01) — the gate is exercised both ways on
+    real data with no grafting.
+
+    Plan/scale: fingerprints are computed ONCE (localCheckpoint — both
+    self-join sides read the 20-byte/asset table, not the decoded
+    corpus), bands explode 4× that, the equi-join fans out by bucket
+    collision only (max bucket 109 at sf0.1). Linear, never all-pairs.
+    """
+    from currency_etl_pipeline_spark.multimodal import audio_fingerprint_assets
+
+    fps = audio_fingerprint_assets(_assets(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = fps.select(
+        "asset_id",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"s{k}").alias("slice"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "asset_id", "s0", "s1", "s2", "s3",
+        F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(4)],
+        "band",
+        "slice",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(4)],
+        "band",
+        "slice",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+    )
+
+
 @query("media_audio_rms", oracle=None)  # binary→windows; exact sum_sq pinned in tests
 def media_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio RMS over FAKE1 PCM payloads (64-sample windows,

@@ -248,3 +248,47 @@ def test_audio_window_rms_wav_codec(spark):
     assert [r["sum_sq"] for r in rows] == expect
     with pytest.raises(NotImplementedError, match="wav"):
         audio_window_rms(assets, codec="flac").collect()
+
+
+def test_audio_fingerprint_exact_reference(assets):
+    """The envelope fingerprint's four 16-bit slices must equal an
+    independent pure-Python computation (65 equal-share segment sums,
+    64 gradient-sign bits, MSB-first) — exact integers, and the WAV
+    codec path must produce the identical fingerprint for the same
+    samples (the envelope math is codec-independent)."""
+    from currency_etl_pipeline_spark.multimodal import audio_fingerprint_assets
+    from currency_etl_pipeline_spark.multimodal.codecs import encode_wav
+
+    got = {r["asset_id"]: r for r in audio_fingerprint_assets(assets).collect()}
+    for i, t in TEXTS:
+        raw = list(t.encode())
+        n = len(raw)
+        bounds = [(k * n) // 65 for k in range(66)]
+        segs = [sum(raw[bounds[k] : bounds[k + 1]]) for k in range(65)]
+        bits = [1 if segs[k + 1] > segs[k] else 0 for k in range(64)]
+        expect = [
+            sum(bit << (15 - j) for j, bit in enumerate(bits[16 * b : 16 * b + 16]))
+            for b in range(4)
+        ]
+        assert [got[i][f"s{b}"] for b in range(4)] == expect, f"asset {i}"
+
+    spark = assets.sparkSession
+    wav_assets = spark.createDataFrame(
+        [
+            {
+                "asset_id": i,
+                "media": bytearray(
+                    encode_wav(np.array(list(t.encode()), dtype=np.uint8), sampwidth=1)
+                ),
+            }
+            for i, t in TEXTS
+        ]
+    )
+    wav = {
+        r["asset_id"]: r
+        for r in audio_fingerprint_assets(wav_assets, codec="wav").collect()
+    }
+    for i, _t in TEXTS:
+        assert [wav[i][f"s{b}"] for b in range(4)] == [
+            got[i][f"s{b}"] for b in range(4)
+        ], f"asset {i}: wav-decoded fingerprint diverged from fake1"
