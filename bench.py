@@ -200,6 +200,7 @@ HEADLINE = [
     "ewma_value_smoothing",
     "rolling_volatility_close",
     "media_audio_fp_near_dup",
+    "max_drawdown_daily",
 ]
 
 

@@ -1049,3 +1049,64 @@ def rolling_volatility_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("close_vol"),
     )
+
+
+@query(
+    "max_drawdown_daily",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, "value",
+             max("value") OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS run_max
+      FROM events WHERE "value" > 0
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           round(max((run_max - "value") / run_max), 6) AS max_drawdown,
+           max(run_max) AS peak
+    FROM t GROUP BY event_type, day
+    """,
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum intraday drawdown per (event_type, day): the largest
+    peak-to-trough relative drop, where the peak is the running maximum
+    in tick order — THE risk statistic a rates desk reads next to the
+    OHLC bars and the rolling volatility (a series can be low-variance
+    yet carry a deep drawdown, and vice versa). Zero/negative values
+    are excluded up front (a 0 peak makes the ratio undefined; the
+    fixture has value > 0 except a handful of exact zeros).
+
+    Engine-exactness without any quantization: the running max is a
+    RAW input double (no arithmetic — max just selects), each
+    drawdown is ONE per-row IEEE division (deterministic bit-for-bit),
+    and the final MAX over those doubles is order-free. Only the 6 dp
+    round at the edge touches formatting. This is the no-arithmetic
+    discipline of ohlc_daily_bars extended through a division.
+
+    Plan/scale: one window pass over (event_type, day) in tick order +
+    the aligned hash aggregate — the exact single-shuffle shape of the
+    TWAP/OHLC twins (the groupBy keys equal the window partition keys,
+    so AQE plans no second exchange). Output |keys| × |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    day = F.to_date("ts")
+    w = (
+        Window.partitionBy("event_type", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = ev.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.max("value").over(w).alias("run_max"),
+    )
+    return t.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(
+            F.max((F.col("run_max") - F.col("value")) / F.col("run_max")), 6
+        ).alias("max_drawdown"),
+        F.max("run_max").alias("peak"),
+    )

@@ -55,6 +55,13 @@ def merge_into_available(spark: SparkSession) -> bool:
     return "DeltaSparkSessionExtension" in ext
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A compare-and-set ``SnapshotStore.commit(expect_version=...)``
+    lost the race: another writer advanced the store (or claimed the
+    target slot) since the caller read ``version()``. Nothing was
+    written; re-read the live snapshot, re-derive, retry."""
+
+
 class SnapshotStore:
     """Versioned parquet snapshot with an atomic latest-pointer.
 
@@ -110,12 +117,42 @@ class SnapshotStore:
         names = self._fs.list_names(self.base)
         return [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
 
-    def commit(self, snap: DataFrame, tag: str | None = None) -> None:
-        """``tag`` (optional) is an opaque marker written INSIDE the new
+    def commit(
+        self,
+        snap: DataFrame,
+        tag: str | None = None,
+        expect_version: int | None = None,
+    ) -> int:
+        """Commit a new version; returns its number.
+
+        ``tag`` (optional) is an opaque marker written INSIDE the new
         version dir before the pointer flip, so it becomes visible
         atomically with the data it describes — used by streaming
         writers to record the micro-batch epoch a version came from
-        (see ``latest_tag`` and ``stream_rollup_snapshot``)."""
+        (see ``latest_tag`` and ``stream_rollup_snapshot``).
+
+        ``expect_version`` (optional) turns the commit into a
+        COMPARE-AND-SET — the multi-writer upgrade localfs.py's caveat
+        section promised (r9): the commit succeeds only if it installs
+        exactly ``expect_version + 1``, i.e. only if no other writer
+        advanced the store since the caller read ``version()``. The
+        linearization point is a conditional-create CLAIM marker
+        (``_claims/v<n>``, ``sidecar_fs.create_exclusive`` — POSIX
+        O_EXCL, HDFS atomic create, GCS ifGenerationMatch=0), created
+        BEFORE the data write so exactly one writer ever owns a slot;
+        losing the race (or finding the store already past
+        ``expect_version``) raises :class:`ConcurrentCommitError`
+        WITHOUT writing data, and the caller retries by re-reading the
+        live snapshot and re-deriving its update. Default
+        (``expect_version=None``) keeps the documented single-writer
+        behavior, which never consults claims. Crash window, stated
+        honestly: a CAS writer that dies between claim and flip leaves
+        a claim that makes later CAS attempts at that slot conflict
+        until a plain commit advances past it (or ops deletes the
+        claim) — storage-only coordination cannot distinguish a
+        crashed claimant from a slow one without leases; a table
+        format's transaction log is the upgrade path beyond that.
+        """
         latest = self._latest()
         pointed = int(latest[1:]) if latest else 0
         # Next version = max(pointer, every v* dir on disk) + 1, so a crash
@@ -124,6 +161,21 @@ class SnapshotStore:
         # the orphan is skipped over and swept by _prune after the flip.
         n = max([pointed, *self._versions_on_disk()])
         version = f"v{n + 1:08d}"
+        if expect_version is not None:
+            if pointed != expect_version or n != expect_version:
+                raise ConcurrentCommitError(
+                    f"expected to commit over v{expect_version:08d} but the "
+                    f"store is at pointer v{pointed:08d} / max dir v{n:08d} "
+                    f"under {self.base}; re-read and retry"
+                )
+            self._fs.mkdirs(os.path.join(self.base, "_claims"))
+            if not self._fs.create_exclusive(
+                os.path.join(self.base, "_claims", version)
+            ):
+                raise ConcurrentCommitError(
+                    f"another writer claimed {version} under {self.base}; "
+                    "re-read and retry"
+                )
         # The one data write; may lazily read the old version dir.
         snap.write.mode("error").parquet(os.path.join(self.base, version))
         if tag is not None:
@@ -132,6 +184,7 @@ class SnapshotStore:
         # on Hadoop filesystems (sidecar_fs dispatches on the path).
         self._fs.write_text(self._pointer_path(), version)
         self._prune(n + 1)
+        return n + 1
 
     def version(self) -> int | None:
         """The live version number (None before the first commit)."""
@@ -176,10 +229,15 @@ class SnapshotStore:
 
     def _prune(self, live: int) -> None:
         """Drop versions older than the retained window (prune AFTER the
-        pointer flip so no reader can still resolve to them)."""
+        pointer flip so no reader can still resolve to them), plus the
+        CAS claim markers of pruned versions (a claim only coordinates
+        its own slot; once the slot is behind the window it's inert)."""
         for name in self._fs.list_names(self.base):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - self.retain:
                 self._fs.delete(os.path.join(self.base, name))
+        for name in self._fs.list_names(os.path.join(self.base, "_claims")):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - self.retain:
+                self._fs.delete(os.path.join(self.base, "_claims", name))
 
     def rollback(self, version: int) -> None:
         """Flip the pointer back to a retained version (recovery after a

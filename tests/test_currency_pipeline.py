@@ -1133,3 +1133,62 @@ def test_last_epoch_marker_on_hadoop_file_scheme(spark, tmp_path):
     assert last() == 3
     record(7)
     assert last() == 7
+
+
+def test_snapshot_store_cas_commit(spark, tmp_path):
+    """r9 (localfs caveat -> feature): commit(expect_version=N) is a
+    compare-and-set — it installs exactly N+1 or raises
+    ConcurrentCommitError having written NOTHING. Covers: happy path,
+    stale expectation after an interleaved commit (the lost-update
+    scenario the caveat describes), a pre-claimed slot, retry-after-
+    re-read convergence, and the Hadoop file:// branch."""
+    import pytest
+
+    from currency_etl_pipeline_spark.sources.warehouse import (
+        ConcurrentCommitError,
+        SnapshotStore,
+    )
+
+    def snap(v):
+        return spark.createDataFrame([(1, v)], "k int, x int")
+
+    store = SnapshotStore(spark, str(tmp_path / "cas"), retain=4)
+    assert store.commit(snap(1)) == 1
+    # Happy path: CAS over the version the writer read.
+    assert store.commit(snap(2), expect_version=1) == 2
+    assert [r["x"] for r in store.read().collect()] == [2]
+
+    # Lost-update protection: writer A read v2; writer B commits v3;
+    # A's CAS must fail without writing, and v3 must stay live.
+    store.commit(snap(3))  # writer B (plain commit)
+    with pytest.raises(ConcurrentCommitError, match="re-read and retry"):
+        store.commit(snap(99), expect_version=2)
+    assert store.version() == 3
+    assert [r["x"] for r in store.read().collect()] == [3]
+    # Retry after re-read converges.
+    assert store.commit(snap(4), expect_version=store.version()) == 4
+
+    # Pre-claimed slot: simulate a racing claimant that grabbed v5.
+    claims = tmp_path / "cas" / "_claims"
+    (claims / "v00000005").write_text("")
+    with pytest.raises(ConcurrentCommitError, match="claimed"):
+        store.commit(snap(5), expect_version=4)
+    # A plain (single-writer) commit does not consult claims and
+    # advances past the stale one — the documented recovery.
+    assert store.commit(snap(5)) == 5
+    assert store.commit(snap(6), expect_version=5) == 6
+
+    # Claim markers of pruned versions are swept with the versions.
+    for v in range(7, 11):
+        store.commit(snap(v), expect_version=v - 1)
+    leftover = sorted(p.name for p in claims.iterdir())
+    assert all(int(n[1:]) > store.version() - store.retain for n in leftover), leftover
+
+    # Hadoop file:// branch: same semantics through the JVM FS.
+    h = SnapshotStore(spark, f"file://{tmp_path}/cas_h", retain=4)
+    assert h.commit(snap(1)) == 1
+    assert h.commit(snap(2), expect_version=1) == 2
+    h.commit(snap(3))
+    with pytest.raises(ConcurrentCommitError):
+        h.commit(snap(9), expect_version=2)
+    assert h.version() == 3
