@@ -201,6 +201,7 @@ HEADLINE = [
     "rolling_volatility_close",
     "media_audio_fp_near_dup",
     "max_drawdown_daily",
+    "pq_ann_topk",
 ]
 
 

@@ -638,6 +638,9 @@ def _registered_oracle(name: str) -> str:
       UNION ALL
       SELECT 'lsh4' AS method, query_id, vec_id
       FROM ({_registered_oracle("ann_lsh_multitable_topk")})
+      UNION ALL
+      SELECT 'pq' AS method, query_id, vec_id
+      FROM ({_registered_oracle("pq_ann_topk")})
     ),
     hits AS (
       SELECT r.method, r.query_id,
@@ -649,7 +652,7 @@ def _registered_oracle(name: str) -> str:
     ),
     scaffold AS (
       SELECT m.method, CAST(q.query_id AS BIGINT) AS query_id
-      FROM (SELECT unnest(['ivf', 'lsh', 'lsh4']) AS method) m
+      FROM (SELECT unnest(['ivf', 'lsh', 'lsh4', 'pq']) AS method) m
       CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
     )
     SELECT s.method, s.query_id,
@@ -681,6 +684,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_lsh_multitable_topk,
         ann_lsh_topk,
         cosine_topk_bruteforce,
+        pq_ann_topk,
     )
 
     exact5 = top_k_per_group(
@@ -704,6 +708,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
             .withColumn("method", F.lit("lsh4"))
         )
+        .unionByName(
+            # r9: PQ/ADC graded too. It ranks by quantized squared-L2,
+            # so its recall against the COSINE top-5 also measures the
+            # metric mismatch on non-normalized embeddings — exactly
+            # the kind of fact this report exists to surface before
+            # anyone serves with it (the fix, if needed, is
+            # embedding_l2_normalize upstream, which makes L2 and
+            # cosine rankings coincide).
+            pq_ann_topk(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("method", F.lit("pq"))
+        )
     )
     agg = (
         res.join(exact5, ["query_id", "vec_id"], "left")
@@ -714,7 +730,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scaffold = spark.createDataFrame(
-        [(m, q) for m in ("ivf", "lsh", "lsh4") for q in _IVF_QUERY_IDS],
+        [(m, q) for m in ("ivf", "lsh", "lsh4", "pq") for q in _IVF_QUERY_IDS],
         "method string, query_id bigint",
     )
     return scaffold.join(agg, ["method", "query_id"], "left").select(

@@ -768,3 +768,149 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("recluster", F.col("drift_e6") > F.lit(_DRIFT_THRESHOLD_E6))
     )
+
+
+# Product quantization geometry: M=8 subspaces x 8 dims over the 64-dim
+# embeddings; K=16 codewords per subspace taken from fixed corpus
+# exemplars (vec_ids 40..55 -> code_idx 0..15), the same
+# deterministic-quantizer device as the IVF family's exemplar centroids
+# — which is what makes the whole PQ pipeline oracle-expressible.
+_PQ_CB_LO, _PQ_K, _PQ_M, _PQ_DSUB = 40, 16, 8, 8
+
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    sub AS (
+      SELECT vec_id, label, s.s,
+             list_transform(dv[{_PQ_DSUB} * s.s + 1 : {_PQ_DSUB} * s.s + {_PQ_DSUB}],
+                            x -> {_Q9_DUCK.format(x="x")}) AS sv
+      FROM v CROSS JOIN generate_series(0, {_PQ_M - 1}) AS s(s)
+    ),
+    cb AS (
+      SELECT vec_id - {_PQ_CB_LO} AS code_idx, s, sv AS cv
+      FROM sub WHERE vec_id BETWEEN {_PQ_CB_LO} AND {_PQ_CB_LO + _PQ_K - 1}
+    ),
+    encd AS (
+      -- exact integer squared-L2 of every (vector, subspace, codeword)
+      SELECT t.vec_id, t.label, t.s, c.code_idx,
+             sum(CAST(t.sv[d.d] - c.cv[d.d] AS HUGEINT)
+                 * (t.sv[d.d] - c.cv[d.d])) AS dist
+      FROM sub t JOIN cb c ON t.s = c.s
+      CROSS JOIN generate_series(1, {_PQ_DSUB}) AS d(d)
+      GROUP BY t.vec_id, t.label, t.s, c.code_idx
+    ),
+    codes AS (
+      SELECT vec_id, label, s, code_idx FROM encd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist ASC, code_idx ASC) = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, s, code_idx, dist
+      FROM encd WHERE vec_id IN (0, 1, 2)
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id, max(c.label) AS label, sum(q.dist) AS score
+      FROM codes c JOIN qtab q ON c.s = q.s AND c.code_idx = q.code_idx
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, label, rank,
+           CAST(score // 1000000 AS BIGINT) AS score_micro
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score ASC, vec_id ASC) AS rank
+          FROM adc)
+    WHERE rank <= 10
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) search —
+    the memory-scaling member of the ANN family (brute force: exact;
+    LSH/multitable: hash buckets; IVF/IVF_SQ8: partition pruning; PQ:
+    8 code BYTES per vector regardless of dimensionality, the FAISS
+    `PQ8` shape). Encode: each vector's 8 subspaces snap to the nearest
+    of 16 codeword sub-vectors (squared L2, code_idx tie-break). Search
+    (ADC): the query precomputes its 8×16 distance table; a candidate's
+    score is the sum of 8 TABLE LOOKUPS — no vector math per candidate,
+    which is the entire point of PQ at serving time.
+
+    Engine-exactness makes even this fully hash-checkable (the other
+    approximate indexes pin recall; PQ pins the exact answer): both
+    sides quantize to scale-9 integers, every codeword distance is an
+    exact integer HUGEINT/DECIMAL(38,0) sum, encoding and top-k rank on
+    (integer, id) tie-broken orders, and the output score is the exact
+    integer DIV 1e6 (fits BIGINT). The codebook reuses the exemplar-
+    quantizer device of the IVF family (fixed corpus vec_ids), so the
+    oracle derives the identical codebook from the same relation.
+
+    Plan/scale: ONE full corpus scan (the codebook and query slices are
+    pushed-down point reads of 16 + 3 ids); encoding is a broadcast
+    fanout (8 subspaces × 16 codewords per row, map-side); ADC joins
+    the 8-row-per-vector code table against a 384-row broadcast and
+    hash-aggregates on (query, vec) — at 100 TB the shuffled width is
+    8 small ints per vector, never the vectors. Recall lever: K and M
+    (a trained codebook replaces the exemplars exactly as
+    ivf_ann_topk_trained does for IVF).
+    """
+    from pyspark.sql import Window
+
+    from currency_etl_pipeline_spark.sources.ann_index import quantize_vec9
+
+    v = _vecs(spark, sf_dir)
+    base = v.select("vec_id", "label", quantize_vec9(F.col("v")).alias("q9"))
+    sub = base.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q9", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sp"),
+    ).select("vec_id", "label", F.col("sp.s").alias("s"), F.col("sp.sv").alias("sv"))
+    cb = sub.filter(
+        F.col("vec_id").between(_PQ_CB_LO, _PQ_CB_LO + _PQ_K - 1)
+    ).select((F.col("vec_id") - _PQ_CB_LO).alias("code_idx"), "s", F.col("sv").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b).cast("decimal(38,0)") * (a - b)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    encd = sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "label", "s", "code_idx", dist.alias("dist")
+    )
+    wenc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("code_idx").asc()
+    )
+    codes = (
+        encd.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "s", "code_idx")
+    )
+    qtab = encd.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "s", "code_idx", "dist"
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code_idx"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("label").alias("label"), F.sum("dist").alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "rank",
+            F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+        )
+    )
