@@ -7,17 +7,19 @@ streams don't need them — PNG is zlib-compressed filtered scanlines
 stdlib. So instead of a probe that stays dead in this environment, the
 engine carries REAL codecs:
 
-- :func:`decode_png` / :func:`encode_png` — 8-bit non-interlaced
-  grayscale / RGB / RGBA, all five scanline filters (None, Sub, Up,
-  Average, Paeth) on decode, filter-0 on encode. Output of any
-  standard encoder at these geometry/bit-depth settings decodes here;
-  bytes produced here open in any image viewer.
+- :func:`decode_png` / :func:`encode_png` — 8-bit AND 16-bit (r9)
+  grayscale / RGB / RGBA, non-interlaced AND Adam7-interlaced (r9),
+  all five scanline filters (None, Sub, Up, Average, Paeth) on decode,
+  filter-0 on encode. Output of any standard encoder at these
+  geometry/bit-depth settings decodes here; bytes produced here open
+  in any image viewer.
 - :func:`decode_wav` / :func:`encode_wav` — 8-bit unsigned / 16-bit
   signed PCM via the stdlib ``wave`` module.
 
 Pillow remains an optional upgrade for the formats this module does
-not cover (JPEG, interlaced/16-bit PNG): ``media.decode_image_stats``
-probes it at import and routes unknown codecs there when present
+not cover (JPEG — a DCT entropy codec is genuinely out of stdlib
+scope; palette/1-2-4-bit PNG): ``media.decode_image_stats`` probes it
+at import and routes its named formats there when present
 (probe-and-document, the protobuf discipline).
 
 Scale note: these run INSIDE mapInPandas batches (multimodal/media.py)
@@ -33,8 +35,19 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only)
+# color type -> samples per pixel (depths 8 and 16)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+# Adam7 pass grids: (y_start, y_step, x_start, x_step) per RFC 2083
+_ADAM7 = [
+    (0, 8, 0, 8),
+    (0, 8, 4, 8),
+    (4, 8, 0, 4),
+    (0, 4, 2, 4),
+    (2, 4, 0, 2),
+    (0, 2, 1, 2),
+    (1, 2, 0, 1),
+]
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -46,15 +59,39 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(H, W) or (H, W, {1,3,4}) uint8 array → PNG bytes (filter 0)."""
-    arr = np.asarray(img, dtype=np.uint8)
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) array → PNG bytes (filter 0 on every
+    scanline). dtype uint8 → 8-bit depth, uint16 → 16-bit (big-endian
+    samples, per spec). ``interlace=True`` writes Adam7: the seven
+    passes' sub-images are filtered independently, exactly the stream
+    shape :func:`decode_png` deinterlaces."""
+    arr = np.asarray(img)
+    if arr.dtype == np.uint16:
+        depth = 16
+    else:
+        arr = arr.astype(np.uint8)
+        depth = 8
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
+
+    def lines(sub: np.ndarray) -> bytes:
+        if depth == 16:
+            payload = sub.astype(">u2")
+        else:
+            payload = sub
+        return b"".join(b"\x00" + payload[y].tobytes() for y in range(sub.shape[0]))
+
+    if not interlace:
+        raw = lines(arr)
+    else:
+        raw = b""
+        for y0, ystep, x0, xstep in _ADAM7:
+            sub = arr[y0::ystep, x0::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += lines(sub)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -63,9 +100,63 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int) -> tuple[np.ndarray, int]:
+    """Reverse PNG scanline filters for one (sub-)image of ``h`` rows of
+    ``stride`` bytes each, starting at byte ``off`` in ``raw``. ``bpp``
+    is the filter's byte distance to "the pixel to the left" (bytes per
+    pixel — filters operate on BYTES at any depth, RFC 2083 §6).
+    Returns the (h, stride) byte array and the new offset."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        off += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out, off
+
+
+def _to_samples(rows: np.ndarray, h: int, w: int, c: int, depth: int) -> np.ndarray:
+    if depth == 16:
+        return (
+            np.frombuffer(rows.tobytes(), dtype=">u2")
+            .reshape(h, w, c)
+            .astype(np.uint16)
+        )
+    return rows.reshape(h, w, c)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8 array. 8-bit depth, color types
-    0/2/6, non-interlaced; all five scanline filters reversed."""
+    """PNG bytes → (H, W, C) array (uint8 for 8-bit depth, uint16 for
+    16-bit). Color types 0/2/6, non-interlaced or Adam7; all five
+    scanline filters reversed. Palette / sub-byte depths route through
+    Pillow (the documented swap point)."""
     if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG byte stream (bad signature)")
     pos, ihdr, idat = 8, None, []
@@ -84,52 +175,42 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if depth not in (8, 16) or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color_type={color_type}, "
-            f"interlace={interlace}); this codec does 8-bit 0/2/6 "
-            "non-interlaced — route through Pillow for the rest"
+            f"interlace={interlace}); this codec does 8/16-bit 0/2/6 "
+            "none/Adam7 — route through Pillow for palette/sub-byte depths"
         )
     c = _PNG_CHANNELS[color_type]
+    sbytes = depth // 8
+    bpp = c * sbytes
     raw = zlib.decompress(b"".join(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length does not match geometry")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for i in range(c, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - c])) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
-            for i in range(stride):
-                left = int(cur[i - c]) if i >= c else 0
-                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for i in range(stride):
-                left = int(cur[i - c]) if i >= c else 0
-                up = int(prev[i])
-                ul = int(prev[i - c]) if i >= c else 0
-                p = left + up - ul
-                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = cur
-        prev = cur
-    return out.reshape(h, w, c)
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length does not match geometry")
+        rows, _ = _unfilter(raw, 0, h, stride, bpp)
+        return _to_samples(rows, h, w, c, depth)
+
+    # Adam7: seven independently-filtered sub-images, scattered back
+    # onto the full grid.
+    if depth == 16:
+        out = np.zeros((h, w, c), dtype=np.uint16)
+    else:
+        out = np.zeros((h, w, c), dtype=np.uint8)
+    off = 0
+    for y0, ystep, x0, xstep in _ADAM7:
+        sub_h = len(range(y0, h, ystep))
+        sub_w = len(range(x0, w, xstep))
+        if sub_h == 0 or sub_w == 0:
+            continue
+        stride = sub_w * bpp
+        rows, off = _unfilter(raw, off, sub_h, stride, bpp)
+        out[y0::ystep, x0::xstep] = _to_samples(rows, sub_h, sub_w, c, depth)
+    if off != len(raw):
+        raise ValueError("PNG Adam7 stream length does not match geometry")
+    return out
 
 
 def encode_wav(samples: np.ndarray, framerate: int = 8000, sampwidth: int = 1) -> bytes:

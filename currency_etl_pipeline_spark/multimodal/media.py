@@ -105,8 +105,9 @@ def decode_image_stats(assets: DataFrame, codec: str = "fake1") -> DataFrame:
       ``np.frombuffer``, zero-copy out of the Arrow batch. The
       deterministic oracle path.
     - ``png``: REAL PNG decode (multimodal/codecs.py — stdlib zlib,
-      8-bit gray/RGB/RGBA, all scanline filters); stats over the
-      decoded PIXEL SAMPLES (n_bytes = decoded sample count).
+      8/16-bit gray/RGB/RGBA, non-interlaced or Adam7, all scanline
+      filters); stats over the decoded PIXEL SAMPLES (n_bytes =
+      decoded sample count).
     - a NAMED Pillow format (``jpeg``, ``bmp``, ``gif``, ``webp``,
       ``tiff``): Pillow when importable, else a loud
       NotImplementedError naming the swap point (probe-and-document).
