@@ -303,6 +303,19 @@ def append_ivf_index(
     still work, and the corruption only surfaces when a maintenance
     rewrite (split/compact/RTBF) materializes it (r8 hardening).
     """
+    assigned = _assigned_append_batch(spark, index_path, vectors, sq8)
+    assigned.write.mode("append").partitionBy("cid").parquet(index_path)
+
+
+def _assigned_append_batch(
+    spark: SparkSession, index_path: str, vectors: DataFrame, sq8: bool | None = None
+) -> DataFrame:
+    """Validate + layout-detect + assign one append batch against the
+    index's frozen sidecar quantizer(s); shared by the plain and the
+    exactly-once appends. Layouts: float (dv), SQ8 (qv), IVF-PQ
+    (codes — r9: assigns cells via the centroid sidecar and encodes
+    against the ``_pq_codebook`` sidecar, so streaming appends work on
+    PQ indexes too)."""
     idx_schema = {f.name: f.dataType for f in spark.read.parquet(index_path).schema}
     batch_schema = {f.name: f.dataType for f in vectors.schema}
     for col in ("vec_id", "label"):
@@ -313,6 +326,23 @@ def append_ivf_index(
                 f"{batch_schema[col].simpleString()}; parquet appends don't "
                 "unify types and the cell would be unreadable to rewrites"
             )
+    cents = load_index_centroids(spark, index_path)
+    if "codes" in idx_schema:
+        if sq8:
+            raise ValueError(
+                f"append layout mismatch: index at {index_path} is IVF-PQ "
+                "(codes) but caller requested sq8=True"
+            )
+        cb_rows = [
+            (int(r["s"]), int(r["code_idx"]), [int(x) for x in r["cw"]])
+            for r in spark.read.parquet(_pq_codebook_sidecar(index_path)).collect()
+        ]
+        return (
+            _ranked_cells(vectors, cents)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", quantize_vec9(F.col("v")).alias("q9"), "cid")
+            .select("vec_id", "label", _pq_encode_codes(cb_rows).alias("codes"), "cid")
+        )
     existing_sq8 = "qv" in idx_schema
     if sq8 is None:
         sq8 = existing_sq8
@@ -322,7 +352,6 @@ def append_ivf_index(
             f"{'SQ8 (qv)' if existing_sq8 else 'float (dv)'} but caller "
             f"requested sq8={sq8}; a mixed-schema append would null-pad reads"
         )
-    cents = load_index_centroids(spark, index_path)
     if sq8:
         from currency_etl_pipeline_spark.queries.vectors import quantize_int8
 
@@ -335,8 +364,7 @@ def append_ivf_index(
         ]
     else:
         cols = ["vec_id", "label", F.col("v").alias("dv"), "cid"]
-    assigned = _ranked_cells(vectors, cents).filter(F.col("rn") == 1).select(*cols)
-    assigned.write.mode("append").partitionBy("cid").parquet(index_path)
+    return _ranked_cells(vectors, cents).filter(F.col("rn") == 1).select(*cols)
 
 
 def append_ivf_index_exactly_once(
@@ -400,32 +428,9 @@ def append_ivf_index_exactly_once(
                 if f.startswith(prefix):
                     fs.delete(f"{index_path}/{d}/{f}")
     stage = f"{index_path}/_stage_{token}"
-    # Reuse the validated append for the assignment semantics by
-    # staging through it: stage dir gets the same layout/columns.
-    idx_schema = {f.name: f.dataType for f in spark.read.parquet(index_path).schema}
-    batch_schema = {f.name: f.dataType for f in vectors.schema}
-    for col in ("vec_id", "label"):
-        if col in idx_schema and col in batch_schema and idx_schema[col] != batch_schema[col]:
-            raise ValueError(
-                f"append schema mismatch: index column {col!r} is "
-                f"{idx_schema[col].simpleString()} but the batch carries "
-                f"{batch_schema[col].simpleString()}"
-            )
-    sq8 = "qv" in idx_schema
-    cents = load_index_centroids(spark, index_path)
-    if sq8:
-        from currency_etl_pipeline_spark.queries.vectors import quantize_int8
-
-        vectors = vectors.filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
-        cols = [
-            "vec_id",
-            "label",
-            quantize_int8(F.col("v")).cast("array<tinyint>").alias("qv"),
-            "cid",
-        ]
-    else:
-        cols = ["vec_id", "label", F.col("v").alias("dv"), "cid"]
-    assigned = _ranked_cells(vectors, cents).filter(F.col("rn") == 1).select(*cols)
+    # Same validation + layout detection + frozen-quantizer assignment
+    # as the plain append, staged instead of appended.
+    assigned = _assigned_append_batch(spark, index_path, vectors)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
     i = 0
     for d in sorted(fs.list_names(stage)):
@@ -1149,3 +1154,174 @@ def recluster_flagged_cells(
     fs.rename(ctmp, sidecar)
     fs.delete(old)
     return actions
+
+
+# --- IVF-PQ: coarse cells + product-quantized codes (the FAISS IVFPQ
+# composition) ------------------------------------------------------------
+#
+# The IVF family prunes WHICH rows a query reads (partition pruning);
+# PQ shrinks WHAT each row stores (8 code bytes instead of 64 floats)
+# and replaces per-candidate vector math with 8 table lookups (ADC).
+# Composed, a query reads nprobe/cells of the corpus at 1/32 the bytes
+# per row — the standard billion-scale serving layout. The geometry
+# and the exemplar codebook match queries/vectors.pq_ann_topk, whose
+# corpus-wide ADC ranking a full-probe search of this index reproduces
+# bit-for-bit (pinned in tests/test_incremental.py).
+
+_PQM, _PQDSUB, _PQK, _PQCB_LO = 8, 8, 16, 40
+
+
+def _pq_codebook_sidecar(index_path: str) -> str:
+    return f"{index_path}/_pq_codebook"
+
+
+def _pq_codebook_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, list[int]]]:
+    """(s, code_idx, scale-9 subvector) for the 8×16 exemplar codebook —
+    a bounded collect (16 corpus rows), the same exemplar-quantizer
+    device as ``_centroids``."""
+    rows = (
+        _vecs(spark, sf_dir)
+        .filter(F.col("vec_id").between(_PQCB_LO, _PQCB_LO + _PQK - 1))
+        .select("vec_id", quantize_vec9(F.col("v")).alias("q9"))
+        .collect()
+    )
+    out = []
+    for r in rows:
+        idx = int(r["vec_id"]) - _PQCB_LO
+        q9 = [int(x) for x in r["q9"]]
+        for s in range(_PQM):
+            out.append((s, idx, q9[s * _PQDSUB : (s + 1) * _PQDSUB]))
+    return out
+
+
+def _pq_encode_codes(cb_rows) -> "F.Column":
+    """array<tinyint> PQ codes from a scale-9 ``q9`` column: per
+    subspace the argmin exact-integer squared-L2 codeword, ties to the
+    smaller code_idx (array_min over (dist, idx) structs — lexicographic
+    struct order IS the tie-break). Map-only: the codebook is embedded
+    as literals, so encoding shuffles nothing and runs inside the scan's
+    partitioning at any corpus size."""
+    per_s = []
+    for s in range(_PQM):
+        sub = F.slice(F.col("q9"), s * _PQDSUB + 1, _PQDSUB)
+        cands = []
+        for cs, idx, cw in cb_rows:
+            if cs != s:
+                continue
+            lit = F.array(*[F.lit(int(x)) for x in cw])
+            d = F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b).cast("decimal(38,0)") * (a - b)),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(idx).alias("i")))
+        per_s.append(F.array_min(F.array(*cands))["i"].cast("tinyint"))
+    return F.array(*per_s)
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, index_path: str, centroid_ids, vectors=None
+) -> None:
+    """Assign each vector to its nearest coarse centroid (the same
+    rounded-cosine rule as every IVF build) and store only its 8 PQ
+    codes, parquet-partitioned by cell. Sidecars make the index
+    self-describing: ``_centroids`` (probe ranking) and
+    ``_pq_codebook`` (s, code_idx, scale-9 subvector — what ADC tables
+    and appends encode against)."""
+    v = vectors if vectors is not None else _vecs(spark, sf_dir)
+    cents = _centroids(spark, sf_dir, centroid_ids)
+    cb_rows = _pq_codebook_rows(spark, sf_dir)
+    assigned = (
+        _ranked_cells(v, cents)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", quantize_vec9(F.col("v")).alias("q9"), "cid")
+        .select("vec_id", "label", _pq_encode_codes(cb_rows).alias("codes"), "cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    cents.write.mode("overwrite").parquet(_centroid_sidecar(index_path))
+    spark.createDataFrame(
+        [(s, i, cw) for s, i, cw in cb_rows], "s int, code_idx int, cw array<bigint>"
+    ).write.mode("overwrite").parquet(_pq_codebook_sidecar(index_path))
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_ids,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """ADC search over the probed cells only: the query precomputes its
+    8×16 integer distance table against the codebook sidecar (a
+    broadcast of ≤ |queries|×128 rows), the scan reads ONLY the probed
+    cid= partitions (literal IN → static partition pruning, the
+    search_ivf_index discipline), and each candidate's score is the
+    SUM OF 8 TABLE LOOKUPS — a posexplode + broadcast join + hash
+    aggregate, no vector math per candidate and no vectors on the
+    wire. Output matches ``pq_ann_topk``'s shape (query_id, vec_id,
+    label, rank, score_micro); probing ALL cells reproduces its rows
+    bit-for-bit (pinned)."""
+    v = _vecs(spark, sf_dir)
+    cents = load_index_centroids(spark, index_path)
+    queries = v.filter(F.col("vec_id").isin(*query_ids))
+    probes = (
+        _ranked_cells(queries, cents)
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    )
+    probed_cids = probe_cells(probes)
+    qsub = (
+        queries.select(F.col("vec_id").alias("query_id"), quantize_vec9(F.col("v")).alias("q9"))
+        .select(
+            "query_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("q9", s * _PQDSUB + 1, _PQDSUB).alias("sv"),
+                        )
+                        for s in range(_PQM)
+                    ]
+                )
+            ).alias("sp"),
+        )
+        .select("query_id", F.col("sp.s").alias("s"), F.col("sp.sv").alias("sv"))
+    )
+    cb = spark.read.parquet(_pq_codebook_sidecar(index_path))
+    dist = F.aggregate(
+        F.zip_with("sv", "cw", lambda a, b: (a - b).cast("decimal(38,0)") * (a - b)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code_idx", dist.alias("dist")
+    )
+    idx = spark.read.parquet(index_path).filter(F.col("cid").isin(*probed_cids))
+    cand = idx.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.posexplode("codes").alias("s", "code_t"),
+    ).withColumn("code_idx", F.col("code_t").cast("int"))
+    adc = (
+        cand.join(F.broadcast(dtab), ["query_id", "s", "code_idx"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("label").alias("label"), F.sum("dist").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "rank",
+            F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+        )
+    )

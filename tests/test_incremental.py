@@ -1324,3 +1324,89 @@ def test_create_exclusive_posix_and_hadoop(spark, tmp_path):
     assert hfs.create_exclusive(m, "one") is True
     assert hfs.create_exclusive(m, "two") is False
     assert hfs.read_text(m) == "one"
+
+
+def test_ivfpq_full_probe_equals_in_plan_pq(spark, sf_dir, tmp_path):
+    """r9: the materialized IVF-PQ index is the build-once twin of
+    pq_ann_topk — probing ALL cells must reproduce the in-plan
+    corpus-wide ADC ranking bit-for-bit (same exemplar codebook, same
+    exact-integer encode/score/tie-break), exactly the equivalence the
+    IVF/IVF_SQ8 indexes pin against their in-plan twins. Then the
+    pruned search (nprobe=2): k rows per query, each scored identically
+    to the full-probe run (pruning changes the candidate set, never a
+    surviving candidate's score), and the scan must read ONLY probed
+    cid= partitions."""
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivfpq_index,
+        load_index_centroids,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, sf_dir, idx, CENTROID_IDS)
+    n_cells = load_index_centroids(spark, idx).count()
+
+    full = search_ivfpq_index(spark, sf_dir, idx, QUERY_IDS, nprobe=n_cells, k=10)
+    expect = all_queries()["pq_ann_topk"].spark(spark, sf_dir)
+    got_rows = sorted(map(tuple, full.collect()))
+    want_rows = sorted(map(tuple, expect.collect()))
+    assert got_rows == want_rows, "full-probe IVF-PQ diverged from pq_ann_topk"
+
+    pruned = search_ivfpq_index(spark, sf_dir, idx, QUERY_IDS, nprobe=2, k=10)
+    rows = pruned.collect()
+    per_query: dict = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert per_query == {q: 10 for q in QUERY_IDS}, per_query
+    full_scores = {(r["query_id"], r["vec_id"]): r["score_micro"] for r in full.collect()}
+    for r in rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in full_scores:
+            assert r["score_micro"] == full_scores[key], key
+
+    # Partition pruning: the literal cid IN filter must land in the
+    # scan's PartitionFilters (the search_ivf_index discipline; a plan
+    # pin, because inputFiles() lists pre-pruning).
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), "probe filter did not become a partition filter"
+
+
+def test_ivfpq_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """build(head) + append(tail) on the PQ layout == full rebuild
+    (frozen centroid + codebook sidecars make the assignment and the
+    codes byte-identical), searched rows equal; the exactly-once append
+    path produces the same logical index."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        append_ivf_index_exactly_once,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    head, tail = v.filter(F.col("vec_id") < _SPLIT), v.filter(F.col("vec_id") >= _SPLIT)
+    full = str(tmp_path / "pq_full")
+    inc = str(tmp_path / "pq_inc")
+    eo = str(tmp_path / "pq_eo")
+    build_ivfpq_index(spark, sf_dir, full, CENTROID_IDS)
+    build_ivfpq_index(spark, sf_dir, inc, CENTROID_IDS, vectors=head)
+    append_ivf_index(spark, inc, tail)
+    build_ivfpq_index(spark, sf_dir, eo, CENTROID_IDS, vectors=head)
+    assert append_ivf_index_exactly_once(spark, eo, tail, token="pq-0") is True
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                search_ivfpq_index(spark, sf_dir, path, QUERY_IDS, nprobe=3, k=10).collect(),
+            )
+        )
+
+    want = rows(full)
+    assert rows(inc) == want, "PQ append diverged from rebuild"
+    assert rows(eo) == want, "exactly-once PQ append diverged from rebuild"
