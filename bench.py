@@ -202,6 +202,7 @@ HEADLINE = [
     "media_audio_fp_near_dup",
     "max_drawdown_daily",
     "pq_ann_topk",
+    "near_dup_graph_stats",
 ]
 
 

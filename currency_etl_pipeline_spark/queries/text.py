@@ -1078,3 +1078,110 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", "c_xy", lift.alias("lift"))
     )
     return lifted.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(20)
+
+
+def _lsh_edge_sql() -> str:
+    """The registered oracle SQL of minhash_lsh_near_dup — the eval-by-
+    composition device (ann_recall_report's pattern): the graph-stats
+    oracle is built ON the graded near-dup query's own SQL, so the two
+    can never drift apart."""
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    return _REGISTRY["minhash_lsh_near_dup"].oracle
+
+
+@query(
+    "near_dup_graph_stats",
+    oracle=f"""
+    WITH e AS (SELECT id_a AS a, id_b AS b FROM ({_lsh_edge_sql()})),
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+                THEN round(3.0 * t.n_triangles
+                           / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+                END AS clustering_coeff
+    FROM tri t
+    """,
+)
+def near_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure diagnostics of the near-duplicate graph: edge/vertex
+    counts, wedge count (paths of length 2), triangle count, and the
+    global clustering coefficient 3·triangles / wedges — the signal
+    that says whether near-dups form tight cliques (mirrored content:
+    safe to keep one per component) or long chains (drift: the r8
+    sequential-admission semantics matter, because transitive closure
+    over-merges). Composed from the REGISTERED minhash_lsh_near_dup
+    SQL/plan, so the diagnostic grades exactly the edges the dedup
+    pipeline actually produces (the ann_recall_report pattern).
+
+    Triangle counting is the canonical oriented-edge-join: edges kept
+    as a < b once, triangles found by (a,b)⋈(b,c)⋈(a,c) — each
+    triangle counted exactly once, no orientation blow-up. Exactness:
+    every output is an exact integer except the coefficient's ONE
+    fixed-form division (NULL-guarded when wedges = 0 in both engines
+    — Spark x/0 yields NULL but DuckDB yields inf, so the guard is
+    explicit).
+
+    Plan/scale: the LSH edge list is bounded by near-dup density (633
+    edges at sf0.1), localCheckpointed ONCE — the three triangle-join
+    branches and the degree aggregate read the pinned 16-byte rows,
+    never the re-derived LSH pipeline (the CC-loop lineage-cut
+    pattern). Triangle join cost is Σ deg(v)² over the dup graph, not
+    the corpus.
+    """
+    edges = (
+        _lsh_edges_plan(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = edges.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    e3 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edge_stats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    return (
+        edge_stats.crossJoin(deg_stats)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def _lsh_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered minhash_lsh_near_dup plan (composition twin of
+    _lsh_edge_sql — same single source of truth on the Spark side)."""
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    return _REGISTRY["minhash_lsh_near_dup"].spark(spark, sf_dir)
