@@ -203,6 +203,7 @@ HEADLINE = [
     "max_drawdown_daily",
     "pq_ann_topk",
     "near_dup_graph_stats",
+    "cusum_drift_alerts",
 ]
 
 

@@ -1126,3 +1126,123 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_drawdown"),
         F.max("run_max").alias("peak"),
     )
+
+
+@query(
+    "cusum_drift_alerts",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+             {_Q6_DUCK.format(x='"value"')} AS xq
+      FROM events
+    ),
+    m AS (
+      SELECT *,
+             CAST((sum(CAST(xq AS HUGEINT)) OVER tp
+                   + count(*) OVER tp // 2) // count(*) OVER tp AS BIGINT) AS meanq
+      FROM q
+      WINDOW tp AS (PARTITION BY event_type)
+    ),
+    c AS (
+      SELECT event_type, day, ts, event_id,
+             sum(CAST(xq - meanq AS HUGEINT)) OVER w AS cum
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT event_type, day,
+             CAST(cum - min(cum) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stat
+      FROM c
+    ),
+    d AS (
+      SELECT event_type, day, max(stat) AS cusum_max_e6
+      FROM s GROUP BY event_type, day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(cusum_max_e6 AS BIGINT) AS cusum_max_e6,
+           cusum_max_e6 > CAST((sum(CAST(cusum_max_e6 AS HUGEINT)) OVER tp
+                                + count(*) OVER tp // 2)
+                               // count(*) OVER tp AS BIGINT) AS alert
+    FROM d
+    WINDOW tp AS (PARTITION BY event_type)
+    """,
+)
+def cusum_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per (event_type, day): the day's
+    maximum one-sided cumulative-sum statistic of deviations from the
+    series mean, with an alert when it exceeds the per-type average of
+    day-maxima — the classic persistent-drift detector a rates desk
+    (and a data-quality monitor) runs beside the z-score outlier
+    query: z-scores catch single spikes, CUSUM catches many small
+    same-direction deviations that never individually alarm.
+
+    The CUSUM recurrence S_i = max(0, S_{{i-1}} + x_i − μ) looks
+    sequential, but has the prefix-sum closed form
+    **S_i = C_i − min_{{j≤i}} C_j** (C = running sum of deviations) —
+    two stacked running windows, fully distributable, no iterative
+    loop. Everything on the comparison surface is an exact integer:
+    scale-6 quantized values, round-half-up integer mean (the
+    cell_mean_vectors discipline), HUGEINT/DECIMAL(38,0) running
+    sums, and an integer-vs-integer alert compare — no doubles
+    anywhere at all.
+
+    Plan/scale: one shuffle on event_type carries all four window
+    passes (full-frame mean, running sum, running min, and — after
+    the per-day hash-agg, which AQE plans on the same clustering —
+    the full-frame day-max average). State per partition is O(1);
+    output is |types| × |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("day"),
+        xq.alias("xq"),
+    )
+    wfull = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = (
+        q.withColumn("ssum", F.sum(F.col("xq").cast("decimal(38,0)")).over(wfull))
+        .withColumn("n", F.count(F.lit(1)).over(wfull))
+        .withColumn("meanq", F.expr("CAST((ssum + CAST(n DIV 2 AS DECIMAL(38,0))) DIV n AS BIGINT)"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.select(
+        "event_type",
+        "day",
+        "ts",
+        "event_id",
+        F.sum((F.col("xq") - F.col("meanq")).cast("decimal(38,0)")).over(wcum).alias("cum"),
+    )
+    s = c.select(
+        "event_type",
+        "day",
+        (F.col("cum") - F.min("cum").over(wcum)).cast("long").alias("stat"),
+    )
+    d = s.groupBy("event_type", "day").agg(F.max("stat").alias("cusum_max_e6"))
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        d.withColumn("dsum", F.sum(F.col("cusum_max_e6").cast("decimal(38,0)")).over(wt))
+        .withColumn("dn", F.count(F.lit(1)).over(wt))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cusum_max_e6",
+            (
+                F.col("cusum_max_e6")
+                > F.expr("CAST((dsum + CAST(dn DIV 2 AS DECIMAL(38,0))) DIV dn AS BIGINT)")
+            ).alias("alert"),
+        )
+    )
