@@ -204,6 +204,7 @@ HEADLINE = [
     "pq_ann_topk",
     "near_dup_graph_stats",
     "cusum_drift_alerts",
+    "equi_depth_histogram",
 ]
 
 

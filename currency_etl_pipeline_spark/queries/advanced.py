@@ -1246,3 +1246,50 @@ def cusum_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alert"),
         )
     )
+
+
+@query(
+    "equi_depth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, "value",
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY "value", event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min("value") AS lo,
+           max("value") AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count) of value
+    per event_type — the skew-robust twin of ``value_histogram``'s
+    fixed-width buckets: equal-width buckets collapse under heavy
+    tails (one bucket holds everything), equal-depth bounds adapt to
+    the distribution, which is what query optimizers and feature
+    binners actually store. Completes the distribution family:
+    fixed-width histogram, exact + approx percentiles, sketches, and
+    now depth buckets.
+
+    Exactness: bucket assignment is ntile over a TOTAL order
+    ((value, event_id) — the tie-break makes equal values land
+    deterministically), counts are integers, and lo/hi are RAW input
+    doubles (min/max select, never compute). Nothing to quantize.
+
+    Plan/scale: one shuffle on event_type, one sort, ntile + the
+    aligned hash aggregate. At 100 TB exact ntile needs the per-type
+    sort; the bounded-memory twin is approx_percentile's t-digest
+    bounds (lineitem_percentiles_approx) — same trade the percentile
+    pair documents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
