@@ -413,6 +413,14 @@ def append_ivf_index_exactly_once(
 
     Returns True if this call landed the batch, False if it was
     already committed.
+
+    Marker retention: ``_commits/`` grows one ~0-byte file per epoch.
+    Old markers are PRUNABLE at any time without breaking exactly-once
+    — the deterministic file names carry the idempotence (a replay of
+    a pruned token purges and reinstalls the SAME names, converging on
+    one copy); the marker only short-circuits that work and marks the
+    commit point for crash recovery. Streaming callers additionally
+    skip old epochs via ``_last_epoch`` before ever probing a marker.
     """
     from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 

@@ -191,6 +191,30 @@ class SnapshotStore:
         latest = self._latest()
         return int(latest[1:]) if latest else None
 
+    def commit_transform(self, build, tag: str | None = None, max_retries: int = 5) -> int:
+        """Optimistic read-modify-write: ``build(current_df)`` derives
+        the new snapshot from the LIVE one, committed with
+        ``expect_version`` pinned to the version that was read; on
+        :class:`ConcurrentCommitError` the transform re-runs against
+        the fresh snapshot and retries — the standard OCC loop that
+        makes multi-writer upserts correct (each writer's change is
+        derived from, and serialized after, every committed change it
+        raced with; nobody's update is silently overwritten).
+
+        ``build`` must be a pure function of its input DataFrame —
+        it may run ``max_retries + 1`` times. Raises the final
+        ConcurrentCommitError when contention exceeds the budget.
+        """
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            base = self.version() or 0
+            snap = build(self.read() if base else None)
+            try:
+                return self.commit(snap, tag=tag, expect_version=base)
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+
     def read_version(self, version: int) -> DataFrame:
         """Read a specific RETAINED version (time travel within the
         ``retain`` window). Raises for pruned/orphan versions with the

@@ -1192,3 +1192,38 @@ def test_snapshot_store_cas_commit(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         h.commit(snap(9), expect_version=2)
     assert h.version() == 3
+
+
+def test_snapshot_store_commit_transform_occ_loop(spark, tmp_path):
+    """commit_transform serializes racing read-modify-write writers:
+    writer A's build races a writer-B commit (injected on A's first
+    attempt); A's CAS fails, the transform re-runs against B's
+    snapshot, and BOTH updates survive — the lost-update scenario the
+    plain read-modify-write pattern silently corrupts."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    base = str(tmp_path / "occ")
+    store = SnapshotStore(spark, base, retain=6)
+    other = SnapshotStore(spark, base, retain=6)
+
+    # Seed through the OCC path itself (empty store -> build(None)).
+    v = store.commit_transform(
+        lambda cur: spark.createDataFrame([(1, 100)], "k int, x int")
+    )
+    assert v == 1
+
+    calls = {"n": 0}
+
+    def add_writer_a(cur):
+        calls["n"] += 1
+        if calls["n"] == 1:  # writer B sneaks in a commit mid-transform
+            other.commit(other.read().union(
+                spark.createDataFrame([(2, 200)], "k int, x int")
+            ))
+        return cur.union(spark.createDataFrame([(3, 300)], "k int, x int"))
+
+    v = store.commit_transform(add_writer_a)
+    assert calls["n"] == 2, "OCC loop did not retry after the injected race"
+    assert v == 3
+    got = sorted((r["k"], r["x"]) for r in store.read().collect())
+    assert got == [(1, 100), (2, 200), (3, 300)], got

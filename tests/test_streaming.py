@@ -1055,3 +1055,52 @@ def test_stream_append_ivf_index_on_hadoop_file_scheme(spark, sf_dir, tmp_path):
     # and the compaction swap works on the streamed file:// index
     compact_ivf_index(spark, live, max_files_per_cell=1)
     assert rows(live) == rows(full)
+
+
+def test_stream_append_ivf_index_on_pq_layout(spark, sf_dir, tmp_path):
+    """r9: streaming ingest works on the IVF-PQ layout end to end —
+    the foreachBatch append detects the `codes` column, assigns each
+    micro-batch against the frozen centroid sidecar, encodes against
+    the codebook sidecar through the exactly-once protocol, and the
+    streamed index searches identically to a one-shot batch build."""
+    import pyspark.sql.types as T
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_append_ivf_index
+
+    split = 400
+    v = _vecs(spark, sf_dir)
+    full = str(tmp_path / "pq_stream_full")
+    live = str(tmp_path / "pq_stream_live")
+    build_ivfpq_index(spark, sf_dir, full, tuple(range(20, 28)))
+    build_ivfpq_index(
+        spark, sf_dir, live, tuple(range(20, 28)),
+        vectors=v.filter(F.col("vec_id") < split),
+    )
+
+    feed = str(tmp_path / "pq_feed")
+    v.filter(F.col("vec_id") >= split).write.parquet(feed)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = stream_append_ivf_index(spark, stream, live, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                search_ivfpq_index(spark, sf_dir, path, (0, 1, 2), nprobe=3, k=10).collect(),
+            )
+        )
+
+    assert rows(live) == rows(full), "streamed PQ index diverged from batch build"
