@@ -205,6 +205,7 @@ HEADLINE = [
     "near_dup_graph_stats",
     "cusum_drift_alerts",
     "equi_depth_histogram",
+    "keyword_search_topk",
 ]
 
 

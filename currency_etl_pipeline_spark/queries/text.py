@@ -1185,3 +1185,145 @@ def _lsh_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.queries.registry import _REGISTRY
 
     return _REGISTRY["minhash_lsh_near_dup"].spark(spark, sf_dir)
+
+
+# Keyword-retrieval query terms: one rare (~5% df), two common — the
+# ranking must weigh scarcity, not just term frequency.
+_KW_TERMS = ("dup", "batch", "scan")
+_KW_K1, _KW_B, _KW_TOPK = 1.2, 0.75, 20
+
+
+@query(
+    "keyword_search_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl FROM d
+    ),
+    t AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM t WHERE term IN ('dup', 'batch', 'scan')
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(((s.n_docs - df.df + 1) * 1000000) // (df.df + 1) AS BIGINT) AS idf_e6,
+             (CAST(tf.tf AS DOUBLE) * {_KW_K1 + 1.0})
+               / (CAST(tf.tf AS DOUBLE)
+                  + {_KW_K1} * ({1.0 - _KW_B} + {_KW_B}
+                     * (CAST(tf.dl * s.n_docs AS DOUBLE) / CAST(s.sumdl AS DOUBLE))))
+               AS tfpart
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'dup' THEN idf_e6 * tfpart END), 0.0)
+             + coalesce(max(CASE WHEN term = 'batch' THEN idf_e6 * tfpart END), 0.0)
+             + coalesce(max(CASE WHEN term = 'scan' THEN idf_e6 * tfpart END), 0.0)
+               AS raw_score,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, round(raw_score, 4) AS score,
+           rank
+    FROM (SELECT *, row_number() OVER (ORDER BY raw_score DESC, doc_id ASC) AS rank
+          FROM agg)
+    WHERE rank <= {_KW_TOPK}
+    """,
+)
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus: top-20 documents for the
+    literal query {{dup, batch, scan}} under BM25-SHAPED scoring — the
+    lexical half of hybrid retrieval (the embedding ANN family is the
+    other half; production fuses both). Per matched (doc, term):
+    idf × tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 —
+    BM25's saturation and length normalization exactly.
+
+    The one deliberate deviation, documented: idf is the RATIONAL
+    surrogate (N−df+1)·10⁶ ÷ (df+1) (exact integer division) instead
+    of BM25's log((N−df+0.5)/(df+0.5)) — log is not cross-libm
+    identical (the bigram_lift precedent) and a monotone-in-df weight
+    preserves the scarce-beats-common structure; with it the ENTIRE
+    ranking surface is engine-exact: integer idf, integer tf/dl/N/Σdl,
+    ONE fixed-form float expression per (doc, term), and a
+    fixed-ORDER three-term sum (per-term values pivoted to columns
+    first — a groupBy SUM of doubles would reassociate across rows).
+
+    Plan/scale: tokens explode once, filtered to the 3 query terms
+    BEFORE the shuffle (the posting-list discipline: work scales with
+    matching postings, not corpus tokens); df derives from the tf
+    aggregate (no second corpus pass), corpus stats are a 1-row
+    crossJoin, the df side a 3-row broadcast, and top-k is one
+    TakeOrderedAndProject-shaped window. Two corpus scans total
+    (stats + postings), the tfidf_top_terms precedent.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("toks")).alias("sumdl")
+    )
+    t = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*_KW_TERMS))
+    tf = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("CAST(((n_docs - df + 1) * 1000000) DIV (df + 1) AS BIGINT)").alias(
+                "idf_e6"
+            ),
+            (
+                (F.col("tf").cast("double") * F.lit(_KW_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(_KW_K1)
+                    * (
+                        F.lit(1.0 - _KW_B)
+                        + F.lit(_KW_B)
+                        * (
+                            (F.col("dl") * F.col("n_docs")).cast("double")
+                            / F.col("sumdl").cast("double")
+                        )
+                    )
+                )
+            ).alias("tfpart"),
+        )
+    )
+    per_term = F.col("idf_e6") * F.col("tfpart")
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == term, per_term)), F.lit(0.0)
+            ).alias(f"s_{term}")
+            for term in _KW_TERMS
+        ],
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    raw = F.col("s_dup") + F.col("s_batch") + F.col("s_scan")
+    from pyspark.sql import Window as W
+
+    # Global top-k as orderBy().limit() -> TakeOrderedAndProject (a
+    # distributed top-k heap), NOT a partition-less rank window (which
+    # would single-partition every matched doc); the rank is then a
+    # window over only the k survivors.
+    top = agg.orderBy(raw.desc(), F.col("doc_id").asc()).limit(_KW_TOPK)
+    wk = W.orderBy(
+        (F.col("s_dup") + F.col("s_batch") + F.col("s_scan")).desc(),
+        F.col("doc_id").asc(),
+    )
+    return top.withColumn("rank", F.row_number().over(wk)).select(
+        "doc_id", "n_terms", F.round(raw, 4).alias("score"), "rank"
+    )
