@@ -206,6 +206,7 @@ HEADLINE = [
     "cusum_drift_alerts",
     "equi_depth_histogram",
     "keyword_search_topk",
+    "value_trend_slope",
 ]
 
 

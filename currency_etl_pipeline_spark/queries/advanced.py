@@ -1299,3 +1299,75 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "value_trend_slope",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - 1704067200 AS xs,
+             {_Q6_DUCK.format(x='"value"')} AS yq
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(xs AS HUGEINT)) AS sx,
+             sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xs AS HUGEINT) * xs) AS sxx,
+             sum(CAST(xs AS HUGEINT) * yq) AS sxy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 86400.0 / 1000000.0,
+                 9) AS slope_per_day
+    FROM m
+    """,
+)
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend per event_type: the slope of value
+    against time, reported per DAY — "is this series drifting up or
+    down, and how fast", the regression companion to the CUSUM detector
+    (CUSUM says WHETHER a persistent shift happened; the slope says the
+    RATE). slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over exact
+    integer partials: x = whole seconds since the 2024-01-01 anchor
+    (bounded ~3e6 for the fixture's window — the anchor keeps Σx² far
+    inside int128/DECIMAL(38,0) at any row count), y = scale-6
+    quantized value. ONE fixed-form double division + unit conversion
+    at the edge, so both engines emit identical bits — the co-moment
+    discipline (lineitem_corr_moments) applied to regression.
+
+    Plan/scale: a single hash aggregate over one scan — all five
+    partials are mergeable map-side combines; output is |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    yq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("_xs_raw"),
+        yq.alias("yq"),
+    ).select(
+        "event_type",
+        (F.col("_xs_raw") - F.lit(1_704_067_200)).alias("xs"),
+        "yq",
+    )
+    d38 = "decimal(38,0)"
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xs").cast(d38)).alias("sx"),
+        F.sum(F.col("yq").cast(d38)).alias("sy"),
+        F.sum(F.col("xs").cast("decimal(19,0)") * F.col("xs").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("xs").cast("decimal(19,0)") * F.col("yq").cast("decimal(19,0)")).alias("sxy"),
+    )
+    num = F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            num.cast("double") / den.cast("double") * F.lit(86_400.0) / F.lit(1_000_000.0),
+            9,
+        ).alias("slope_per_day"),
+    )
