@@ -628,8 +628,20 @@ def _unbounded_big_tables(node, acc):
     cls = node.getClass().getSimpleName()
     if cls in _HINT_BOUNDING_NODES:
         return
-    if cls == "Aggregate" and _keys_bounded(node.groupingExpressions().toString()):
-        return  # scalar aggregate or bounded-domain grouping keys
+    if cls == "Aggregate":
+        keys_str = node.groupingExpressions().toString()
+        if _keys_bounded(keys_str):
+            return  # scalar aggregate or bounded-domain grouping keys
+        # r9: grouping keys pinned to a LITERAL IN set by a filter
+        # below the aggregate are bounded too — the aggregate emits at
+        # most |literals| rows regardless of corpus size
+        # (keyword_search_topk's 3-term df table).
+        keys = _KEY_ATTR.findall(keys_str)
+        sub = node.toString()
+        if keys and all(
+            re.search(rf"{re.escape(n)}#\d+L? IN \(", sub) for n in keys
+        ):
+            return
     if cls == "Deduplicate" and _keys_bounded(node.keys().toString()):
         return
     if cls == "Filter" and _HINT_BOUNDED_FILTER.search(node.condition().toString()):
