@@ -207,6 +207,11 @@ HEADLINE = [
     "equi_depth_histogram",
     "keyword_search_topk",
     "value_trend_slope",
+    # r9 continuation (appended): the PQ recall investigation pair —
+    # the rejected-normalization hypothesis test and the effective
+    # shortlist+re-rank repair.
+    "pq_ann_topk_normalized",
+    "pq_rerank_topk",
 ]
 
 

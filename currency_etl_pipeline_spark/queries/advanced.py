@@ -641,6 +641,12 @@ def _registered_oracle(name: str) -> str:
       UNION ALL
       SELECT 'pq' AS method, query_id, vec_id
       FROM ({_registered_oracle("pq_ann_topk")})
+      UNION ALL
+      SELECT 'pqn' AS method, query_id, vec_id
+      FROM ({_registered_oracle("pq_ann_topk_normalized")})
+      UNION ALL
+      SELECT 'pqr' AS method, query_id, vec_id
+      FROM ({_registered_oracle("pq_rerank_topk")})
     ),
     hits AS (
       SELECT r.method, r.query_id,
@@ -652,7 +658,7 @@ def _registered_oracle(name: str) -> str:
     ),
     scaffold AS (
       SELECT m.method, CAST(q.query_id AS BIGINT) AS query_id
-      FROM (SELECT unnest(['ivf', 'lsh', 'lsh4', 'pq']) AS method) m
+      FROM (SELECT unnest(['ivf', 'lsh', 'lsh4', 'pq', 'pqn', 'pqr']) AS method) m
       CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) q
     )
     SELECT s.method, s.query_id,
@@ -685,6 +691,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_lsh_topk,
         cosine_topk_bruteforce,
         pq_ann_topk,
+        pq_ann_topk_normalized,
+        pq_rerank_topk,
     )
 
     exact5 = top_k_per_group(
@@ -720,6 +728,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
             .withColumn("method", F.lit("pq"))
         )
+        .unionByName(
+            # r9 hypothesis test, rejected by this report: the corpus
+            # is already unit-norm, so pqn's rows equal pq's — see
+            # pq_ann_topk_normalized's docstring.
+            pq_ann_topk_normalized(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("method", F.lit("pqn"))
+        )
+        .unionByName(
+            # The repair that measurement actually supports: wider
+            # codebook + ADC shortlist + exact re-rank.
+            pq_rerank_topk(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn("method", F.lit("pqr"))
+        )
     )
     agg = (
         res.join(exact5, ["query_id", "vec_id"], "left")
@@ -730,7 +753,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scaffold = spark.createDataFrame(
-        [(m, q) for m in ("ivf", "lsh", "lsh4", "pq") for q in _IVF_QUERY_IDS],
+        [(m, q) for m in ("ivf", "lsh", "lsh4", "pq", "pqn", "pqr") for q in _IVF_QUERY_IDS],
         "method string, query_id bigint",
     )
     return scaffold.join(agg, ["method", "query_id"], "left").select(

@@ -778,10 +778,13 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CB_LO, _PQ_K, _PQ_M, _PQ_DSUB = 40, 16, 8, 8
 
 
-@query(
-    "pq_ann_topk",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+def _pq_oracle(v_cte: str, k: int = _PQ_K, topn: int = 10) -> str:
+    """The PQ/ADC oracle parameterized over the vector CTE (raw
+    embeddings for pq_ann_topk; L2-normalized for the _normalized
+    twin), the codebook size k, and the emitted top-n — everything
+    downstream of `v` is shared verbatim."""
+    return f"""
+    WITH v AS ({v_cte}),
     sub AS (
       SELECT vec_id, label, s.s,
              list_transform(dv[{_PQ_DSUB} * s.s + 1 : {_PQ_DSUB} * s.s + {_PQ_DSUB}],
@@ -790,7 +793,7 @@ _PQ_CB_LO, _PQ_K, _PQ_M, _PQ_DSUB = 40, 16, 8, 8
     ),
     cb AS (
       SELECT vec_id - {_PQ_CB_LO} AS code_idx, s, sv AS cv
-      FROM sub WHERE vec_id BETWEEN {_PQ_CB_LO} AND {_PQ_CB_LO + _PQ_K - 1}
+      FROM sub WHERE vec_id BETWEEN {_PQ_CB_LO} AND {_PQ_CB_LO + k - 1}
     ),
     encd AS (
       -- exact integer squared-L2 of every (vector, subspace, codeword)
@@ -821,8 +824,79 @@ _PQ_CB_LO, _PQ_K, _PQ_M, _PQ_DSUB = 40, 16, 8, 8
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY score ASC, vec_id ASC) AS rank
           FROM adc)
-    WHERE rank <= 10
-    """,
+    WHERE rank <= {topn}
+    """
+
+
+def _pq_adc_pipeline(
+    spark: SparkSession, base: DataFrame, k: int = _PQ_K, topn: int = 10
+) -> DataFrame:
+    """Shared PQ encode + ADC search over a (vec_id, label, q9) base:
+    subspace explode → exemplar codebook (k codewords) → exact-integer
+    encode → broadcast query tables → 8-lookup ADC scores → top-n per
+    query. See pq_ann_topk's docstring for the full plan/scale story."""
+    from pyspark.sql import Window
+
+    sub = base.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q9", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sp"),
+    ).select("vec_id", "label", F.col("sp.s").alias("s"), F.col("sp.sv").alias("sv"))
+    cb = sub.filter(
+        F.col("vec_id").between(_PQ_CB_LO, _PQ_CB_LO + k - 1)
+    ).select((F.col("vec_id") - _PQ_CB_LO).alias("code_idx"), "s", F.col("sv").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b).cast("decimal(38,0)") * (a - b)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    encd = sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "label", "s", "code_idx", dist.alias("dist")
+    )
+    wenc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("dist").asc(), F.col("code_idx").asc()
+    )
+    codes = (
+        encd.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "s", "code_idx")
+    )
+    qtab = encd.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "s", "code_idx", "dist"
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code_idx"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("label").alias("label"), F.sum("dist").alias("score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= topn)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "rank",
+            F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+        )
+    )
+
+
+@query(
+    "pq_ann_topk",
+    oracle=_pq_oracle("SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings"),
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) search —
@@ -853,64 +927,149 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a trained codebook replaces the exemplars exactly as
     ivf_ann_topk_trained does for IVF).
     """
+    from currency_etl_pipeline_spark.sources.ann_index import quantize_vec9
+
+    v = _vecs(spark, sf_dir)
+    base = v.select("vec_id", "label", quantize_vec9(F.col("v")).alias("q9"))
+    return _pq_adc_pipeline(spark, base)
+
+
+# Normalized-variant vector CTE: the same per-row IEEE division the
+# hash-green embedding_l2_normalize oracle replays (Spark's aggregate
+# fold and DuckDB's list_inner_product are both sequential left
+# folds, so the norm — and therefore every normalized component — is
+# bit-identical across engines before quantization).
+_PQN_V_CTE = """
+        SELECT vec_id, label, list_transform(dv, x -> x / norm) AS dv
+        FROM (SELECT vec_id, label, dv,
+                     sqrt(list_inner_product(dv, dv)) AS norm
+              FROM (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS dv
+                    FROM embeddings) rawv) normv
+        WHERE norm > 0
+    """
+
+
+@query("pq_ann_topk_normalized", oracle=_pq_oracle(_PQN_V_CTE))
+def pq_ann_topk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC over L2-NORMALIZED embeddings — the hypothesis test the
+    r9 `ann_recall_report` measurement demanded. Raw PQ ranks by
+    squared L2 while the exact baseline ranks by cosine, and on
+    non-unit vectors those orders disagree; on unit vectors
+    ||a-b||² = 2 − 2·cos(a,b) makes them coincide, so normalizing
+    upstream was the predicted repair for PQ's 0.2/0.4/0.2 recall.
+    MEASURED OUTCOME: the hypothesis is REJECTED on this corpus — the
+    synthetic embeddings are already unit-norm (norms 1.0 ± 1.1e-7,
+    verified over the full sf0.01 table), so normalization is an
+    identity transform and this query returns the exact same top-10
+    sets as pq_ann_topk (set equality verified per query; the report
+    shows identical `pq`/`pqn` rows). The real recall loss is
+    CODEBOOK COARSENESS — 16 exemplar codewords reconstruct an 8-dim
+    subspace badly — which is what `pq_rerank_topk` (wider codebook +
+    ADC shortlist + exact re-rank) actually repairs.
+
+    The query stays in the catalog for two reasons: it is the
+    measurement that rejected the hypothesis (the report's pqn row IS
+    the evidence), and normalize-then-PQ is the correct serving
+    configuration whenever the upstream corpus is NOT unit-norm — the
+    guard costs one map-side pass and makes PQ's ranking metric match
+    cosine by construction instead of by luck of the data.
+
+    Engine-exactness: normalization is one per-row IEEE sqrt+division
+    over a sequential-fold dot product (the embedding_l2_normalize
+    contract, hash-green since r5); both engines then quantize the
+    identical doubles with the shared scale-9 DECIMAL rule, and
+    everything downstream is the shared integer PQ pipeline. Plan is
+    identical to pq_ann_topk — normalization adds zero shuffles (pure
+    map-side codegen before the subspace explode). Codebook exemplars
+    normalize too, on both sides, so the quantizer stays consistent.
+    """
+    from currency_etl_pipeline_spark.sources.ann_index import quantize_vec9
+
+    v = _vecs(spark, sf_dir)
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    n = v.select("vec_id", "label", "v", norm.alias("norm")).filter(F.col("norm") > 0)
+    uv = F.transform(F.col("v"), lambda x: x / F.col("norm"))
+    base = n.select("vec_id", "label", quantize_vec9(uv).alias("q9"))
+    return _pq_adc_pipeline(spark, base)
+
+
+# Refine-step geometry: wider 32-codeword codebook + 100-candidate ADC
+# shortlist, chosen by measurement (containment of the true top-5 in
+# the shortlist at sf0.01: K=16/L=10 gave 0.2/0.4/0.2; K=32/L=100
+# gives 1.0/1.0/0.8 — shortlist width dominates codebook size).
+_PQR_K, _PQR_SHORTLIST = 32, 100
+
+_PQ_RAW_V_CTE = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings"
+
+
+@query(
+    "pq_rerank_topk",
+    oracle=f"""
+    WITH short AS ({_pq_oracle(_PQ_RAW_V_CTE, k=_PQR_K, topn=_PQR_SHORTLIST)}),
+    v AS ({_PQ_RAW_V_CTE}),
+    scored AS (
+        SELECT s.query_id, s.vec_id, s.label,
+               round({_COS_DUCK.format(a="cv.dv", b="qv.dv")}, 6) AS cos_sim
+        FROM short s
+        JOIN v qv ON qv.vec_id = s.query_id
+        JOIN v cv ON cv.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, label, cos_sim, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC + exact re-rank — the repair the r9 recall measurements
+    actually support (the FAISS `IVFPQ,Refine` recipe). The pqn
+    experiment rejected the normalization hypothesis (corpus already
+    unit-norm), leaving codebook coarseness as the measured recall
+    killer; the effective levers, measured before building (see
+    _PQR_K/_PQR_SHORTLIST), are a wider codebook and above all a WIDER
+    SHORTLIST that exact scoring then fixes up: ADC ranks 100
+    candidates per query with 8 table lookups each, and only those 100
+    pay the full 64-dim cosine. End-to-end recall@5 measured in
+    ann_recall_report (method `pqr`): 1.0/1.0/0.8 at sf0.01 vs raw
+    PQ's 0.2/0.4/0.2 — the 20% residual is shortlist containment,
+    tunable by L with linear cost.
+
+    Plan/scale: the shared PQ pipeline's cost story unchanged (one
+    corpus scan, codes shuffle as 8 small ints per vector); the refine
+    step joins the ≤ |Q|·L shortlist — broadcast-sized by
+    construction — back to the corpus for candidate vectors, so exact
+    scoring touches L rows per query, not the corpus. At 100 TB this
+    is the standard serving shape: memory-resident codes ranked
+    first, then one pushed-down point-read batch per query for the
+    shortlist's full vectors.
+    """
     from pyspark.sql import Window
 
     from currency_etl_pipeline_spark.sources.ann_index import quantize_vec9
 
     v = _vecs(spark, sf_dir)
     base = v.select("vec_id", "label", quantize_vec9(F.col("v")).alias("q9"))
-    sub = base.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("q9", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("sp"),
-    ).select("vec_id", "label", F.col("sp.s").alias("s"), F.col("sp.sv").alias("sv"))
-    cb = sub.filter(
-        F.col("vec_id").between(_PQ_CB_LO, _PQ_CB_LO + _PQ_K - 1)
-    ).select((F.col("vec_id") - _PQ_CB_LO).alias("code_idx"), "s", F.col("sv").alias("cv"))
-    dist = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b).cast("decimal(38,0)") * (a - b)),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: acc + x,
+    short = _pq_adc_pipeline(spark, base, k=_PQR_K, topn=_PQR_SHORTLIST)
+    qv = F.broadcast(
+        v.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
     )
-    encd = sub.join(F.broadcast(cb), "s").select(
-        "vec_id", "label", "s", "code_idx", dist.alias("dist")
-    )
-    wenc = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("dist").asc(), F.col("code_idx").asc()
-    )
-    codes = (
-        encd.withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "s", "code_idx")
-    )
-    qtab = encd.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), "s", "code_idx", "dist"
-    )
-    adc = (
-        codes.join(F.broadcast(qtab), ["s", "code_idx"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.max("label").alias("label"), F.sum("dist").alias("score"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
-    return (
-        adc.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= 10)
+    scored = (
+        v.join(F.broadcast(short.select("query_id", "vec_id")), "vec_id")
+        .join(qv, "query_id")
         .select(
             "query_id",
             "vec_id",
             "label",
-            "rank",
-            F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "label", "cos_sim", "rank")
     )
