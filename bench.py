@@ -212,6 +212,17 @@ HEADLINE = [
     # shortlist+re-rank repair.
     "pq_ann_topk_normalized",
     "pq_rerank_topk",
+    # r9 continuation, batch 2: entity resolution, time-series memory,
+    # sweep-line occupancy, vocabulary diversity, diurnal profile.
+    "fuzzy_part_name_match",
+    "value_autocorr_lag1",
+    "peak_concurrent_sessions",
+    "token_diversity_gini",
+    "hourly_seasonality_profile",
+    # r9 continuation, batch 3: deterministic PPS corpus sampling and
+    # integer-exact PageRank over the near-dup graph.
+    "pps_systematic_sample",
+    "near_dup_pagerank",
 ]
 
 

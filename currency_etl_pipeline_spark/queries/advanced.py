@@ -1394,3 +1394,213 @@ def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("slope_per_day"),
     )
+
+
+@query(
+    "value_autocorr_lag1",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             {_Q6_DUCK.format(x='"value"')} AS xq,
+             lead({_Q6_DUCK.format(x='"value"')}) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS yq
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(xq AS HUGEINT)) AS sx,
+             sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+             sum(CAST(yq AS HUGEINT) * yq) AS syy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy
+      FROM q WHERE yq IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx <= 0
+                  OR n_pairs * syy - sy * sy <= 0 THEN NULL
+                ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))),
+                           9)
+           END AS autocorr_lag1
+    FROM m
+    """,
+)
+def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of value per event_type — "does this
+    series remember its last tick?", the memory/persistence companion
+    to value_trend_slope (rate of drift) and cusum_drift_alerts
+    (persistent shifts): near 0 says the series is white around its
+    mean (z-score alerting is sound); near 1 says shocks persist
+    (alert on CHANGES, not levels).
+
+    Pearson r over (x_i, x_{i+1}) pairs: pairs come from one window
+    lead over the (ts, event_id) total order per type, then the exact
+    co-moment discipline — x and the led y are scale-6 quantized
+    BIGINTs, all six partials (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    DECIMAL(38,0)/HUGEINT sums (bounded: yq ≤ 5.7e8, so n·Σy² ≤ ~1e28
+    « 1e38 at any per-type row count), and the output is ONE
+    fixed-form double expression — num / (sqrt(da)·sqrt(db)) — both
+    engines evaluate on identical integers, rounded at 9 dp.
+    Degenerate series (zero variance on either side) emit NULL
+    explicitly in BOTH engines (Spark's /0 → NULL vs DuckDB's → inf
+    would otherwise diverge — the FIXTURES.md guard convention).
+
+    Plan/scale: one shuffle on event_type (the window), pairs never
+    materialize beyond the frame walk, then a map-side-combinable hash
+    aggregate to |types| rows. The lag-k generalization is the same
+    plan with lead(k); a distributed no-window variant would self-join
+    on (event_type, rank) = (event_type, rank+1) — not needed while
+    the per-type sort fits the executor, the same trade
+    equi_depth_histogram documents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    q = ev.select("event_type", "ts", "event_id", xq.alias("xq")).select(
+        "event_type", "xq", F.lead("xq").over(w).alias("yq")
+    )
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    m = (
+        q.filter(F.col("yq").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("xq").cast(d38)).alias("sx"),
+            F.sum(F.col("yq").cast(d38)).alias("sy"),
+            F.sum(F.col("xq").cast(d19) * F.col("xq").cast(d19)).alias("sxx"),
+            F.sum(F.col("yq").cast(d19) * F.col("yq").cast(d19)).alias("syy"),
+            F.sum(F.col("xq").cast(d19) * F.col("yq").cast(d19)).alias("sxy"),
+        )
+    )
+    n38 = F.col("n_pairs").cast(d38)
+    num = n38 * F.col("sxy") - F.col("sx") * F.col("sy")
+    da = n38 * F.col("sxx") - F.col("sx") * F.col("sx")
+    db = n38 * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (da <= 0) | (db <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(num.cast("double") / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))), 9)
+    )
+    return m.select("event_type", "n_pairs", r.alias("autocorr_lag1"))
+
+
+@query(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               min(ts) AS s_start,
+               max(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM (SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged) g
+        GROUP BY user_id, sid
+    ), segs AS (
+        SELECT CAST(d.d AS DATE) AS day,
+               greatest(s_start, d.d) AS seg_start,
+               least(s_end, d.d + INTERVAL 1 DAY) AS seg_end
+        FROM sess
+        CROSS JOIN unnest(generate_series(date_trunc('day', s_start),
+                                          date_trunc('day', s_end - INTERVAL 1 MICROSECOND),
+                                          INTERVAL 1 DAY)) AS d(d)
+    ), bounds AS (
+        SELECT day, seg_start AS bts, 1 AS delta FROM segs
+        UNION ALL
+        SELECT day, seg_end AS bts, -1 AS delta FROM segs
+    ), running AS (
+        SELECT day, delta,
+               sum(delta) OVER (PARTITION BY day ORDER BY bts, delta) AS live
+        FROM bounds
+    )
+    SELECT day,
+           CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM running GROUP BY day
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day — the sweep-line/occupancy
+    operator (max rooms booked, peak load, concurrent viewers):
+    sessions become ±1 boundary events, a running sum counts live
+    sessions, the per-day max is the peak. Session intervals are the
+    catalog's session_window semantics verbatim ([min ts, max ts +
+    30 min), the event_sessionization contract), so "concurrent"
+    means 'both users were mid-session', not 'events at the same
+    instant'.
+
+    Distribution device: a GLOBAL sweep order is the textbook
+    scale-killer here (one sort partition owning the whole timeline),
+    so midnight-crossing sessions are SPLIT at day boundaries first —
+    sequence() explodes each session into its touched days with
+    clamped [seg_start, seg_end) pieces — and each day's sweep runs
+    independently inside its own partition. A session live at
+    midnight carries a +1 at the next day's 00:00, so cross-day state
+    is reconstructed locally, never communicated; finer shards (hours)
+    drop in by changing the split unit.
+
+    Determinism without a row-level tie-break: ordering by (bts,
+    delta) puts ends before starts at a shared instant (touching
+    sessions never double-count) and leaves the peer-group order
+    unspecified — but the default RANGE frame sums the WHOLE peer
+    group at once in both engines, and within a same-delta group the
+    running value is monotone, so the per-day MAX is exact and
+    engine-identical even though per-row prefix orders aren't. A -1
+    can't lead a day (a clamped segment ending at day start is never
+    emitted), so the group-end maxima include the true peak. Output
+    is DATE + two BIGINTs — no float surface at all.
+
+    Plan/scale: one shuffle on user_id (sessionize), one on day
+    (sweep); boundaries are 2 rows per session-day — the shuffled
+    volume is session-scale, not event-scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"))
+    )
+    segs = sess.select(
+        F.explode(
+            F.sequence(
+                F.to_date("s_start"),
+                F.to_date(F.expr("s_end - INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("day"),
+        "s_start",
+        "s_end",
+    ).select(
+        "day",
+        F.greatest(F.col("s_start"), F.col("day").cast("timestamp")).alias("seg_start"),
+        F.least(
+            F.col("s_end"), F.expr("CAST(day AS TIMESTAMP) + INTERVAL 1 DAY")
+        ).alias("seg_end"),
+    )
+    # ONE pass emits both boundaries (a union of two selects over segs
+    # would re-run the whole sessionize subtree — Catalyst duplicates,
+    # not shares, a twice-referenced DataFrame).
+    bounds = segs.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("seg_start").alias("bts"), F.lit(1).alias("delta")),
+                F.struct(F.col("seg_end").alias("bts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+    ).select("day", "b.bts", "b.delta")
+    w = Window.partitionBy("day").orderBy("bts", "delta")
+    running = bounds.select("day", "delta", F.sum("delta").over(w).alias("live"))
+    return running.groupBy("day").agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_sessions"),
+    )

@@ -1122,3 +1122,102 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# Systematic PPS geometry: k selections over the weight line; block
+# width for the two-level prefix sum (the packed_docs device).
+_PPS_K, _PPS_BLOCK = 50, 64
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars AS w FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+        SELECT doc_id, w,
+               COALESCE(sum(w) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS s,
+               sum(w) OVER () AS tot
+        FROM d
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_chars,
+           CAST(s AS BIGINT) AS pos_start,
+           CAST(({_PPS_K} * (s + w)) // tot
+                - ({_PPS_K} * s) // tot AS BIGINT) AS multiplicity
+    FROM p
+    WHERE ({_PPS_K} * (s + w)) // tot - ({_PPS_K} * s) // tot >= 1
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of the
+    corpus, weight = n_chars — the deterministic, one-pass sampler a
+    training-data pipeline uses for eval slices and mixture audits
+    (domain_temperature_resample reweights DOMAINS by quota; this
+    draws k DOCUMENT selections with P ∝ size, long docs eligible for
+    multiplicity ≥ 2 — the Lahiri/systematic-sampling classic).
+    Selection rule: lay every document's weight on a line in doc_id
+    order; a document whose span [s, s+w) crosses a multiple of W/k
+    is selected, multiplicity = ⌊k(s+w)/W⌋ − ⌊ks/W⌋, so exactly k
+    selections total, all integer arithmetic (floor-div on BIGINTs —
+    no RNG, no floats, reproducible across engines, partitionings,
+    and reruns; the no-libm/fixed-point house discipline).
+
+    Plan/scale: the exclusive prefix sum s is the TWO-LEVEL
+    distributed prefix sum at scale (block-local window + broadcast
+    block offsets — packed_docs' device and cap argument, shuffling
+    only (doc_id, long) pairs); this catalog form runs the oracle's
+    identical single-window shape since the offsets table is what the
+    driver compares. Σw re-aggregates the block sums; the plan repeats
+    the 2-column pushed-filter parquet scan for the block-sum and
+    total legs (cheap, columnar) — what the device bounds is SHUFFLE
+    volume, (block, long) offset pairs, never corpus rows. Output is
+    ≤ k + (docs spanning a threshold) rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.col("n_chars").alias("w"))
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .withColumn("block", F.expr(f"doc_id DIV {_PPS_BLOCK}"))
+        .repartition("block")
+    )
+    w_local = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_before", F.coalesce(F.sum("w").over(w_local), F.lit(0))
+    )
+    block_sums = base.groupBy("block").agg(F.sum("w").alias("bw"))
+    w_block = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = block_sums.select(
+        "block", F.coalesce(F.sum("bw").over(w_block), F.lit(0)).alias("off")
+    )
+    total = block_sums.agg(F.sum("bw").alias("tot"))
+    p = (
+        local.join(F.broadcast(offsets), "block")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("off") + F.col("local_before")).alias("s"),
+            "tot",
+        )
+    )
+    mult = F.expr(
+        f"({_PPS_K} * (s + w)) DIV tot - ({_PPS_K} * s) DIV tot"
+    )
+    return (
+        p.withColumn("multiplicity", mult.cast("long"))
+        .filter(F.col("multiplicity") >= 1)
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("n_chars"),
+            F.col("s").cast("long").alias("pos_start"),
+            "multiplicity",
+        )
+    )

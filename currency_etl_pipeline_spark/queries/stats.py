@@ -925,3 +925,66 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_profile(ev, ["user_id"], k=20)
+
+
+@query(
+    "hourly_seasonality_profile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST("value" AS DECIMAL(12,2))) AS sv
+        FROM events GROUP BY event_type, hour(ts)
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS n_type,
+               sum(sv) AS sv_type
+        FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hod, h.n,
+           round(CAST(h.sv AS DOUBLE) / h.n, 6) AS mean_value,
+           round(CAST(h.sv AS DOUBLE) / h.n
+                 - CAST(t.sv_type AS DOUBLE) / t.n_type, 6) AS dev_from_type_mean
+    FROM h JOIN tot t ON t.event_type = h.event_type
+    """,
+)
+def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event_type: each (type, hour) cell's
+    mean value and its deviation from the type's overall mean — the
+    diurnal-pattern profile that tells an alerting stack (the z-score /
+    CUSUM family) whether 'high at 14:00' is signal or just lunchtime,
+    and a gap-filling stack what a missing hour should have looked
+    like.
+
+    Exactness: per-cell sums are exact DECIMAL (the dec() discipline),
+    the type totals are re-aggregates of those SAME decimal partials —
+    never a second corpus pass, and exact by construction — and each
+    output is a fixed-form IEEE division (or difference of two) both
+    engines evaluate on identical operands; 6 dp edge round.
+
+    Plan/scale: ONE corpus scan → partial+final hash agg to ≤
+    |types|×24 cells; the totals aggregate and the join run on those
+    cells, so everything after the first shuffle is metadata-sized.
+    The join is type-keyed over tiny sides (AQE broadcasts it); no
+    window, no second scan — the emit-few/join-back shape
+    rolling_volatility_close's docstring records.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("sv"),
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").alias("n_type"), F.sum("sv").alias("sv_type")
+    )
+    mean_v = F.col("sv").cast("double") / F.col("n")
+    dev = mean_v - F.col("sv_type").cast("double") / F.col("n_type")
+    return h.join(tot, "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(mean_v, 6).alias("mean_value"),
+        F.round(dev, 6).alias("dev_from_type_mean"),
+    )

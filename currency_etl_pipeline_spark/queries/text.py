@@ -1327,3 +1327,154 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wk)).select(
         "doc_id", "n_terms", F.round(raw, 4).alias("score"), "rank"
     )
+
+
+@query(
+    "token_diversity_gini",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), cnt AS (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE),
+                 9) AS gini_diversity
+    FROM agg
+    """,
+)
+def token_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram diversity per document as Gini impurity: 1 − Σ(c/N)² —
+    the no-libm twin of Shannon token entropy (same ordering on the
+    distributions that matter: 0 for a one-token-repeated doc, →1 for
+    all-distinct tokens), joining the quality family as the
+    DISTRIBUTION member (quality_filter gates on ratios,
+    doc_repetition_score on repeated n-grams; this scores how
+    concentrated the vocabulary is — a 'the the the' spam doc and a
+    natural doc have the same stopword ratio but opposite Gini).
+    Log-free by design, per the bigram_lift/keyword_search precedent:
+    Σc² and N are exact integers, and the score is ONE fixed-form
+    IEEE division both engines compute identically (9 dp edge round).
+
+    Plan/scale: explode → (doc,tok) hash count → per-doc hash agg.
+    Both aggregates partial map-side; the shuffle carries distinct
+    (doc, token) pairs, not token instances — bounded by vocabulary
+    repetition, the one-corpus-scan discipline of the text family.
+    NULL-text docs drop symmetrically (explode vs unnest of NULL).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    gini = F.round(
+        F.lit(1.0)
+        - F.col("sum_sq").cast("double")
+        / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+        9,
+    )
+    return agg.select("doc_id", "n_tokens", "n_distinct", gini.alias("gini_diversity"))
+
+
+@query(
+    "near_dup_pagerank",
+    oracle=f"""
+    WITH e0 AS (SELECT id_a AS a, id_b AS b FROM ({_lsh_edge_sql()})),
+    und AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    r0 AS (SELECT u, CAST(1000000000 AS BIGINT) AS r FROM deg),
+    i1 AS (SELECT und.v AS u,
+                  CAST(150000000 + 85 * sum(r0.r // deg.d) // 100 AS BIGINT) AS r
+           FROM und JOIN r0 ON r0.u = und.u JOIN deg ON deg.u = und.u
+           GROUP BY und.v),
+    i2 AS (SELECT und.v AS u,
+                  CAST(150000000 + 85 * sum(i1.r // deg.d) // 100 AS BIGINT) AS r
+           FROM und JOIN i1 ON i1.u = und.u JOIN deg ON deg.u = und.u
+           GROUP BY und.v),
+    i3 AS (SELECT und.v AS u,
+                  CAST(150000000 + 85 * sum(i2.r // deg.d) // 100 AS BIGINT) AS r
+           FROM und JOIN i2 ON i2.u = und.u JOIN deg ON deg.u = und.u
+           GROUP BY und.v)
+    SELECT i3.u AS doc_id, deg.d AS degree, i3.r AS rank_e9,
+           row_number() OVER (ORDER BY i3.r DESC, i3.u ASC) AS pos
+    FROM i3 JOIN deg ON deg.u = i3.u
+    QUALIFY row_number() OVER (ORDER BY i3.r DESC, i3.u ASC) <= 20
+    """,
+)
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph (3 power iterations,
+    damping 0.85) — which documents sit at the CENTER of duplication
+    neighborhoods. Degree alone can't tell a hub from a clique member
+    (every vertex of a 5-clique has the same degree as a 5-spoke
+    template hub); PageRank concentrates mass on vertices whose
+    NEIGHBORS are also well-connected, which is exactly the
+    boilerplate/template signature a dedup triage wants ranked first.
+    Composed from the REGISTERED minhash_lsh_near_dup SQL/plan (the
+    near_dup_graph_stats pattern), so it ranks the edges the dedup
+    pipeline actually produces.
+
+    INTEGER-EXACT power iteration — the device that makes an
+    iterative float algorithm hash-checkable: ranks live at scale 1e9
+    (uniform start 1e9 per vertex), each step is
+    r' = 150 000 000 + 85·Σ(r_u FLOOR-DIV deg_u) FLOOR-DIV 100,
+    and every operation (integer division per edge, integer sum,
+    integer scale-down) is order-independent, so 1000 executors
+    reproduce one thread bit-for-bit — the NLL/CUSUM fixed-point
+    discipline applied to an iterative graph algorithm. The oracle
+    unrolls the three iterations as chained CTEs; floor-div drift vs
+    true doubles is ≤ 1 ulp-of-scale per step (≤ 3e-9 after 3 steps),
+    far below ranking resolution.
+
+    Plan/scale: the LSH edge list (bounded by near-dup density) is
+    localCheckpointed once; each iteration is one edge-join + hash
+    aggregate shuffling (vertex, long) pairs — the standard Pregel
+    message shape — with per-iteration localCheckpoint to cut lineage
+    (the CC-loop lesson). Every vertex has degree ≥ 1 by construction
+    (undirected dup edges), so there is no dangling-mass term.
+    """
+    edges = (
+        _lsh_edges_plan(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    und = und.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    ranks = deg.select("u", F.lit(1_000_000_000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            und.join(ranks, "u")
+            .join(deg, "u")
+            .select("v", F.expr("r DIV d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("u"),
+            F.expr("CAST(150000000 + (85 * s) DIV 100 AS BIGINT)").alias("r"),
+        ).localCheckpoint(eager=True)
+    from pyspark.sql import Window as W
+
+    wk = W.orderBy(F.col("rank_e9").desc(), F.col("doc_id").asc())
+    return (
+        ranks.join(deg, "u")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_e9"),
+        )
+        .withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= 20)
+    )
