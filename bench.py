@@ -223,6 +223,11 @@ HEADLINE = [
     # integer-exact PageRank over the near-dup graph.
     "pps_systematic_sample",
     "near_dup_pagerank",
+    # r9 continuation, batch 4: asymmetric containment dedup, vocabulary
+    # drift between ingestion halves, stratified Neyman sampling.
+    "doc_containment_pairs",
+    "token_drift_report",
+    "stratified_neyman_sample",
 ]
 
 

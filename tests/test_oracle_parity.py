@@ -722,3 +722,115 @@ def test_pagerank_planted_chain_center_wins(spark, tmp_path):
     assert got[1]["rank_e9"] == 1_741_625_000, got[1]
     assert got[0]["rank_e9"] == got[2]["rank_e9"] == 629_187_500
     assert got[1]["pos"] == 1 and (got[0]["degree"], got[1]["degree"]) == (1, 2)
+
+
+def test_containment_catches_wrapper_jaccard_misses(spark, tmp_path):
+    """The asymmetric case the query exists for: a 12-token quote fully
+    embedded in a ~100-token page has containment 1.0 but Jaccard
+    ≈ 0.1 — doc_containment_pairs must emit it oriented
+    (small, big) and near_dup_jaccard_pairs must NOT see it. The
+    organic fixture's containment-1.0 pairs are almost all exact dups
+    (jaccard 1.0), so the gap case needs planting. Also engine-parity
+    on the planted corpus."""
+    import duckdb
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = " ".join(f"p{i}" for i in range(60)) + " " + quote + " " + " ".join(
+        f"r{i}" for i in range(40)
+    )
+    _write_docs(
+        tmp_path,
+        [(0, page, "en", "s"), (1, quote, "en", "s"), (2, "unrelated words here now", "en", "s")],
+    )
+    spec = SPECS["doc_containment_pairs"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_small"], r["doc_big"]) == (1, 0), "must orient small→big"
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.15, r
+    jac = SPECS["near_dup_jaccard_pairs"].spark(spark, str(tmp_path)).collect()
+    assert jac == [], "symmetric Jaccard must structurally miss the wrapper"
+
+
+def test_token_drift_planted_shift(spark, tmp_path):
+    """A token that disappears between ingestion halves must rank #1
+    with direction 'down'; a heavy but evenly-split token must NOT
+    outrank it (chi-square scores the SHIFT, not the volume); tokens
+    under the min-count floor are excluded. The sf fixture's organic
+    drift is mild (χ² ≤ 8), so the discriminating case needs planting.
+    Also engine-parity on the planted corpus."""
+    import duckdb
+
+    base = "alpha beta gamma delta " * 10  # 40 even background tokens/doc
+    rows = []
+    for i in range(4):  # first half: doc_id 0..3 (mid = (0+7)//2 = 3)
+        rows.append((i, base + "vanish " * 8, "en", "s"))
+    for i in range(4, 8):
+        rows.append((i, base, "en", "s"))
+    _write_docs(tmp_path, rows)
+    spec = SPECS["token_drift_report"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    rows_out = sorted(df.collect(), key=lambda r: r["pos"])
+    assert rows_out[0]["token"] == "vanish", rows_out[:3]
+    assert rows_out[0]["direction"] == "down"
+    assert (rows_out[0]["n_first"], rows_out[0]["n_second"]) == (32, 0)
+    # background tokens are present (≥ min count) but far below the
+    # planted shift (their per-half counts are equal; their small χ²
+    # comes only from the totals imbalance the planted token causes)
+    assert {r["token"] for r in rows_out} >= {"alpha", "beta", "gamma", "delta"}
+    assert all(r["chi2"] < rows_out[0]["chi2"] / 4 for r in rows_out[1:])
+
+
+def test_neyman_total_is_k_and_variance_drives_allocation(spark, sf_dir, tmp_path):
+    """Largest-remainder apportionment must hand out EXACTLY k seats
+    (no stratum hits its N_h cap on the fixture), and on a planted
+    corpus two equal-SIZE strata must split unequally — the
+    high-variance one gets more probes, which is the entire point of
+    Neyman over proportional allocation. Engine-parity on the planted
+    corpus too."""
+    import duckdb
+
+    from currency_etl_pipeline_spark.queries.llm_prep import _NEYMAN_K
+
+    df = SPECS["stratified_neyman_sample"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == _NEYMAN_K, f"allocation must telescope to k={_NEYMAN_K}"
+    per = {}
+    for r in rows:
+        per[r["source"]] = r["alloc"]
+    assert sum(per.values()) == _NEYMAN_K
+
+    # planted: same N, wildly different spread
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_rows = []
+    for i in range(40):
+        n_rows.append((i, "x", "en", "varied", 10 if i % 2 == 0 else 2000))
+        n_rows.append((100 + i, "x", "en", "flat", 500))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in n_rows], pa.int64()),
+            "text": pa.array([r[1] for r in n_rows], pa.string()),
+            "lang": pa.array([r[2] for r in n_rows], pa.string()),
+            "source": pa.array([r[3] for r in n_rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in n_rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    spec = SPECS["stratified_neyman_sample"]
+    pdf = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    compare(pdf, con, spec.oracle)
+    alloc = {r["source"]: r["alloc"] for r in pdf.collect()}
+    # flat stratum has stddev 0 → weight 0 → all seats go to 'varied',
+    # capped at its 40 docs (the documented no-redistribution shortfall)
+    assert alloc["varied"] == 40 and "flat" not in alloc, alloc
