@@ -228,6 +228,11 @@ HEADLINE = [
     "doc_containment_pairs",
     "token_drift_report",
     "stratified_neyman_sample",
+    # r9 continuation, batch 5: embedding geometry, behavior mining,
+    # interval-overlap self-join.
+    "label_centroid_similarity",
+    "event_transition_lift",
+    "concurrent_session_pairs",
 ]
 
 

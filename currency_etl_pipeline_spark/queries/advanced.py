@@ -1604,3 +1604,238 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("long").alias("peak_concurrent"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_sessions"),
     )
+
+
+# Transition-lift knobs, mirroring the bigram_lift collocation family.
+_TRANS_MIN_COUNT, _TRANS_TOPK = 5, 20
+
+
+@query(
+    "event_transition_lift",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), tr AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+    tcnt AS (SELECT src, dst, count(*) AS c_xy FROM tr GROUP BY 1, 2),
+    scnt AS (SELECT src, count(*) AS c_x FROM tr GROUP BY 1),
+    dcnt AS (SELECT dst, count(*) AS c_y FROM tr GROUP BY 1),
+    mm AS (SELECT count(*) AS m FROM tr),
+    lifted AS (
+        SELECT t.src, t.dst, CAST(t.c_xy AS BIGINT) AS c_xy,
+               round((CAST(t.c_xy AS DOUBLE) * mm.m)
+                     / (CAST(s.c_x AS DOUBLE) * d.c_y), 6) AS lift
+        FROM tcnt t
+        JOIN scnt s ON s.src = t.src
+        JOIN dcnt d ON d.dst = t.dst
+        CROSS JOIN mm
+        WHERE t.c_xy >= {_TRANS_MIN_COUNT}
+    )
+    SELECT src, dst, c_xy, lift,
+           row_number() OVER (ORDER BY lift DESC, src ASC, dst ASC) AS pos
+    FROM lifted
+    QUALIFY row_number() OVER (ORDER BY lift DESC, src ASC, dst ASC)
+            <= {_TRANS_TOPK}
+    """,
+)
+def event_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition mining over user event streams:
+    which event_type → event_type transitions happen MORE than their
+    marginals predict (lift = P(x→y) / (P(·→y)·P(x→·)), the
+    bigram_lift_topk association measure applied to behavior instead
+    of text). Funnels assert a HYPOTHESIZED sequence;
+    this DISCOVERS the sequences worth asserting — the top lifts are
+    the edges a funnel/recommendation model should start from, and a
+    lift < 1 on a designed flow (checkout → confirm) is a product bug
+    the report surfaces for free.
+
+    Exactness: transition pairs come from one lead() over each user's
+    (ts, event_id) total order; every input to lift is an exact
+    integer count over the SAME transition relation (pair count, both
+    marginals, total m), so the score is one fixed-form double over
+    exactly-representable integers — no libm, engine-identical
+    ordering, (src, dst) tie-break; pairs under _TRANS_MIN_COUNT (= 5)
+    transitions are excluded (1/c noise, the collocation precedent).
+
+    Plan/scale: one shuffle on user_id (the window — same exchange
+    every per-user sequence query in the catalog rides), then the
+    transition relation collapses to ≤ |types|² rows before anything
+    joins: three tiny hash aggregates, broadcast joins, scalar total
+    on a literal cross join, TakeOrderedAndProject top-20. The
+    event-scale data is touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    tcnt = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    scnt = tr.groupBy("src").agg(F.count(F.lit(1)).alias("c_x"))
+    dcnt = tr.groupBy("dst").agg(F.count(F.lit(1)).alias("c_y"))
+    mm = tr.agg(F.count(F.lit(1)).alias("m"))
+    lifted = (
+        tcnt.filter(F.col("c_xy") >= _TRANS_MIN_COUNT)
+        .join(F.broadcast(scnt), "src")
+        .join(F.broadcast(dcnt), "dst")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "src",
+            "dst",
+            "c_xy",
+            F.round(
+                (F.col("c_xy").cast("double") * F.col("m"))
+                / (F.col("c_x").cast("double") * F.col("c_y")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    wk = Window.orderBy(F.col("lift").desc(), F.col("src").asc(), F.col("dst").asc())
+    return (
+        lifted.withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= _TRANS_TOPK)
+    )
+
+
+_COSESS_TOPK = 50
+
+
+@query(
+    "concurrent_session_pairs",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               min(ts) AS s_start,
+               max(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM (SELECT user_id, ts, event_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged) g
+        GROUP BY user_id, sid
+    ), segs AS (
+        SELECT user_id, CAST(d.d AS DATE) AS day,
+               greatest(s_start, d.d) AS seg_start,
+               least(s_end, d.d + INTERVAL 1 DAY) AS seg_end
+        FROM sess
+        CROSS JOIN unnest(generate_series(date_trunc('day', s_start),
+                                          date_trunc('day', s_end - INTERVAL 1 MICROSECOND),
+                                          INTERVAL 1 DAY)) AS d(d)
+    ), ov AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(count(*) AS BIGINT) AS n_joint,
+               CAST(sum(epoch_us(least(a.seg_end, b.seg_end))
+                        - epoch_us(greatest(a.seg_start, b.seg_start))) AS BIGINT)
+                   AS overlap_us
+        FROM segs a JOIN segs b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.seg_start < b.seg_end AND b.seg_start < a.seg_end
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n_joint, overlap_us,
+           row_number() OVER (ORDER BY overlap_us DESC, user_a ASC, user_b ASC)
+               AS pos
+    FROM ov
+    QUALIFY row_number() OVER (ORDER BY overlap_us DESC, user_a ASC, user_b ASC)
+            <= {_COSESS_TOPK}
+    """,
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join: the top-50 user pairs by total
+    co-session time (both mid-session simultaneously, summed in exact
+    microseconds) — the co-presence operator behind fraud rings
+    (accounts always online together), shared-device detection, and
+    social-graph inference. peak_concurrent_sessions counts HOW MANY
+    are live; this says WHO is live together, completing the interval
+    family (as-of = nearest-before, range = window-contains,
+    sweep-line = occupancy, this = pairwise overlap).
+
+    Spark has no native interval join; the composition is the
+    catalog's day-split device as a JOIN KEY: sessions (the
+    session_window 30-min semantics verbatim) are clamped into
+    per-day segments, the self-join runs as a day-bucket EQUI-join
+    with the overlap predicate residual — Catalyst hash-partitions by
+    day, so no timeline-wide comparison ever happens, and per-day
+    overlap durations of midnight-split segments SUM back to the true
+    total exactly (disjoint clamps), so splitting never double-counts
+    microseconds. Finer shards (hours) drop in by changing the split
+    unit when a day's session population outgrows a partition — the
+    quadratic is per-bucket, the documented trade of every
+    blocked/banded pair enumerator in this catalog.
+
+    Exactness: all arithmetic is BIGINT epoch-microseconds (both
+    engines' native timestamp resolution — no rounding surface at
+    all); touching sessions (end == start) are excluded by the strict
+    inequality in both engines; ties rank by (user_a, user_b).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"))
+    )
+    segs = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.to_date("s_start"),
+                F.to_date(F.expr("s_end - INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("day"),
+        "s_start",
+        "s_end",
+    ).select(
+        "user_id",
+        "day",
+        F.greatest(F.col("s_start"), F.col("day").cast("timestamp")).alias("seg_start"),
+        F.least(
+            F.col("s_end"), F.expr("CAST(day AS TIMESTAMP) + INTERVAL 1 DAY")
+        ).alias("seg_end"),
+    )
+    a = segs.select(
+        F.col("user_id").alias("user_a"),
+        "day",
+        F.col("seg_start").alias("sa"),
+        F.col("seg_end").alias("ea"),
+    )
+    b = segs.select(
+        F.col("user_id").alias("user_b"),
+        "day",
+        F.col("seg_start").alias("sb"),
+        F.col("seg_end").alias("eb"),
+    )
+    ov = (
+        a.join(b, "day")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_joint"),
+            F.sum(
+                F.unix_micros(F.least(F.col("ea"), F.col("eb")))
+                - F.unix_micros(F.greatest(F.col("sa"), F.col("sb")))
+            ).cast("long").alias("overlap_us"),
+        )
+    )
+    wk = Window.orderBy(
+        F.col("overlap_us").desc(), F.col("user_a").asc(), F.col("user_b").asc()
+    )
+    return (
+        ov.withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= _COSESS_TOPK)
+    )

@@ -1073,3 +1073,111 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "label", "cos_sim", "rank")
     )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle=f"""
+    WITH ex AS (
+        -- the fixture's embedding dim is fixed at 64 (the drift/PQ
+        -- oracles' generate_series convention)
+        SELECT label, d.i AS i,
+               {_Q9_DUCK.format(x="embedding[d.i]")} AS xq
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+    ), sv AS (
+        SELECT label, i, CAST(sum(xq) AS BIGINT) AS s
+        FROM ex GROUP BY label, i
+    ), nrm AS (
+        SELECT label, sum(CAST(s AS HUGEINT) * s) AS nn
+        FROM sv GROUP BY label
+    ), cnt AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ), dotp AS (
+        SELECT a.label AS la, b.label AS lb,
+               sum(CAST(a.s AS HUGEINT) * b.s) AS dp
+        FROM sv a JOIN sv b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(d.la AS BIGINT) AS label_a, CAST(d.lb AS BIGINT) AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CASE WHEN na.nn = 0 OR nb.nn = 0 THEN NULL
+                ELSE round(CAST(d.dp AS DOUBLE)
+                           / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))),
+                           6)
+           END AS cosine
+    FROM dotp d
+    JOIN nrm na ON na.label = d.la
+    JOIN nrm nb ON nb.label = d.lb
+    JOIN cnt ca ON ca.label = d.la
+    JOIN cnt cb ON cb.label = d.lb
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding GEOMETRY report: pairwise cosine between
+    per-label centroids — which classes/domains are semantically
+    adjacent. This is the mixture-design companion to the ANN family:
+    ann_recall_report grades retrieval, this tells you WHICH labels an
+    approximate index will confuse first (adjacent centroids share IVF
+    cells) and which domain pairs a contamination check should
+    cross-examine.
+
+    Exactness without normalizing by counts: the centroid is
+    (Σv)/n per label, but cosine is scale-invariant, so the 1/n
+    factors CANCEL — cos(Ā, B̄) = Σ(sa·sb) / (‖sa‖·‖sb‖) on the raw
+    per-dimension SUM vectors. Components quantize at scale 9 (the
+    half-up DECIMAL(19,9) cast both engines share), per-(label, dim)
+    sums are exact BIGINTs, dot/norms are exact HUGEINT/DECIMAL(38)
+    products, and each output is ONE fixed-form double expression
+    (6 dp edge round; all-zero centroids guard to NULL in both
+    engines).
+
+    Plan/scale: one posexplode scan → (label, dim) hash agg — the
+    shuffle carries |labels|×64 longs, metadata-sized regardless of
+    corpus row count; everything after (norms, the dim-keyed
+    self-join, count join) runs on ≤ 640-row tables. The same shape
+    scales to thousands of labels; the quadratic half-join is over
+    LABEL PAIRS, never vectors.
+    """
+    v = _vecs(spark, sf_dir)
+    ex = v.select("label", F.posexplode("v").alias("i0", "x")).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        (F.col("x").cast("decimal(19,9)") * F.lit(1_000_000_000)).cast("long").alias("xq"),
+    )
+    sv = ex.groupBy("label", "i").agg(F.sum("xq").cast("long").alias("s"))
+    d38 = "decimal(38,0)"
+    nrm = sv.groupBy("label").agg(
+        F.sum(F.col("s").cast(d38) * F.col("s").cast(d38)).alias("nn")
+    )
+    cnt = v.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sv.select(F.col("label").alias("la"), "i", F.col("s").alias("sa"))
+    b = sv.select(F.col("label").alias("lb"), "i", F.col("s").alias("sb"))
+    dotp = (
+        a.join(b, "i")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa").cast(d38) * F.col("sb").cast(d38)).alias("dp"))
+    )
+    cos = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            F.col("dp").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+            6,
+        )
+    )
+    return (
+        dotp.join(nrm.select(F.col("label").alias("la"), F.col("nn").alias("na")), "la")
+        .join(nrm.select(F.col("label").alias("lb"), F.col("nn").alias("nb")), "lb")
+        .join(cnt.select(F.col("label").alias("la"), F.col("n").alias("n_a")), "la")
+        .join(cnt.select(F.col("label").alias("lb"), F.col("n").alias("n_b")), "lb")
+        .select(
+            F.col("la").cast("long").alias("label_a"),
+            F.col("lb").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            cos.alias("cosine"),
+        )
+    )

@@ -834,3 +834,136 @@ def test_neyman_total_is_k_and_variance_drives_allocation(spark, sf_dir, tmp_pat
     # flat stratum has stddev 0 → weight 0 → all seats go to 'varied',
     # capped at its 40 docs (the documented no-redistribution shortfall)
     assert alloc["varied"] == 40 and "flat" not in alloc, alloc
+
+
+def test_centroid_similarity_geometry_endpoints(spark, tmp_path):
+    """Pinned geometry: two labels with identical mean direction score
+    cosine 1.0, orthogonal labels score 0.0, and an all-zero-centroid
+    label hits the NULL guard in BOTH engines (Spark /0 → NULL vs
+    DuckDB → ±inf/nan — the divergence class the guard exists for).
+    Also engine-parity on the planted vectors."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+    def vec(*hot):  # unit spikes on the given dims
+        v = [0.0] * dim
+        for h in hot:
+            v[h] = 1.0
+        return v
+
+    rows = [
+        (0, vec(0), 0), (1, vec(0, 1), 0),      # label 0: mean ~ (1, .5, 0...)
+        (2, vec(0), 1), (3, vec(0, 1), 1),      # label 1: same mean → cos 1
+        (4, vec(5), 2), (5, vec(6), 2),         # label 2: ⊥ to 0/1 → cos 0
+        (6, [0.0] * dim, 3),                    # label 3: zero centroid → NULL
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    spec = SPECS["label_centroid_similarity"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+    compare(df, con, spec.oracle)
+    got = {(r["label_a"], r["label_b"]): r["cosine"] for r in df.collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+    assert got[(0, 3)] is None and got[(2, 3)] is None, "zero centroid must guard to NULL"
+
+
+def test_transition_lift_planted_flow(spark, tmp_path):
+    """Two user populations alternate inside DISJOINT vocabularies
+    (view↔buy vs a↔b): all four within-vocabulary transitions must
+    surface with exact hand-computed lifts (the return edge scores
+    higher — its src AND dst marginals are the rarer ones: 12·60/12²=5
+    vs 18·60/18²=10/3), and NO cross-vocabulary transition may appear —
+    the lead() window is per-user, so transitions can never leak
+    across user boundaries. Also engine-parity on the planted events."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for u in range(6):  # flow users: view buy view buy ...
+        for k in range(6):
+            rows.append((eid, u, "view" if k % 2 == 0 else "buy")); eid += 1
+    for u in range(6, 12):  # noise users: a b a b ... (own vocabulary)
+        for k in range(6):
+            rows.append((eid, u, "a" if k % 2 == 0 else "b")); eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + r[0] * 1_000_000 for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = SPECS["event_transition_lift"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    compare(df, con, spec.oracle)
+    got = {(r["src"], r["dst"]): r["lift"] for r in df.collect()}
+    assert got == {
+        ("buy", "view"): 5.0,
+        ("b", "a"): 5.0,
+        ("view", "buy"): 3.333333,
+        ("a", "b"): 3.333333,
+    }, got
+
+
+def test_concurrent_pairs_hand_computed_overlap(spark, tmp_path):
+    """Exact-microsecond overlap on the midnight fixture, hand-checked:
+    u1 [23:40, 00:35) × u2 [23:50, 00:20) overlap 23:50→00:20 = 30 min;
+    u1 × u3 [00:30, 01:00) overlap 00:30→00:35 = 5 min — the u1×u2
+    overlap SPANS midnight, so it must arrive as two day-clamped
+    segments (10 min + 20 min) summing exactly; u2 × u3 touch nothing.
+    u4 ends exactly when u5 starts (end == start): touching sessions
+    must NOT pair. Also engine-parity on the planted events."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    def ts(day, h, m):
+        return datetime(2024, 3, day, h, m)
+
+    rows = [
+        (0, 1, ts(1, 23, 40)), (1, 1, ts(2, 0, 5)),   # u1: [23:40, 00:35)
+        (2, 2, ts(1, 23, 50)),                         # u2: [23:50, 00:20)
+        (3, 3, ts(2, 0, 30)),                          # u3: [00:30, 01:00)
+        (4, 4, ts(1, 10, 0)),                          # u4: [10:00, 10:30)
+        (5, 5, ts(1, 10, 30)),                         # u5: [10:30, 11:00) touches u4
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = SPECS["concurrent_session_pairs"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    compare(df, con, spec.oracle)
+    got = {(r["user_a"], r["user_b"]): (r["n_joint"], r["overlap_us"]) for r in df.collect()}
+    assert got[(1, 2)] == (2, 30 * 60 * 1_000_000), got  # two clamped segments
+    assert got[(1, 3)] == (1, 5 * 60 * 1_000_000), got
+    assert (2, 3) not in got and (4, 5) not in got, "touching must not pair"
