@@ -233,6 +233,8 @@ HEADLINE = [
     "label_centroid_similarity",
     "event_transition_lift",
     "concurrent_session_pairs",
+    # r9 continuation, batch 6: lexical+semantic hybrid retrieval.
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -1839,3 +1839,154 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov.withColumn("pos", F.row_number().over(wk).cast("long"))
         .filter(F.col("pos") <= _COSESS_TOPK)
     )
+
+
+# RRF fusion geometry: the standard k=60 dampener, top-20 per ranker,
+# top-5 BM25 seeds for the pseudo-relevance centroid, top-10 fused.
+_RRF_K, _RRF_LIST, _RRF_SEEDS, _RRF_OUT = 60, 20, 5, 10
+_Q9A = "CAST(CAST({x} AS DECIMAL(19,9)) * 1000000000 AS BIGINT)"
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH kw AS ({_registered_oracle("keyword_search_topk")}),
+    seeds AS (SELECT doc_id FROM kw WHERE rank <= {_RRF_SEEDS}),
+    cent AS (
+        SELECT d.i AS i,
+               CAST(sum({_Q9A.format(x="e.embedding[d.i]")}) AS BIGINT) AS cq
+        FROM embeddings e JOIN seeds s ON e.vec_id = s.doc_id
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+        GROUP BY d.i
+    ),
+    nc AS (SELECT sum(CAST(cq AS HUGEINT) * cq) AS nc FROM cent),
+    sem AS (
+        SELECT e.vec_id,
+               sum(CAST({_Q9A.format(x="e.embedding[c.i]")} AS HUGEINT) * c.cq) AS dot,
+               sum(CAST({_Q9A.format(x="e.embedding[c.i]")} AS HUGEINT)
+                   * {_Q9A.format(x="e.embedding[c.i]")}) AS na
+        FROM embeddings e JOIN cent c ON TRUE
+        GROUP BY e.vec_id
+    ),
+    sem_ranked AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY CAST(dot AS DOUBLE)
+                            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE)))
+                            DESC, vec_id ASC) AS rank_sem
+        FROM sem, nc WHERE na > 0 AND nc.nc > 0
+        QUALIFY row_number() OVER (
+                   ORDER BY CAST(dot AS DOUBLE)
+                            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE)))
+                            DESC, vec_id ASC) <= {_RRF_LIST}
+    ),
+    fused AS (
+        SELECT COALESCE(k.doc_id, s.vec_id) AS doc_id,
+               k.rank AS rank_kw, s.rank_sem,
+               COALESCE(1000000000 // (CAST({_RRF_K} AS BIGINT) + k.rank), 0)
+               + COALESCE(1000000000 // (CAST({_RRF_K} AS BIGINT) + s.rank_sem), 0)
+                   AS rrf_e9
+        FROM kw k FULL OUTER JOIN sem_ranked s ON s.vec_id = k.doc_id
+    )
+    SELECT doc_id, rank_kw, rank_sem, CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+           row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS pos
+    FROM fused
+    QUALIFY row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) <= {_RRF_OUT}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the REGISTERED BM25
+    lexical ranking (keyword_search_topk) seeds a pseudo-relevance
+    centroid (mean embedding of its top-5, doc_id ≡ vec_id — the
+    dedup_consensus corpus convention), a semantic ranking scores every
+    vector against that centroid, and the two top-20 lists fuse with
+    RRF — the industry-standard lexical+vector hybrid (rank-based, so
+    BM25 scores and cosines never need calibrating against each other).
+
+    Integer-exact fusion surface: RRF contributions are
+    1e9 DIV (60 + rank) BIGINTs — floor-div of exact integers, so the
+    ENTIRE output (ranks, fused score, position) is integer-typed; a
+    doc missing from one list contributes 0 there (NULL rank rides to
+    the output, telling the reader WHICH signal found it). The
+    semantic ordering inside is the one fixed-form double cosine over
+    exact scale-9 integer sums (centroid counts cancel per the
+    label_centroid_similarity identity), identical in both engines.
+    The oracle COMPOSES the registered BM25 SQL verbatim, so the
+    fusion is graded against exactly the ranking the catalog ships.
+
+    Plan/scale: the BM25 top-20 is localCheckpointed once (≤ 20 rows —
+    referencing its plan twice would re-run the whole posting-list
+    scan, the duplicated-subtree class); the centroid is a 64-row
+    broadcast; the semantic pass is ONE corpus scan (explode → join
+    broadcast centroid → per-vec hash agg computing dot and norm
+    together); fusion and the final top-10 run on ≤ 40 rows.
+    """
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    kw = (
+        _REGISTRY["keyword_search_topk"]
+        .spark(spark, sf_dir)
+        .select("doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q9 = lambda c: (c.cast("decimal(19,9)") * F.lit(1_000_000_000)).cast("long")  # noqa: E731
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("dim"), q9(F.col("x")).alias("xq"))
+    # .limit() after the rank filter is a no-op on values but plants a
+    # GlobalLimit the broadcast lint reads as a boundedness declaration
+    # (a checkpointed top-k's LogicalRDD leaf looks corpus-shaped).
+    seeds = (
+        kw.filter(F.col("rank") <= _RRF_SEEDS)
+        .limit(_RRF_SEEDS)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cent = (
+        ex.join(F.broadcast(seeds), "vec_id")
+        .groupBy("dim")
+        .agg(F.sum("xq").cast("long").alias("cq"))
+    )
+    d38 = "decimal(38,0)"
+    nc = cent.agg(F.sum(F.col("cq").cast(d38) * F.col("cq").cast(d38)).alias("nc"))
+    sem = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xq").cast(d38) * F.col("cq").cast(d38)).alias("dot"),
+            F.sum(F.col("xq").cast(d38) * F.col("xq").cast(d38)).alias("na"),
+        )
+    )
+    cosd = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nc").cast("double"))
+    )
+    ws = Window.orderBy(cosd.desc(), F.col("vec_id").asc())
+    sem_ranked = (
+        sem.crossJoin(F.broadcast(nc))
+        .filter((F.col("na") > 0) & (F.col("nc") > 0))
+        .withColumn("rank_sem", F.row_number().over(ws).cast("long"))
+        .filter(F.col("rank_sem") <= _RRF_LIST)
+        .select("vec_id", "rank_sem")
+    )
+    fused = (
+        kw.select(F.col("doc_id").alias("kw_id"), F.col("rank").alias("rank_kw"))
+        .join(sem_ranked, F.col("kw_id") == F.col("vec_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("kw_id"), F.col("vec_id")).alias("doc_id"),
+            "rank_kw",
+            "rank_sem",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_K} + rank_kw)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_K} + rank_sem)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_e9"),
+        )
+    )
+    wk = Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= _RRF_OUT)
+    )

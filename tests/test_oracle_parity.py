@@ -967,3 +967,29 @@ def test_concurrent_pairs_hand_computed_overlap(spark, tmp_path):
     assert got[(1, 2)] == (2, 30 * 60 * 1_000_000), got  # two clamped segments
     assert got[(1, 3)] == (1, 5 * 60 * 1_000_000), got
     assert (2, 3) not in got and (4, 5) not in got, "touching must not pair"
+
+
+def test_rrf_fusion_arithmetic_and_overlap(spark, sf_dir):
+    """The fused score must equal the floor-div identity recomputed
+    from the emitted ranks (1e9 // (60+rank) per present signal), the
+    top-10 must be ordered by it with the doc_id tie-break, and at
+    least one doc must carry BOTH ranks — the BM25 seeds sit inside
+    the pseudo-relevance centroid, so lexical and semantic lists
+    overlap by construction; all-NULL-on-one-side would mean the
+    full-outer join or the id alignment silently broke."""
+    rows = sorted(
+        SPECS["hybrid_rrf_retrieval"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0
+        if r["rank_kw"] is not None:
+            expect += 1_000_000_000 // (60 + r["rank_kw"])
+        if r["rank_sem"] is not None:
+            expect += 1_000_000_000 // (60 + r["rank_sem"])
+        assert r["rrf_e9"] == expect, r
+    assert rows == sorted(rows, key=lambda r: (-r["rrf_e9"], r["doc_id"]))
+    assert any(
+        r["rank_kw"] is not None and r["rank_sem"] is not None for r in rows
+    ), "lexical and semantic lists must overlap on the seeds"

@@ -585,6 +585,10 @@ _HINT_BOUNDED_KEY_COLUMNS = {
     "event_type", "lang", "source", "split",
     "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
     "cid", "pcid", "block",
+    # embedding dimension index (posexplode position over the fixed
+    # 64-dim vectors) — an aggregate keyed by it emits ≤ 64 rows
+    # (hybrid_rrf_retrieval's pseudo-relevance centroid).
+    "dim",
 }
 
 _KEY_ATTR = re.compile(r"(\w+)#\d+")
