@@ -108,6 +108,10 @@ _JOIN_HEAVY = [
     "tpch_q20_promotion_suppliers",
     "purchases_within_1h_before_click",
     "customer_order_stats",
+    # r9: the inverted-index containment join and the day-bucketed
+    # interval self-join must survive the sort-merge regime too.
+    "doc_containment_pairs",
+    "concurrent_session_pairs",
 ]
 
 
