@@ -235,6 +235,8 @@ HEADLINE = [
     "concurrent_session_pairs",
     # r9 continuation, batch 6: lexical+semantic hybrid retrieval.
     "hybrid_rrf_retrieval",
+    # r9 continuation, batch 7: robust (median/MAD) outlier fences.
+    "mad_outlier_report",
 ]
 
 

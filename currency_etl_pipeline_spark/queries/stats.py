@@ -988,3 +988,86 @@ def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_v, 6).alias("mean_value"),
         F.round(dev, 6).alias("dev_from_type_mean"),
     )
+
+
+_MAD_Q6 = 'CAST(CAST("value" AS DECIMAL(19,6)) * 1000000 AS BIGINT)'
+
+
+@query(
+    "mad_outlier_report",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type, {_MAD_Q6} AS xq FROM events
+    ), m1 AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(2 * quantile_cont(xq, 0.5) AS BIGINT) AS med2
+        FROM q GROUP BY event_type
+    ), d AS (
+        SELECT q.event_type, abs(2 * q.xq - m1.med2) AS dev, m1.n, m1.med2
+        FROM q JOIN m1 USING (event_type)
+    ), m2 AS (
+        SELECT event_type, CAST(2 * quantile_cont(dev, 0.5) AS BIGINT) AS mad4
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, any_value(d.n) AS n,
+           any_value(d.med2) AS med2_e6,
+           any_value(m2.mad4) AS mad4_e6,
+           CAST(sum(CASE WHEN 2 * d.dev > 3 * m2.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event_type: median, MAD (median
+    absolute deviation), and the count beyond the classic 3·MAD fence —
+    the heavy-tail-safe twin of events_anomaly_zscore (one fat outlier
+    inflates a stddev enough to hide its siblings; the median/MAD pair
+    doesn't move, the robust-statistics textbook argument).
+
+    ALL-INTEGER surface via the doubled-median device: an even-count
+    median of BIGINTs interpolates to an exact HALF-integer, which is
+    the round-tie trap FIXTURES warns about — so the report emits
+    med2_e6 = 2·median and mad4_e6 = 4·MAD (dev is already doubled),
+    both exact BIGINTs, never rounding a .5. The fence compares in the
+    same doubled units: |x−med| > 3·MAD ⇔ 2·dev > 3·mad4 — pure
+    integer compare, no division anywhere. Exact percentile ≡
+    quantile_cont (the lineitem_percentiles equivalence); values ride
+    the scale-6 quantization the co-moment family uses. A
+    zero-spread type would flag every nonzero deviation (mad4 = 0) —
+    standard MAD degeneracy, absent from the fixture.
+
+    Plan/scale: exact MAD is inherently two dependent order statistics,
+    so the plan is three column-pruned scans — medians per type, then
+    deviations against the broadcast 5-row med table, then the fence
+    count against the broadcast mad table (the emit-few/join-back
+    shape). At 100 TB each exact percentile swaps for approx_percentile
+    (t-digest, mergeable partials) with the same call shape — the
+    documented lineitem_percentiles trade.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select("event_type", xq.alias("xq"))
+    m1 = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.lit(2) * F.expr("percentile(xq, 0.5)")).cast("long").alias("med2"),
+    )
+    d = q.join(F.broadcast(m1), "event_type").select(
+        "event_type", "n", "med2",
+        F.abs(F.lit(2) * F.col("xq") - F.col("med2")).alias("dev"),
+    )
+    m2 = d.groupBy("event_type").agg(
+        (F.lit(2) * F.expr("percentile(dev, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med2").alias("med2_e6"),
+            F.first("mad4").alias("mad4_e6"),
+            F.sum(
+                F.when(F.lit(2) * F.col("dev") > F.lit(3) * F.col("mad4"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -997,3 +997,48 @@ def test_rrf_fusion_arithmetic_and_overlap(spark, sf_dir):
     assert any(
         r["rank_kw"] is not None and r["rank_sem"] is not None for r in rows
     ), "lexical and semantic lists must overlap on the seeds"
+
+
+def test_mad_catches_what_sigma_masking_hides(spark, tmp_path):
+    """The robustness claim, pinned: two extreme points inflate the
+    stddev enough that their OWN z-scores stay under the 3-sigma
+    convention (classic masking — ~2.1 sigma each here), while the
+    median/MAD fence flags exactly both. Doubled-unit expectations are
+    hand-computed: med2 = 2*15.5 = 31e6 q6-units, mad4 = 2*(2*3) =
+    12e6, fence 2*dev > 3*mad4 catches only the planted pair. Also
+    engine-parity on the planted events."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0, 19.0, 1000.0, 1001.0]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "user_id": pa.array([1] * len(vals), pa.int64()),
+            "event_type": pa.array(["t"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 1_000_000 for i in range(len(vals))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = SPECS["mad_outlier_report"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    compare(df, con, spec.oracle)
+    row = df.collect()[0]
+    assert (row["n"], row["med2_e6"], row["mad4_e6"], row["n_outliers"]) == (
+        12, 31_000_000, 12_000_000, 2,
+    ), row
+    z = {
+        r["event_id"]: r["zscore"]
+        for r in SPECS["events_anomaly_zscore"].spark(spark, str(tmp_path)).collect()
+    }
+    assert abs(z[10]) < 3 and abs(z[11]) < 3, (
+        f"masking precondition broke: {z[10]}, {z[11]} — the MAD report's "
+        "reason to exist is that these sit under the 3-sigma fence"
+    )
