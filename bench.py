@@ -237,6 +237,9 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     # r9 continuation, batch 7: robust (median/MAD) outlier fences.
     "mad_outlier_report",
+    # r9 continuation, batch 8: streaming vocabulary-drift monitor
+    # (maintained token-count store vs static reference half).
+    "streaming_token_drift",
 ]
 
 

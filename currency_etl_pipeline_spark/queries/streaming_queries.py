@@ -1011,3 +1011,91 @@ def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_report(
         support, ["event_type"], resketch_threshold=_DISTINCT_RESKETCH_AT
     )
+
+
+from currency_etl_pipeline_spark.queries.registry import _REGISTRY  # noqa: E402
+
+
+@query(
+    "streaming_token_drift",
+    # Same oracle as the batch twin (single source of truth): the
+    # maintained count store must land on the from-scratch chi-square
+    # report no matter how the second half was chunked into batches.
+    oracle=_REGISTRY["token_drift_report"].oracle,
+)
+def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``token_drift_report``: the reference half of
+    the corpus (doc_id ≤ midpoint) is profiled once in batch; the
+    SECOND half arrives as a file-tailed document stream in three
+    micro-batches, ``streaming/pipeline.stream_token_counts``
+    maintains its per-token counts in an epoch-tagged SnapshotStore
+    (additive merge — integer sums commute, so ANY chunking lands on
+    identical counts; the tag makes at-least-once delivery
+    exactly-once), and the final report scores the reference counts
+    against the maintained store through the SAME
+    ``drift_report_from_counts`` scorer the batch query uses. The
+    result must hash-match the batch oracle — this is the per-batch
+    drift monitor an ingestion pipeline actually runs (the reference
+    vocabulary is fixed; each arriving batch updates the comparison
+    side), graded end to end.
+
+    Zero-fill semantics: tokens seen in only one half enter the
+    full-outer count join with an explicit 0 on the other side —
+    exactly the rows the batch query's single-pass conditional sums
+    produce.
+
+    Scale: per micro-batch the store shuffle is vocabulary-sized
+    (Heaps' law), never corpus-sized; the midpoint is ONE 1-row
+    collect (the bounded params-collect convention).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.text import (
+        drift_report_from_counts,
+        tokens,
+    )
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_token_counts
+    from currency_etl_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    m = docs.agg(F.expr("(min(doc_id) + max(doc_id)) DIV 2").alias("m")).collect()[0][
+        "m"
+    ]
+    ref = (
+        docs.filter(F.col("doc_id") <= m)
+        .select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    second = docs.filter(F.col("doc_id") > m).select("doc_id", "text")
+    feed = tempfile.mkdtemp(prefix="drift_feed_")
+    for i in range(3):
+        sub = os.path.join(feed, f"b{i}")
+        second.filter(F.abs(F.hash("doc_id")) % 3 == i).repartition(1).write.parquet(
+            sub
+        )
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(second.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    snap = tempfile.mkdtemp(prefix="drift_store_")
+    q = stream_token_counts(spark, stream, snap)
+    q.awaitTermination()
+    got = SnapshotStore(spark, snap).read()
+    c = (
+        ref.join(got, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("b"),
+        )
+    )
+    return drift_report_from_counts(c)

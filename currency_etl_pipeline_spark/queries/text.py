@@ -1650,6 +1650,14 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("b"),
     )
+    return drift_report_from_counts(c)
+
+
+def drift_report_from_counts(c: DataFrame) -> DataFrame:
+    """The chi-square scorer over a (tok, a, b) count relation — the
+    single source of truth shared by ``token_drift_report`` (batch)
+    and ``streaming_token_drift`` (a maintained count store), so the
+    two surfaces can never diverge in math or ordering."""
     t = c.agg(
         F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
     )

@@ -774,3 +774,62 @@ def stream_append_ivf_index(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_token_counts(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str | None = None,
+    retain: int = 4,
+):
+    """Continuously-maintained per-token occurrence counts over a
+    document stream — the streaming half of the vocabulary-drift
+    monitor (``streaming_token_drift`` composes this store against the
+    static reference half and scores with the batch chi-square).
+
+    Each micro-batch tokenizes its documents (the catalog tokenizer),
+    counts per token, and ADDS onto the committed (tok, b) snapshot —
+    additive merge, so any chunking of the corpus lands on identical
+    final counts (integer sums commute). Commits are epoch-tagged in
+    this stream's checkpoint namespace exactly like
+    ``stream_cdc_rollup``: counts are not idempotent, the tag is what
+    makes at-least-once delivery exactly-once.
+
+    Scale: per batch this shuffles |batch vocabulary| rows plus the
+    |store| rows of the running union — vocabulary-sized (Heaps' law),
+    never corpus-sized; document text never enters the store.
+    """
+    from currency_etl_pipeline_spark.queries.text import tokens
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+
+    store = SnapshotStore(spark, snapshot_path, retain=retain)
+    mk_tag, parse_tag = _epoch_tagger(checkpoint_dir)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = parse_tag(store.latest_tag())
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch already applied
+        counts = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(F.explode(tokens()).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        )
+        if store.exists():
+            counts = (
+                store.read()
+                .unionByName(counts)
+                .groupBy("tok")
+                .agg(F.sum("b").cast("long").alias("b"))
+            )
+        store.commit(counts, tag=mk_tag(epoch_id))
+
+    writer = (
+        doc_stream.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1104,3 +1104,41 @@ def test_stream_append_ivf_index_on_pq_layout(spark, sf_dir, tmp_path):
         )
 
     assert rows(live) == rows(full), "streamed PQ index diverged from batch build"
+
+
+def test_stream_token_counts_chunking_invariant_and_replay(spark, tmp_path):
+    """The maintained token-count store must equal the one-shot batch
+    count regardless of chunking (additive merge commutes), and
+    draining the SAME checkpoint again must be a no-op (epoch tags
+    make the non-idempotent adds exactly-once). Planted corpus keeps
+    the counts hand-checkable."""
+    from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
+    from currency_etl_pipeline_spark.streaming.pipeline import stream_token_counts
+
+    schema = "doc_id bigint, text string"
+    docs = [(i, "alpha beta " + ("gamma " * i).strip()) for i in range(1, 5)]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, row in enumerate(docs):
+        spark.createDataFrame([row], schema).repartition(1).write.parquet(
+            str(feed / f"b{i}")
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        q = stream_token_counts(
+            spark, stream, str(tmp_path / "store"), checkpoint_dir=str(tmp_path / "ck")
+        )
+        q.awaitTermination()
+        return {
+            r["tok"]: r["b"]
+            for r in SnapshotStore(spark, str(tmp_path / "store")).read().collect()
+        }
+
+    got = run()
+    assert got == {"alpha": 4, "beta": 4, "gamma": 1 + 2 + 3 + 4}, got
+    assert run() == got, "replaying a drained checkpoint must not double counts"
