@@ -240,6 +240,8 @@ HEADLINE = [
     # r9 continuation, batch 8: streaming vocabulary-drift monitor
     # (maintained token-count store vs static reference half).
     "streaming_token_drift",
+    # r9 continuation, batch 9: rank-based quantile feature transform.
+    "quantile_normalize_values",
 ]
 
 

@@ -1071,3 +1071,48 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "quantile_normalize_values",
+    oracle="""
+    SELECT event_id, event_type, "value",
+           CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0.0
+                ELSE round(CAST(rank() OVER (PARTITION BY event_type
+                                             ORDER BY "value") - 1 AS DOUBLE)
+                           / (count(*) OVER (PARTITION BY event_type) - 1), 9)
+           END AS q
+    FROM events
+    """,
+)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of value within each
+    event_type — the distribution-free feature transform (map every
+    value to its empirical quantile in [0, 1]) a training pipeline
+    applies before mixing features with incomparable scales or heavy
+    tails; the event-level companion to equi_depth_histogram's 10
+    summary buckets. RANK semantics give tied values identical q
+    regardless of row order, which is what makes the per-row output
+    deterministic without an event_id tie-break; q is the one
+    fixed-form division (rank−1)/(n−1) of exact integers, with the
+    singleton partition pinned to 0.0 EXPLICITLY in both engines
+    (Spark's percent_rank conventions vs DuckDB's on n=1 is exactly
+    the degenerate-divergence class the zscore guard closed).
+
+    Plan/scale: ONE shuffle on event_type; rank and the partition
+    count ride the same Window exchange (no second pass, no join).
+    Per-type sort fits the executor at any |type| partition that a
+    window query in this catalog already assumes; the salting twin
+    for a pathological single hot type is the documented
+    skew-profile remedy.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy("value")
+    n = F.count(F.lit(1)).over(wp)
+    q = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((F.rank().over(wr) - 1).cast("double") / (n - 1), 9)
+    )
+    return ev.select("event_id", "event_type", "value", q.alias("q"))

@@ -1042,3 +1042,38 @@ def test_mad_catches_what_sigma_masking_hides(spark, tmp_path):
         f"masking precondition broke: {z[10]}, {z[11]} — the MAD report's "
         "reason to exist is that these sit under the 3-sigma fence"
     )
+
+
+def test_quantile_normalize_singleton_and_ties(spark, tmp_path):
+    """The degenerate cases the fixture never reaches: a singleton
+    type must emit q = 0.0 in BOTH engines (Spark percent_rank vs
+    DuckDB disagree on n=1 conventions — the explicit CASE is the
+    guard), and tied values must share one q under RANK semantics
+    (deterministic without an event_id tie-break). Engine-parity on
+    the planted events included."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(0, "solo", 7.0), (1, "t", 1.0), (2, "t", 2.0), (3, "t", 2.0), (4, "t", 4.0)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + r[0] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = SPECS["quantile_normalize_values"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    compare(df, con, spec.oracle)
+    got = {r["event_id"]: r["q"] for r in df.collect()}
+    assert got[0] == 0.0, "singleton type must pin to 0.0"
+    assert got[2] == got[3] == round(1 / 3, 9), "ties must share RANK-based q"
+    assert got[1] == 0.0 and got[4] == 1.0
