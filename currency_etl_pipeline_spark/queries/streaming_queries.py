@@ -775,7 +775,9 @@ def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = tempfile.mkdtemp(prefix="cdc_feed_")
     batches = [snapshot_diff(v1.limit(0), v1, ["user_id"])] + [
         snapshot_diff(v1, v2, ["user_id"]).filter(
-            F.abs(F.hash("user_id")) % 2 == i
+            # pmod, not abs(hash)%2: abs(Integer.MIN_VALUE) stays
+            # negative, silently dropping that row from every chunk.
+            F.pmod(F.hash("user_id"), F.lit(2)) == i
         )
         for i in range(2)
     ]
@@ -987,7 +989,9 @@ def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = tempfile.mkdtemp(prefix="cdc_dist_feed_")
     batches = [snapshot_diff(v1b.limit(0), v1b, ["user_id"])] + [
         snapshot_diff(v1b, v2b, ["user_id"]).filter(
-            F.abs(F.hash("user_id")) % 2 == i
+            # pmod, not abs(hash)%2: abs(Integer.MIN_VALUE) stays
+            # negative, silently dropping that row from every chunk.
+            F.pmod(F.hash("user_id"), F.lit(2)) == i
         )
         for i in range(2)
     ]
@@ -1075,7 +1079,10 @@ def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = tempfile.mkdtemp(prefix="drift_feed_")
     for i in range(3):
         sub = os.path.join(feed, f"b{i}")
-        second.filter(F.abs(F.hash("doc_id")) % 3 == i).repartition(1).write.parquet(
+        # pmod maps every hash value (incl. Integer.MIN_VALUE, where
+        # abs() stays negative) into {0,1,2} so no doc can drop from
+        # all three micro-batches (ADVICE r9).
+        second.filter(F.pmod(F.hash("doc_id"), F.lit(3)) == i).repartition(1).write.parquet(
             sub
         )
         for f in os.listdir(sub):

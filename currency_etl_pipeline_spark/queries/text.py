@@ -1576,7 +1576,12 @@ _DRIFT_MIN_N, _DRIFT_TOPK = 20, 30
     "token_drift_report",
     oracle=f"""
     WITH mid AS (
+        -- text IS NOT NULL: the Spark side (and the streaming twin)
+        -- derive the midpoint from the non-null-text population; the
+        -- oracle must split on the same population or a NULL-text doc
+        -- holding min/max doc_id would shift the halves (ADVICE r9).
         SELECT (min(doc_id) + max(doc_id)) // 2 AS m FROM documents
+        WHERE text IS NOT NULL
     ), tok AS (
         SELECT CASE WHEN doc_id <= mid.m THEN 0 ELSE 1 END AS half,
                unnest({_TOKS_DUCK}) AS tok

@@ -587,8 +587,10 @@ _HINT_BOUNDED_KEY_COLUMNS = {
     "cid", "pcid", "block",
     # embedding dimension index (posexplode position over the fixed
     # 64-dim vectors) — an aggregate keyed by it emits ≤ 64 rows
-    # (hybrid_rrf_retrieval's pseudo-relevance centroid).
-    "dim",
+    # (hybrid_rrf_retrieval's pseudo-relevance centroid). Named
+    # emb_dim, not the generic "dim", so an unrelated future column
+    # cannot ride this exemption (ADVICE r9).
+    "emb_dim",
 }
 
 _KEY_ATTR = re.compile(r"(\w+)#\d+")
