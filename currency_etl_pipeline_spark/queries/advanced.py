@@ -101,13 +101,26 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lineitem_percentiles_approx", oracle=None)
+@query(
+    "lineitem_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           true AS median_qty_ok, true AS p90_qty_ok,
+           true AS median_price_ok, true AS p99_price_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of ``lineitem_percentiles``: same call shape,
-    ``approx_percentile`` instead of exact ``percentile``. Rows-only by
-    design — the sketch's answers are accuracy-bounded, not bitwise
-    engine-portable, so no SQL oracle; the error bound vs the exact
-    values is pinned in tests/test_stats.py.
+    ``approx_percentile`` instead of exact ``percentile`` — surfaced
+    as a BOUND VERDICT so the row hash-checks (VERDICT r9 task 3).
+    The sketch's raw answers are accuracy-bounded, not bitwise
+    engine-portable, so the output carries the exact group count n
+    plus one boolean per percentile asserting the sketch's rank-error
+    contract: the returned element's rank interval
+    [#{v < x} + 1, #{v <= x}] must intersect
+    [q·n − eps·n, q·n + eps·n] with eps = 1/accuracy (+1 row of edge
+    slack) — checked in-engine against a literal-true oracle.
 
     Plan: exact percentile buffers every group value in the aggregation
     state (unbounded memory per group at 100 TB); approx_percentile
@@ -115,14 +128,52 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively across partials — partial aggregation (map-side
     combine) applies and executor memory is bounded regardless of group
     cardinality. accuracy=10000 bounds rank error at 1/10000 of the
-    group size."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
+    group size. The verdict pass is a SECOND scan joining the 3-row
+    broadcast sketch output back to lineitem for the conditional rank
+    counts — the cost of grading the sketch, not of using it; the
+    production call shape is the first aggregate alone.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    apx = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("median_qty"),
         F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99_price"),
+    )
+    j = li.join(F.broadcast(apx), "l_returnflag")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    ranks = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            agg
+            for col, tgt in [
+                ("l_quantity", "median_qty"),
+                ("l_quantity", "p90_qty"),
+                ("l_extendedprice", "median_price"),
+                ("l_extendedprice", "p99_price"),
+            ]
+            for agg in (
+                cnt(F.col(col) < F.col(tgt)).alias(f"{tgt}_lt"),
+                cnt(F.col(col) <= F.col(tgt)).alias(f"{tgt}_le"),
+            )
+        ],
+    )
+
+    def ok(tgt: str, q: float):
+        n = F.col("n").cast("double")
+        eps_n = n / 10000 + 1
+        lo, hi = F.col(f"{tgt}_lt") + 1, F.col(f"{tgt}_le")
+        return ((lo <= q * n + eps_n) & (hi >= q * n - eps_n)).alias(f"{tgt}_ok")
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        ok("median_qty", 0.5),
+        ok("p90_qty", 0.9),
+        ok("median_price", 0.5),
+        ok("p99_price", 0.99),
     )
 
 
@@ -1933,7 +1984,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 = lambda c: (c.cast("decimal(19,9)") * F.lit(1_000_000_000)).cast("long")  # noqa: E731
     ex = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("dim"), q9(F.col("x")).alias("xq"))
+    ).select("vec_id", (F.col("i0") + 1).alias("emb_dim"), q9(F.col("x")).alias("xq"))
     # .limit() after the rank filter is a no-op on values but plants a
     # GlobalLimit the broadcast lint reads as a boundedness declaration
     # (a checkpointed top-k's LogicalRDD leaf looks corpus-shaped).
@@ -1944,13 +1995,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = (
         ex.join(F.broadcast(seeds), "vec_id")
-        .groupBy("dim")
+        .groupBy("emb_dim")
         .agg(F.sum("xq").cast("long").alias("cq"))
     )
     d38 = "decimal(38,0)"
     nc = cent.agg(F.sum(F.col("cq").cast(d38) * F.col("cq").cast(d38)).alias("nc"))
     sem = (
-        ex.join(F.broadcast(cent), "dim")
+        ex.join(F.broadcast(cent), "emb_dim")
         .groupBy("vec_id")
         .agg(
             F.sum(F.col("xq").cast(d38) * F.col("cq").cast(d38)).alias("dot"),
