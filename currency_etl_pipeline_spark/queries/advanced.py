@@ -28,7 +28,7 @@ TS_DUCK = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
     WITH flagged AS (
         SELECT user_id, ts, "value",
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s,
                event_id
         FROM events
@@ -49,8 +49,11 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via the native
     ``session_window`` aggregate — per-user sessions with event count
     and value sum. The oracle is the classic lag/flag/cumsum rewrite
-    (new session when the gap is >= 30 min, matching session_window's
-    half-open [ts, ts+gap) merge rule).
+    (new session when the gap is STRICTLY > 30 min: session_window
+    merges an event landing exactly at last_ts + gap — probed
+    empirically, r10 — so the oracle's split predicate must be >, not
+    >=; at sf0.1 one gap sits exactly on the boundary and the >= form
+    diverges by one session).
 
     Plan: ONE shuffle on user_id; session merging is in-partition
     state, no self-join — the sessionization that scales to a 100 TB
@@ -1543,7 +1546,7 @@ def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s,
                event_id
         FROM events
@@ -1762,7 +1765,7 @@ _COSESS_TOPK = 50
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s,
                event_id
         FROM events
@@ -1770,14 +1773,19 @@ _COSESS_TOPK = 50
     ), sess AS (
         SELECT user_id,
                min(ts) AS s_start,
-               max(ts) + INTERVAL 30 MINUTE AS s_end
+               max(ts) + INTERVAL 30 MINUTE AS s_end,
+               epoch_us(min(ts)) AS s0
         FROM (SELECT user_id, ts, event_id,
                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
               FROM flagged) g
         GROUP BY user_id, sid
     ), segs AS (
-        SELECT user_id, CAST(d.d AS DATE) AS day,
+        -- DAY-split oracle scaffold: n_joint counts DISTINCT joint
+        -- SESSION pairs (s0 = session identity), so the result is
+        -- invariant to the shard unit — the Spark side shards by HOUR
+        -- (bounded per-bucket quadratic) and still hashes identically.
+        SELECT user_id, s0, CAST(d.d AS DATE) AS day,
                greatest(s_start, d.d) AS seg_start,
                least(s_end, d.d + INTERVAL 1 DAY) AS seg_end
         FROM sess
@@ -1786,7 +1794,7 @@ _COSESS_TOPK = 50
                                           INTERVAL 1 DAY)) AS d(d)
     ), ov AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
-               CAST(count(*) AS BIGINT) AS n_joint,
+               CAST(count(DISTINCT (a.s0, b.s0)) AS BIGINT) AS n_joint,
                CAST(sum(epoch_us(least(a.seg_end, b.seg_end))
                         - epoch_us(greatest(a.seg_start, b.seg_start))) AS BIGINT)
                    AS overlap_us
@@ -1814,17 +1822,23 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep-line = occupancy, this = pairwise overlap).
 
     Spark has no native interval join; the composition is the
-    catalog's day-split device as a JOIN KEY: sessions (the
+    catalog's time-split device as a JOIN KEY: sessions (the
     session_window 30-min semantics verbatim) are clamped into
-    per-day segments, the self-join runs as a day-bucket EQUI-join
+    per-HOUR segments, the self-join runs as an hour-bucket EQUI-join
     with the overlap predicate residual — Catalyst hash-partitions by
-    day, so no timeline-wide comparison ever happens, and per-day
-    overlap durations of midnight-split segments SUM back to the true
+    hour, so no timeline-wide comparison ever happens, and per-hour
+    overlap durations of boundary-split segments SUM back to the true
     total exactly (disjoint clamps), so splitting never double-counts
-    microseconds. Finer shards (hours) drop in by changing the split
-    unit when a day's session population outgrows a partition — the
-    quadratic is per-bucket, the documented trade of every
-    blocked/banded pair enumerator in this catalog.
+    microseconds. The r9 form sharded by DAY and was the catalog's
+    slowest non-streaming query (6.3 s at sf0.1, VERDICT r9 "What's
+    wrong" #4 — per-day-bucket quadratic on co-present users); the
+    hour shard bounds each bucket's candidate set at ~1/24th of the
+    day population, and the split unit is now a pure plan knob because
+    the OUTPUT is granularity-invariant: ``n_joint`` counts DISTINCT
+    joint SESSION pairs (session identity = exact session-start
+    micros, carried through the clamp), not per-bucket segment pairs
+    — the day-split oracle scaffold above hashes identically, which
+    is itself the proof the shard unit doesn't leak into the answer.
 
     Exactness: all arithmetic is BIGINT epoch-microseconds (both
     engines' native timestamp resolution — no rounding surface at
@@ -1835,40 +1849,55 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            F.unix_micros(F.col("sw.start")).alias("s0"),
+        )
     )
     segs = sess.select(
         "user_id",
+        "s0",
         F.explode(
             F.sequence(
-                F.to_date("s_start"),
-                F.to_date(F.expr("s_end - INTERVAL 1 MICROSECOND")),
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.expr("s_end - INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 HOUR"),
             )
-        ).alias("day"),
+        ).alias("hr"),
         "s_start",
         "s_end",
     ).select(
         "user_id",
-        "day",
-        F.greatest(F.col("s_start"), F.col("day").cast("timestamp")).alias("seg_start"),
-        F.least(
-            F.col("s_end"), F.expr("CAST(day AS TIMESTAMP) + INTERVAL 1 DAY")
-        ).alias("seg_end"),
+        "s0",
+        "hr",
+        F.greatest(F.col("s_start"), F.col("hr")).alias("seg_start"),
+        F.least(F.col("s_end"), F.expr("hr + INTERVAL 1 HOUR")).alias("seg_end"),
     )
     a = segs.select(
         F.col("user_id").alias("user_a"),
-        "day",
+        F.col("s0").alias("a0"),
+        "hr",
         F.col("seg_start").alias("sa"),
         F.col("seg_end").alias("ea"),
     )
     b = segs.select(
         F.col("user_id").alias("user_b"),
-        "day",
+        F.col("s0").alias("b0"),
+        "hr",
         F.col("seg_start").alias("sb"),
         F.col("seg_end").alias("eb"),
     )
+    # A joint session pair spans consecutive hour buckets; its TRUE
+    # joint start greatest(a0, b0) lies in exactly one of them, so
+    # counting the pair only in that bucket replaces a distinct
+    # aggregate (extra shuffle pass over (a0, b0) structs) with a
+    # map-side-combinable conditional sum — one aggregation pass.
+    joint_start = F.greatest(F.col("a0"), F.col("b0"))
+    first_hr = (joint_start >= F.unix_micros(F.col("hr"))).cast("long")
     ov = (
-        a.join(b, "day")
+        a.join(b, "hr")
         .filter(
             (F.col("user_a") < F.col("user_b"))
             & (F.col("sa") < F.col("eb"))
@@ -1876,7 +1905,7 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_a", "user_b")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_joint"),
+            F.sum(first_hr).cast("long").alias("n_joint"),
             F.sum(
                 F.unix_micros(F.least(F.col("ea"), F.col("eb")))
                 - F.unix_micros(F.greatest(F.col("sa"), F.col("sb")))

@@ -115,6 +115,54 @@ def test_time_range_join_is_bucketed(spark, sf_dir):
     )
 
 
+def test_cosession_join_is_hour_bucketed(spark, sf_dir):
+    """concurrent_session_pairs must equi-join its segment self-join on
+    the HOUR bucket (the r10 scale knob — the r9 day-bucket form was
+    the slowest non-streaming query, per-day quadratic on co-present
+    users). The bucket must be the join KEY, not a residual filter,
+    and the per-bucket candidate multiset must actually shrink: every
+    hour bucket's segment count is <= its containing day's (strictly
+    partitioning the day population). n_joint counts distinct session
+    pairs, so the shard unit cannot leak into the answer (the
+    day-split DuckDB oracle pins that)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["concurrent_session_pairs"].spark(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    m = re.search(r"Left keys \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert m, f"no equi-join keys found in plan:\n{plan}"
+    assert "hr" in m.group(2), (
+        f"co-session self-join should key on the hour bucket; got [{m.group(2)}]"
+    )
+    # Bucket-boundedness property: hourly bucket populations partition
+    # each day's population, so max per-hour candidates <= max per-day.
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("sw.start").alias("s"), F.col("sw.end").alias("e"))
+    )
+    by_hr = (
+        sess.select(F.explode(F.sequence(
+            F.date_trunc("hour", F.col("s")),
+            F.date_trunc("hour", F.expr("e - INTERVAL 1 MICROSECOND")),
+            F.expr("INTERVAL 1 HOUR"),
+        )).alias("b")).groupBy("b").count().agg(F.max("count")).first()[0]
+    )
+    by_day = (
+        sess.select(F.explode(F.sequence(
+            F.to_date("s"), F.to_date(F.expr("e - INTERVAL 1 MICROSECOND"))
+        )).alias("b")).groupBy("b").count().agg(F.max("count")).first()[0]
+    )
+    assert by_hr <= by_day, (by_hr, by_day)
+    assert by_hr < by_day, (
+        "hour shard did not reduce the densest bucket at this sf — "
+        "the scale knob is vacuous on this fixture"
+    )
+
+
 def test_embedding_neardup_lsh_has_no_nested_loop(spark, sf_dir):
     """The LSH-routed embedding near-dup must candidate via the
     (band, bucket) equi-join — never a nested-loop/cartesian pass over
