@@ -926,6 +926,17 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 small ints per vector, never the vectors. Recall lever: K and M
     (a trained codebook replaces the exemplars exactly as
     ivf_ann_topk_trained does for IVF).
+
+    PRODUCTION STEERING (the near_dup_embeddings → LSH-twin pattern):
+    ADC-only recall@5 is MEASURED at 0.2–0.4 on this corpus
+    (ann_recall_report rows `pq`/`pqn`; cause is codebook coarseness,
+    the rejected-normalization experiment is pq_ann_topk_normalized).
+    Serving searches should use ``pq_rerank_topk`` (ADC shortlist +
+    exact re-rank, recall 1.0/1.0/0.8) or the materialized
+    ``search_ivfpq_index(..., rerank=L)``, which recovers float-probe
+    recall exactly (pinned in tests/test_incremental.py). This query
+    stays as the hash-exact ADC pipeline definition and the report's
+    baseline row.
     """
     from currency_etl_pipeline_spark.sources.ann_index import quantize_vec9
 

@@ -1259,6 +1259,7 @@ def search_ivfpq_index(
     query_ids,
     nprobe: int = 2,
     k: int = 10,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ADC search over the probed cells only: the query precomputes its
     8×16 integer distance table against the codebook sidecar (a
@@ -1269,7 +1270,19 @@ def search_ivfpq_index(
     aggregate, no vector math per candidate and no vectors on the
     wire. Output matches ``pq_ann_topk``'s shape (query_id, vec_id,
     label, rank, score_micro); probing ALL cells reproduces its rows
-    bit-for-bit (pinned)."""
+    bit-for-bit (pinned).
+
+    ``rerank=L`` switches to the FAISS ``IVFPQ,Refine`` serving shape
+    (the r9 recall measurements' supported repair, mirroring
+    ``pq_rerank_topk``): ADC ranks an L-deep shortlist per query, and
+    ONLY those L rows join back to the corpus for an exact 64-dim
+    cosine re-rank — output (query_id, vec_id, label, rank, cos_sim).
+    Measured ADC-only recall@5 is 0.2–0.4 (codebook coarseness, see
+    pq_ann_topk's docstring), so production searches should pass
+    rerank; the floor is pinned in
+    tests/test_incremental.py::test_ivfpq_pruned_probe_rerank_recall.
+    Cost: the shortlist is ≤ |Q|·L rows (broadcast-sized), so exact
+    scoring touches L rows per query, never the corpus."""
     v = _vecs(spark, sf_dir)
     cents = load_index_centroids(spark, index_path)
     queries = v.filter(F.col("vec_id").isin(*query_ids))
@@ -1322,14 +1335,41 @@ def search_ivfpq_index(
         .agg(F.max("label").alias("label"), F.sum("dist").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id").asc())
-    return (
+    if rerank is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                "rank",
+                F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+            )
+        )
+    short = (
         adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= int(rerank))
+        .select("query_id", "vec_id")
+    )
+    qv = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        v.join(F.broadcast(short), "vec_id")
+        .join(qv, "query_id")
         .select(
             "query_id",
             "vec_id",
             "label",
-            "rank",
-            F.expr("CAST(score DIV 1000000 AS BIGINT)").alias("score_micro"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "rank", "cos_sim")
     )
