@@ -242,6 +242,10 @@ HEADLINE = [
     "streaming_token_drift",
     # r9 continuation, batch 9: rank-based quantile feature transform.
     "quantile_normalize_values",
+    # r10 additions (appended; prior rows byte-identical): CCNet/C4
+    # boilerplate hygiene — the detection report and the strip rewrite.
+    "boilerplate_passage_report",
+    "boilerplate_strip_rewrite",
 ]
 
 

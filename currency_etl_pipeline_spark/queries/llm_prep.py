@@ -940,6 +940,160 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate = a passage seen in >= _BOILER_MIN_DOCS DISTINCT docs
+# (the CCNet/C4 shared-lines criterion, at this corpus's passage
+# granularity since the synthetic text has no newlines). 3 is the
+# smallest threshold that separates template refrains from the
+# pairwise near-dup chunks passage_dedup_rewrite already handles;
+# the fixture has 7 (sf0.001) / 15 (sf0.01) such passages, so both
+# queries are non-vacuous at every test scale.
+_BOILER_MIN_DOCS, _BOILER_TOPK = 3, 30
+
+
+@query(
+    "boilerplate_passage_report",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, unnest({_PASSAGES_DUCK}) AS passage FROM documents
+    ), c AS (
+        SELECT passage,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY passage
+        HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    )
+    SELECT passage, n_docs, n_occurrences, pos FROM (
+        SELECT passage, n_docs, n_occurrences,
+               row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC,
+                                  passage ASC) AS pos
+        FROM c) r
+    WHERE pos <= {_BOILER_TOPK}
+    """,
+)
+def boilerplate_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection (the CCNet/C4 shared-lines
+    report): the top-30 passages appearing in >= 3 DISTINCT documents,
+    with document frequency and total occurrence count — the audit a
+    training-data pipeline runs before deciding what
+    ``boilerplate_strip_rewrite`` removes (cookie banners, license
+    headers, navigation chrome: high doc-frequency, low information).
+    Distinct-doc frequency — not raw occurrences — is the criterion;
+    a passage repeated 50× inside ONE doc is repetition
+    (doc_repetition_score's business), not boilerplate.
+
+    Plan/scale: one corpus scan → non-overlapping 16-word passage
+    split (single codegen regex pass, the passage_dedup_rewrite
+    device) → ONE hash aggregation keyed by passage computing the
+    distinct-doc and occurrence counts together (the distinct rides
+    Spark's standard two-phase expand; the shuffle carries the
+    passage vocabulary, not the corpus); the HAVING filter drops the
+    singleton long tail BEFORE the top-k, so the final row_number
+    window orders only the boilerplate survivors (tens of rows at
+    any scale — boilerplate is by definition low-cardinality).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passages = F.regexp_extract_all(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
+    )
+    c = (
+        spread(docs)
+        .select("doc_id", F.explode(passages).alias("passage"))
+        .groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+    wk = Window.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("passage").asc()
+    )
+    return (
+        c.withColumn("pos", F.row_number().over(wk).cast("long"))
+        .filter(F.col("pos") <= _BOILER_TOPK)
+    )
+
+
+@query(
+    "boilerplate_strip_rewrite",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest({_PASSAGES_DUCK}) AS passage,
+               generate_subscripts({_PASSAGES_DUCK}, 1) - 1 AS pidx
+        FROM documents
+    ), freq AS (
+        SELECT passage, count(DISTINCT doc_id) AS nd FROM p GROUP BY passage
+    ), marked AS (
+        SELECT p.doc_id, p.pidx, p.passage, f.nd
+        FROM p JOIN freq f USING (passage)
+    )
+    SELECT d.doc_id,
+           CAST(count(m.passage) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (WHERE m.nd < {_BOILER_MIN_DOCS}) AS BIGINT)
+               AS n_kept,
+           coalesce(string_agg(m.passage, ' ' ORDER BY m.pidx)
+                        FILTER (WHERE m.nd < {_BOILER_MIN_DOCS}), '')
+               AS clean_text
+    FROM documents d LEFT JOIN marked m USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL that rewrites documents: strip EVERY
+    occurrence of every passage whose corpus document-frequency is
+    >= 3, reassembling the survivors in order. The semantic complement
+    of ``passage_dedup_rewrite``: dedup keeps the FIRST occurrence of
+    each duplicated passage (near-dup repair), this keeps NONE of the
+    high-frequency ones (template chrome carries no training signal —
+    the C4/CCNet cleanup). Together they are the standard two-pass
+    sub-document hygiene of a corpus pipeline.
+
+    Plan — the passage_rewrite discipline verbatim: text shuffles
+    ONCE. Keep/drop decisions travel as (md5, doc_id, pidx) digests;
+    the boilerplate digest set is one hash agg on the digest
+    (distinct-doc count via the standard two-phase expand) and the
+    strip is a LEFT ANTI join of digests against it; surviving
+    positions fold to a per-doc index list and the final join on
+    doc_id re-derives passage text from the original column with the
+    same single-pass regex (recompute-over-reshuffle — regex is scan
+    bound, corpus reshuffle is network bound). Left join + coalesce
+    keeps all-boilerplate and NULL-text docs as empty rewrites
+    instead of dropping them.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passages = F.regexp_extract_all(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
+    )
+    keys = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.posexplode_outer(passages).alias("pidx", "p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "pidx", F.md5("p").alias("h"))
+    )
+    boiler = (
+        keys.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("h")
+    )
+    kept = (
+        keys.join(boiler, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pidx")).alias("kept_idx"))
+    )
+    empty_idx = F.array().cast("array<int>")
+    kept_idx = F.coalesce(F.col("kept_idx"), empty_idx)
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size(passages).cast("bigint").alias("n_passages"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(passages, i + 1)), " "
+        ).alias("clean_text"),
+    )
+
+
 # Unigram-LM vocabulary cap. 20 covers ~2/3 of the fixture's 31-token
 # vocabulary so the OOV bucket is genuinely exercised; at corpus scale
 # the cap (top-100k + OOV) is what keeps the LM broadcast-size.
