@@ -1065,11 +1065,18 @@ def boilerplate_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages = F.regexp_extract_all(
         F.trim(F.coalesce(F.col("text"), F.lit(""))), F.lit(_PASSAGE_PAT), 0
     )
+    # The digest relation feeds TWO consumers (the frequency agg and
+    # the anti-join); localCheckpoint it once or the whole scan +
+    # regex subtree is planned per consumer (3 corpus scans instead
+    # of 2 — caught by the executed-plan audit). ~40 B/passage, a
+    # fraction of the text it summarizes; the hybrid_rrf/edge-list
+    # precedent.
     keys = (
         spread(docs.select("doc_id", "text"))
         .select("doc_id", F.posexplode_outer(passages).alias("pidx", "p"))
         .filter(F.col("p").isNotNull())
         .select("doc_id", "pidx", F.md5("p").alias("h"))
+        .localCheckpoint(eager=True)
     )
     boiler = (
         keys.groupBy("h")
