@@ -299,3 +299,77 @@ def scd2_rate_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(nxt).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "cross_rate_triangulation",
+    oracle="""
+    WITH snap AS (
+        SELECT user_id, event_type, "value" AS rate
+        FROM events
+        WHERE "value" > 0
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT a.event_type AS quote_a, b.event_type AS quote_b,
+           CAST(count(*) AS BIGINT) AS n_bases,
+           round(min(a.rate / b.rate), 6) AS min_cross,
+           round(max(a.rate / b.rate), 6) AS max_cross,
+           round(max(a.rate / b.rate) - min(a.rate / b.rate), 6) AS spread
+    FROM snap a JOIN snap b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def cross_rate_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangulated cross-rate consistency report: for every quote pair
+    (t1, t2), each base u with a positive latest rate for both implies
+    the cross rate t2→t1 = rate(u,t1)/rate(u,t2); in a consistent
+    market every base implies the SAME cross, so the min/max spread per
+    quote pair is the triangulation-arbitrage signal a rates desk
+    monitors (reference domain: fetch.py pulls per-base quote maps —
+    this is the cross-pair view those maps imply but the reference
+    never materializes).
+
+    Parity: the per-row double division is a single IEEE op on
+    identical parquet inputs (deterministic in both engines); min/max
+    are exact selections and the spread is one fixed-form subtraction
+    of those selections — no multi-row double accumulation anywhere.
+    The value > 0 guard pins the rate domain (a zero rate would divide
+    by zero, where Spark doubles yield NULL but DuckDB yields inf —
+    the documented cross-engine divergence).
+
+    Plan/scale: ONE scan of events (the oracle's self-join would plan
+    the snapshot subtree twice — the double-scan audit failure mode):
+    the snapshot window rides one shuffle on (user_id, event_type),
+    then the per-base quote list (≤ |quotes| = 5 entries) gathers on
+    user_id and the pair expansion is a row-local array transform —
+    linear in bases, never all-pairs across bases — feeding a
+    ≤ |quotes|²-group agg with map-side partials. collect_list order
+    is plan-dependent, which is safe here because the expansion
+    enumerates ALL ordered pairs and min/max/count are
+    order-insensitive. At 100 TB: same plan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    snap = latest_per_key(ev, KEYS, "ts", tie_breakers=["event_id"]).select(
+        "user_id", "event_type", F.col("value").alias("rate")
+    )
+    per_base = snap.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "rate")).alias("qs")
+    )
+    pair_expr = """
+        flatten(transform(qs, x ->
+            filter(transform(qs, y ->
+                CASE WHEN x.event_type < y.event_type
+                     THEN named_struct('quote_a', x.event_type,
+                                       'quote_b', y.event_type,
+                                       'cross', x.rate / y.rate)
+                END), p -> p IS NOT NULL)))
+    """
+    pairs = per_base.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.*")
+    return pairs.groupBy("quote_a", "quote_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bases"),
+        F.round(F.min("cross"), 6).alias("min_cross"),
+        F.round(F.max("cross"), 6).alias("max_cross"),
+        F.round(F.max("cross") - F.min("cross"), 6).alias("spread"),
+    )

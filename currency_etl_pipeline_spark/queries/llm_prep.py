@@ -1510,3 +1510,137 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= F.col("alloc"))
         .select("source", "doc_id", "alloc", "pick")
     )
+
+
+@query(
+    "bpe_merge_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_TOKS_DUCK}) AS word
+        FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM w WHERE word <> '' GROUP BY word
+    ), pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                      i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, wf
+        FROM vocab WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS merge_count
+    FROM pairs GROUP BY pair
+    ORDER BY merge_count DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration at corpus scale: the top-20
+    adjacent character pairs by corpus frequency — each word's count
+    weights every one of its intra-word character bigrams, which is
+    exactly the merge-candidate score byte-pair-encoding maximizes
+    (Sennrich et al. 2016). bpe_token_estimate APPLIES a
+    tokenizer-shaped regex; this is the statistic you TRAIN one from,
+    run distributed because a 100 TB corpus's word histogram is the
+    only pass that touches the data — every later merge iteration
+    reruns on the (tiny) weighted vocabulary alone.
+
+    Plan/scale: corpus pass #1 is a map-side-combined word count (the
+    classic first shuffle, narrow word/count rows); the character-pair
+    explosion then runs on the VOCABULARY (distinct words), not the
+    corpus — the BPE trick that makes iteration cheap — feeding a
+    second small agg and a TakeOrderedAndProject top-k (per-partition
+    heaps, no global sort). All integers; ties at the cut break on the
+    pair string in both engines.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("text")).filter(
+        F.col("text").isNotNull()
+    )
+    words = exploded(docs, [], tokens(), "word").filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+    )
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "wf", F.explode(pair_arr).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "decontaminated_train_split",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_SPLIT_DUCK} AS split, {_TOKS_DUCK} AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, split, unnest({_BIGRAMS_DUCK}) AS ngram FROM t
+    ), eval_grams AS (
+        SELECT DISTINCT ngram FROM sh WHERE split <> 'train'
+    ), bad AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN eval_grams e ON s.ngram = e.ngram
+        WHERE s.split = 'train'
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_docs,
+           CAST(sum(CASE WHEN bad.doc_id IS NULL
+                         THEN coalesce(len(t.toks), 0) ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM t LEFT JOIN bad ON t.doc_id = bad.doc_id
+    WHERE t.split = 'train'
+    GROUP BY t.lang
+    """,
+)
+def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated training split, end to end: the md5 doc_id split
+    (train_val_test_split) composed with bigram leakage detection
+    (ngram_contamination's inverted index, pointed the OTHER way) —
+    any train document sharing a bigram with val OR test is dropped,
+    and the report says per language what survives and how many
+    tokens ship to training. This is the step order real pipelines
+    get wrong (decontaminate AFTER splitting, against the final eval
+    sets — not before, when the split doesn't exist yet).
+
+    Plan/scale: the split is a pure doc_id hash so each branch's
+    predicate pushes below its explode (ngram_contamination's
+    pushdown argument); eval bigrams collapse to a distinct
+    vocabulary; contaminated train doc_ids come from a LEFT SEMI join
+    on ngram (only ngram strings shuffle, never text) and land as a
+    narrow distinct id set; the final LEFT join marks drops against
+    the train docs and aggregates per lang with map-side partials. At
+    100 TB every shuffle carries ids or ngrams — the widest row is a
+    bigram string.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    t = docs.select(
+        "doc_id", "lang", _split_expr().alias("split"), "text",
+        F.when(F.col("text").isNotNull(), F.size(tokens())).otherwise(0).alias("n_tokens"),
+    )
+    sh = exploded(t, ["doc_id", "split"], shingles(n=2), "ngram")
+    eval_grams = sh.filter(F.col("split") != "train").select("ngram").distinct()
+    bad = (
+        sh.filter(F.col("split") == "train")
+        .join(eval_grams, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_bad", F.lit(1))
+    )
+    train = t.filter(F.col("split") == "train").select("lang", "doc_id", "n_tokens")
+    dropped = F.col("is_bad").isNotNull()
+    return (
+        train.join(bad, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(dropped, 0).otherwise(1)).cast("long").alias("kept_docs"),
+            F.sum(F.when(dropped, 0).otherwise(F.col("n_tokens"))).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -1161,3 +1161,182 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.rank().over(wr) - 1).cast("double") / (n - 1), 9)
     )
     return ev.select("event_id", "event_type", "value", q.alias("q"))
+
+
+@query(
+    "trimmed_robust_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type, {_MAD_Q6} AS xq, event_id
+        FROM events WHERE "value" IS NOT NULL
+    ), r AS (
+        SELECT event_type, xq,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY xq, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ), p1 AS (
+        SELECT event_type,
+               any_value(n) AS n,
+               any_value(n // 10) AS k_trim,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN xq ELSE 0 END) AS BIGINT) AS tsum,
+               max(CASE WHEN rn = n // 10 + 1 THEN xq END) AS lo,
+               max(CASE WHEN rn = n - n // 10 THEN xq END) AS hi
+        FROM r GROUP BY event_type
+    ), w AS (
+        SELECT r.event_type,
+               CAST(sum(least(greatest(r.xq, p1.lo), p1.hi)) AS BIGINT) AS wsum
+        FROM r JOIN p1 USING (event_type)
+        GROUP BY r.event_type
+    )
+    SELECT p1.event_type, CAST(p1.n AS BIGINT) AS n,
+           CAST(p1.k_trim AS BIGINT) AS k_trim,
+           round(CAST(p1.tsum AS DOUBLE) / (p1.n - 2 * p1.k_trim) / 1000000.0, 6)
+               AS trimmed_mean,
+           round(CAST(w.wsum AS DOUBLE) / p1.n / 1000000.0, 6) AS winsor_mean
+    FROM p1 JOIN w USING (event_type)
+    """,
+)
+def trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed and winsorized means of value per event_type —
+    the robust location estimates that complement mad_outlier_report's
+    spread side (a trimmed mean survives the fat tail that drags a
+    plain mean; winsorizing keeps n constant by clamping instead of
+    dropping, the estimator most feature pipelines actually ship).
+
+    ALL-INTEGER interior via the mad_outlier scale-6 quantization: rank
+    and clamp operate on exact BIGINT micro-units; the only doubles are
+    the two output-edge fixed-form divisions (sum/count/1e6, identical
+    expression shape in both engines). The IS NOT NULL filter pins the
+    engine-divergent NULL rank placement up front (ADVICE r9
+    precedent), and row_number's event_id tie-break keeps equal values
+    deterministic.
+
+    Plan/scale: one Window exchange on event_type (rank + count ride
+    the same sort), then the emit-few/join-back shape — the 5-row
+    boundary table broadcasts back for the winsorized clamp, so the
+    fact table is scanned twice and shuffled once. At 100 TB the exact
+    ranks swap for approx_percentile boundaries with the same clamp
+    join — the documented lineitem_percentiles trade.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    xq = (F.col("value").cast("decimal(19,6)") * F.lit(1_000_000)).cast("long")
+    q = ev.select("event_type", xq.alias("xq"), "event_id")
+    wp = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "xq",
+        F.row_number().over(wp.orderBy("xq", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10)
+    p1 = r.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first(F.floor(F.col("n") / 10)).alias("k_trim"),
+        F.sum(F.when((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), F.col("xq")).otherwise(0))
+        .cast("long")
+        .alias("tsum"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("xq"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("xq"))).alias("hi"),
+    )
+    w = (
+        r.join(F.broadcast(p1.select("event_type", "lo", "hi")), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(F.least(F.greatest(F.col("xq"), F.col("lo")), F.col("hi"))).cast("long").alias("wsum"))
+    )
+    return p1.join(F.broadcast(w), "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k_trim").cast("long").alias("k_trim"),
+        F.round(F.col("tsum").cast("double") / (F.col("n") - 2 * F.col("k_trim")) / F.lit(1_000_000.0), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(F.col("wsum").cast("double") / F.col("n") / F.lit(1_000_000.0), 6).alias("winsor_mean"),
+    )
+
+
+@query(
+    "watermark_lateness_profile",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, epoch_us(ts) AS xu,
+               max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        FROM events
+    ), late AS (
+        SELECT user_id,
+               CASE WHEN wm IS NULL OR wm <= xu THEN CAST(0 AS BIGINT)
+                    ELSE wm - xu END AS late_us
+        FROM a
+    )
+    SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+                WHEN late_us < 60000000 THEN '1_lt_1m'
+                WHEN late_us < 600000000 THEN '2_lt_10m'
+                WHEN late_us < 3600000000 THEN '3_lt_1h'
+                ELSE '4_ge_1h' END AS lateness_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
+    FROM late
+    GROUP BY 1
+    """,
+)
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream, per key — the
+    measurement that sizes ``withWatermark``: for each event, lateness
+    = how far behind its key's running high-watermark (max ts over
+    earlier arrivals, arrival order = event_id) it lands, bucketed into
+    the thresholds a streaming job would actually choose between. A
+    '4_ge_1h' row that is 0.1% of events tells you a 10-minute
+    watermark silently drops that tail — the §2.I streaming operators'
+    state-size/completeness dial, derived from the batch table instead
+    of guessed.
+
+    Exact integers end to end: epoch microseconds (unix_micros /
+    epoch_us), integer bucket thresholds, floor-div seconds — nothing
+    for the engines to disagree on.
+
+    Plan/scale: the running max is a window partitioned BY KEY ordered
+    by arrival sequence — no global sort; exactly the state a
+    per-key streaming watermark would maintain. One window exchange on
+    user_id, then a 5-row hash agg (the distinct-user count rides the
+    same shuffle as a partial distinct). At 100 TB: same plan.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("xu"),
+        F.max(F.unix_micros("ts")).over(w).alias("wm"),
+    )
+    late = a.select(
+        "user_id",
+        F.when(F.col("wm").isNull() | (F.col("wm") <= F.col("xu")), F.lit(0).cast("long"))
+        .otherwise(F.col("wm") - F.col("xu"))
+        .alias("late_us"),
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "0_on_time")
+        .when(F.col("late_us") < 60_000_000, "1_lt_1m")
+        .when(F.col("late_us") < 600_000_000, "2_lt_10m")
+        .when(F.col("late_us") < 3_600_000_000, "3_lt_1h")
+        .otherwise("4_ge_1h")
+    )
+    return (
+        late.select(bucket.alias("lateness_bucket"), "late_us", "user_id")
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.floor(F.max("late_us") / 1_000_000).cast("long").alias("max_late_s"),
+        )
+    )

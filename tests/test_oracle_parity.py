@@ -933,10 +933,13 @@ def test_concurrent_pairs_hand_computed_overlap(spark, tmp_path):
     """Exact-microsecond overlap on the midnight fixture, hand-checked:
     u1 [23:40, 00:35) × u2 [23:50, 00:20) overlap 23:50→00:20 = 30 min;
     u1 × u3 [00:30, 01:00) overlap 00:30→00:35 = 5 min — the u1×u2
-    overlap SPANS midnight, so it must arrive as two day-clamped
-    segments (10 min + 20 min) summing exactly; u2 × u3 touch nothing.
-    u4 ends exactly when u5 starts (end == start): touching sessions
-    must NOT pair. Also engine-parity on the planted events."""
+    overlap SPANS midnight, so it arrives as multiple boundary-clamped
+    segments whose durations must SUM exactly to 30 min while n_joint
+    counts the SESSION PAIR once (the r10 shard-invariant semantics:
+    the count keys on session identity, not on how the shard unit
+    happened to slice it); u2 × u3 touch nothing. u4 ends exactly when
+    u5 starts (end == start): touching sessions must NOT pair. Also
+    engine-parity on the planted events."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -968,7 +971,7 @@ def test_concurrent_pairs_hand_computed_overlap(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
     compare(df, con, spec.oracle)
     got = {(r["user_a"], r["user_b"]): (r["n_joint"], r["overlap_us"]) for r in df.collect()}
-    assert got[(1, 2)] == (2, 30 * 60 * 1_000_000), got  # two clamped segments
+    assert got[(1, 2)] == (1, 30 * 60 * 1_000_000), got  # one pair, segments sum
     assert got[(1, 3)] == (1, 5 * 60 * 1_000_000), got
     assert (2, 3) not in got and (4, 5) not in got, "touching must not pair"
 
