@@ -246,6 +246,17 @@ HEADLINE = [
     # boilerplate hygiene — the detection report and the strip rewrite.
     "boilerplate_passage_report",
     "boilerplate_strip_rewrite",
+    # r10, batch 2: robust means, watermark sizing, cross rates, BPE
+    # merge mining, decontaminated splits.
+    "trimmed_robust_stats",
+    "watermark_lateness_profile",
+    "cross_rate_triangulation",
+    "bpe_merge_topk",
+    "decontaminated_train_split",
+    # r10, batch 3: the eval-by-composition pair — SemDeDup embedding
+    # pruning and the near-dup family's precision/recall report.
+    "semdedup_cell_prune",
+    "dedup_recall_report",
 ]
 
 

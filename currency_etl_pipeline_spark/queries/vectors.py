@@ -1192,3 +1192,130 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
     )
+
+
+# SemDeDup threshold: tau = 0.45 on int8-quantized cosine, compared as
+# the all-integer inequality 400*dot^2 >= 81*na*nb (tau^2 = 81/400)
+# with a dot > 0 guard. int64 headroom: |dot| <= 127^2 * 64 ~ 1.03e6,
+# so 400*dot^2 <= 4.3e14 and 81*na*nb <= 8.7e13 — both far below 2^63,
+# and the same products stay exact in numpy int64 and DuckDB BIGINT.
+# tau chosen from the measured within-cell cosine distribution (46
+# pairs >= 0.45 at sf0.1, 6 at sf0.01, max 0.598): both the pruned and
+# the kept branch are exercised at every correctness scale.
+_SEM_CENTROID_IDS = tuple(range(20, 28))  # advanced.CENTROID_IDS (module import would cycle)
+
+
+def _semdedup_prune_cell(pdf):
+    """Per-cell SemDeDup kernel (grouped-map applyInPandas): one int64
+    Gram matrix per cluster instead of |cell|^2 interpreted per-pair
+    lambdas. Rows are sorted by vec_id so the strict lower triangle of
+    the duplicate mask IS the smaller-id-neighbor relation."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    q = np.array([list(x) for x in pdf["qv"]], dtype=np.float64).astype(np.int64)
+    d = q @ q.T
+    nrm = np.diag(d).copy()
+    dup = (d > 0) & (400 * d * d >= 81 * np.outer(nrm, nrm))
+    np.fill_diagonal(dup, False)
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "cid": pdf["cid"],
+            "n_dup_neighbors": dup.sum(axis=1).astype("int64"),
+            "pruned": np.tril(dup, -1).any(axis=1),
+        }
+    )
+
+
+@query(
+    "semdedup_cell_prune",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+        WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+    ),
+    cents AS (SELECT vec_id - 20 AS cid, dv AS cv FROM v WHERE vec_id BETWEEN 20 AND 27),
+    scored AS (
+        SELECT v.vec_id, v.dv, c.cid,
+               round({_COS_DUCK.format(a="v.dv", b="c.cv")}, 6) AS csim
+        FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, dv, cid FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) = 1
+    ),
+    n AS (
+        SELECT vec_id, cid, qv, CAST(list_inner_product(qv, qv) AS BIGINT) AS nrm
+        FROM (SELECT vec_id, cid, {{q}} AS qv FROM assigned)
+    ),
+    dots AS (
+        SELECT a.vec_id, a.cid, b.vec_id AS b_id,
+               CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS d,
+               a.nrm AS na, b.nrm AS nb
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    )
+    SELECT n.vec_id, n.cid,
+           CAST(COALESCE(sum(CASE WHEN d.d > 0 AND 400 * d.d * d.d >= 81 * d.na * d.nb
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_neighbors,
+           COALESCE(max(CASE WHEN d.b_id < d.vec_id AND d.d > 0
+                              AND 400 * d.d * d.d >= 81 * d.na * d.nb
+                             THEN 1 ELSE 0 END), 0) = 1 AS pruned
+    FROM n LEFT JOIN dots d ON d.vec_id = n.vec_id
+    GROUP BY n.vec_id, n.cid
+    """.replace("{q}", _QUANT_DUCK),
+)
+def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication by clustering the embedding corpus, then
+    pruning within-cluster pairs whose cosine exceeds tau. The
+    embedding-space complement of the text-side MinHash family: it
+    collapses paraphrases and re-encodings that share no shingles.
+    Per vector: its cell, how many in-cell duplicate neighbors it has,
+    and whether it is pruned (a smaller-vec_id neighbor above tau keeps
+    the copy with the lowest id — the pairwise-admission rule;
+    sequential_dedup_admission is the exact-chain precedent, and the
+    paper's keep-farthest-from-centroid variant swaps only this rule).
+
+    Exactness: assignment reuses ivf_ann_topk's fixed-centroid
+    round(cos, 6) argmax (hash-checked since r8); the duplicate test is
+    ALL-integer on int8 codes (quantize_int8 / _QUANT_DUCK), so the
+    pandas kernel's numpy int64 Gram matrix and DuckDB's BIGINT
+    list_inner_product agree bit-for-bit — no float on the comparison
+    surface.
+
+    Plan/scale: assignment is the map-side broadcast-centroid pass
+    (O(k·n), no shuffle); ONE shuffle groups each cell, and the kernel
+    is a cell-local int64 matmul — the published SemDeDup cost model,
+    where k is sized so cells stay O(10^4-10^5) rows (k ~ n/budget at
+    100 TB; a cell that outgrows the budget is exactly the recluster
+    trigger ivf_centroid_drift_report flags). Arrow batches move int8
+    codes, not float vectors. Within-cell pairwise work is the method's
+    intrinsic cost — it is why SemDeDup clusters FIRST, never all-pairs
+    (near_dup_embeddings_lsh is the banded alternative when no
+    clustering exists). Reference parity: the reference (707-LoC
+    pandas/BigQuery ETL) has no dedup surface; this extends SURVEY §2's
+    LLM-pipeline dedup family to embedding space.
+    """
+    from pyspark.sql import Window
+
+    v = _vecs(spark, sf_dir).filter(F.array_max(F.transform(F.col("v"), F.abs)) > 0)
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(*_SEM_CENTROID_IDS)).select(
+            (F.col("vec_id") - 20).alias("ccid"), F.col("v").alias("cv")
+        )
+    )
+    scored = v.crossJoin(cents).select(
+        "vec_id", "v", "ccid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("ccid").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cid"), quantize_int8(F.col("v")).alias("qv"))
+    )
+    return assigned.groupBy("cid").applyInPandas(
+        _semdedup_prune_cell,
+        schema="vec_id long, cid long, n_dup_neighbors long, pruned boolean",
+    )

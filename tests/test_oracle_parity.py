@@ -50,6 +50,11 @@ _PARTITION_SENSITIVE = [
     "pps_systematic_sample",
     "near_dup_pagerank",
     "peak_concurrent_sessions",
+    # r10: the per-cell numpy Gram kernel claims the same invariance —
+    # groupBy collapses each cell into ONE pandas group whatever the
+    # input partitioning, and the all-integer duplicate test has no
+    # accumulation order at all.
+    "semdedup_cell_prune",
 ]
 
 
@@ -1080,3 +1085,24 @@ def test_quantile_normalize_singleton_and_ties(spark, tmp_path):
     assert got[0] == 0.0, "singleton type must pin to 0.0"
     assert got[2] == got[3] == round(1 / 3, 9), "ties must share RANK-based q"
     assert got[1] == 0.0 and got[4] == 1.0
+
+
+def test_dedup_recall_report_orders_the_methods(spark, sf_dir):
+    """The report's finding, pinned as a regression net: minhash
+    (est >= 0.5) and containment grade perfectly on this fixture's
+    clean separation (planted dups J >= 0.89, background <= 0.1),
+    while simhash at hamming <= 2 is a DIFFERENT similarity (token
+    multiset, order-blind) — its precision against the shingle-Jaccard
+    truth must stay far below the banded methods even as its recall
+    stays high. If a tokenizer/fingerprint edit ever flips this
+    ordering, the report (and its docstring's claim) must be re-read."""
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    rows = {
+        r["method"]: r.asDict()
+        for r in _REGISTRY["dedup_recall_report"].spark(spark, sf_dir).collect()
+    }
+    assert rows["minhash"]["prec"] == 1.0 and rows["minhash"]["recall"] == 1.0
+    assert rows["containment"]["prec"] == 1.0 and rows["containment"]["recall"] == 1.0
+    assert rows["simhash"]["prec"] < 0.5 and rows["simhash"]["recall"] >= 0.5
+    assert rows["minhash"]["n_truth"] > 0

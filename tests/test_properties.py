@@ -398,3 +398,61 @@ def test_sequential_admission_pandas_matches_reference(edges, rejected):
             continue
         admitted.add(n)
     assert got == sorted(admitted)
+
+
+def test_semdedup_kernel_pairwise_semantics_and_guards():
+    """queries/vectors._semdedup_prune_cell (the per-cell SemDeDup
+    kernel): pin the pairwise-admission rule on a planted a~b~c chain
+    (cos(a,b)=cos(b,c)=0.707 >= 0.45, cos(a,c)=0 < 0.45): b is pruned
+    by a AND c is pruned by b even though c's only duplicate neighbor
+    was itself pruned — the documented difference from the exact-chain
+    semantics of sequential_dedup_admission. Also pins the d > 0 guard
+    (antipodal vectors have |cos| = 1 but are NOT duplicates) and that
+    neighbor counts are symmetric."""
+    import numpy as np
+    import pandas as pd
+
+    from currency_etl_pipeline_spark.queries.vectors import _semdedup_prune_cell
+
+    dim = 64
+    a = [0.0] * dim
+    b = [0.0] * dim
+    c = [0.0] * dim
+    neg_a = [0.0] * dim
+    a[0] = 100.0
+    b[0] = 100.0
+    b[1] = 100.0
+    c[1] = 100.0
+    neg_a[0] = -100.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [3, 1, 2, 4],  # deliberately unsorted input
+            "cid": [0, 0, 0, 0],
+            "qv": [c, a, b, neg_a],
+        }
+    )
+    out = _semdedup_prune_cell(pdf).set_index("vec_id")
+    assert out.loc[1, "pruned"] == False  # noqa: E712 — numpy bool
+    assert out.loc[2, "pruned"] == True  # noqa: E712
+    assert out.loc[3, "pruned"] == True  # noqa: E712
+    assert out.loc[4, "pruned"] == False  # noqa: E712 — dot(a, -a) < 0
+    assert out["n_dup_neighbors"].to_dict() == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_semdedup_kernel_int64_headroom():
+    """Worst-case int8 codes (every component ±127) must stay exact in
+    the kernel's int64 products: 400·dot² = 400·(127²·64)² ≈ 4.3e14 and
+    81·na·nb ≈ 8.7e13, both far under 2^63 — the same bound the oracle's
+    BIGINT arithmetic relies on. A full-magnitude identical pair and its
+    negation exercise the extremes."""
+    import pandas as pd
+
+    from currency_etl_pipeline_spark.queries.vectors import _semdedup_prune_cell
+
+    hi = [127.0] * 64
+    lo = [-127.0] * 64
+    out = _semdedup_prune_cell(
+        pd.DataFrame({"vec_id": [1, 2, 3], "cid": [0] * 3, "qv": [hi, hi, lo]})
+    ).set_index("vec_id")
+    assert bool(out.loc[2, "pruned"]) and not bool(out.loc[1, "pruned"])
+    assert not bool(out.loc[3, "pruned"]) and out.loc[3, "n_dup_neighbors"] == 0
