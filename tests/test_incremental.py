@@ -1484,3 +1484,190 @@ def test_pruned_probe_recall_all_materialized_variants(spark, sf_dir, tmp_path):
     assert r_rr == r_fl, (r_rr, r_fl)
     assert mean(r_rr) >= 0.8, r_rr
     assert mean(r_adc) < mean(r_rr), (r_adc, r_rr)
+
+
+# --- SemDeDup admission index (sources/semdedup_index.py) -------------
+
+
+def test_semdedup_index_build_plus_admit_equals_rebuild(spark, sf_dir, tmp_path):
+    """build(corpus) + admit(batch) must keep EXACTLY the vectors a
+    one-shot build over corpus∪batch keeps — the greedy's prefix
+    property, which is the whole reason the admission contract demands
+    increasing ids. (At sf0.01+ the batch organically hits the
+    corpus-blocked branch too; at the default sf0.001 every organic
+    dup pair falls on one side of the split, so that branch's
+    non-vacuity is pinned by the planted-chain test below instead.)"""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+    full, inc = str(tmp_path / "sem_full"), str(tmp_path / "sem_inc")
+    build_semdedup_index(spark, sf_dir, full, CENTROID_IDS)
+    build_semdedup_index(
+        spark, sf_dir, inc, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    report = admit_semdedup_batch(spark, inc, v.filter(F.col("vec_id") >= _SPLIT))
+    rows = report.collect()
+    assert any(r["admitted"] for r in rows), "gate admitted nothing — vacuous"
+    ids = lambda p: sorted(  # noqa: E731
+        r["vec_id"] for r in kept_vectors(spark, p).select("vec_id").collect()
+    )
+    assert ids(inc) == ids(full)
+
+
+def test_semdedup_index_rejects_out_of_order_ids(spark, sf_dir, tmp_path):
+    """Sequential admission is order-DEFINED: a batch id at or below
+    the indexed max would silently change which copy wins, so the
+    append must fail loudly instead."""
+    import pytest
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    path = str(tmp_path / "sem_order")
+    build_semdedup_index(spark, sf_dir, path, CENTROID_IDS)
+    with pytest.raises(ValueError, match="must exceed"):
+        admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") <= 5))
+
+
+def test_semdedup_admission_exact_chain_semantics(spark, sf_dir, tmp_path):
+    """The planted a~b~c chain (a kept in the corpus, a!~c): b is
+    corpus-blocked, and c is ADMITTED because its only duplicate
+    neighbor b was itself rejected — the exact-chain greedy the
+    in-plan query's pairwise lower-id rule deliberately approximates
+    (semdedup_cell_prune would prune both b and c). Axes 8/9 carry the
+    off-centroid mass so every planted vector stays below tau of its
+    cell centroid (cos ~= 0.399 < 0.45) yet inside cell 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+    )
+
+    dim = 64
+
+    def vec(**comps):
+        v = [0.0] * dim
+        for i, x in comps.items():
+            v[int(i)] = float(x)
+        return v
+
+    rows = [(20 + c, vec(**{str(c): 1.0}), 0) for c in range(8)]
+    rows.append((100, vec(**{"0": 0.4, "8": 0.92}), 1))                 # a
+    rows.append((101, vec(**{"0": 0.4, "8": 0.65, "9": 0.65}), 1))      # b ~ a, b ~ c
+    rows.append((102, vec(**{"0": 0.4, "9": 0.92}), 1))                 # c !~ a
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    corpus_dir = str(tmp_path)
+    path = str(tmp_path / "sem_chain")
+    v = _vecs(spark, corpus_dir)
+    build_semdedup_index(
+        spark, corpus_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") <= 100)
+    )
+    report = {
+        r["vec_id"]: r.asDict()
+        for r in admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") > 100)).collect()
+    }
+    assert report[101]["corpus_blocked"] and not report[101]["admitted"]
+    assert not report[102]["corpus_blocked"] and report[102]["admitted"]
+
+
+def test_semdedup_admission_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The corpus-blocked check must read ONLY the batch's own cells:
+    probed_kept's literal cid IN filter lands in the scan's
+    PartitionFilters (the search_ivf_index discipline), so a one-cell
+    batch leaves the other cells' files unopened."""
+    import re
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        kept_vectors,
+        probed_kept,
+    )
+    from tests.test_scale_plans import plan_of
+
+    path = str(tmp_path / "sem_prune")
+    build_semdedup_index(spark, sf_dir, path, CENTROID_IDS)
+    all_cids = {
+        r["cid"] for r in kept_vectors(spark, path).select("cid").distinct().collect()
+    }
+    probe = sorted(all_cids)[:2]
+    plan = plan_of(probed_kept(spark, path, probe))
+    m = re.search(r"PartitionFilters: \[[^\]]*cid#\d+ IN \(([\d,]+)\)", plan)
+    assert m, f"cid literal filter did not reach the scan:\n{plan}"
+    assert {int(x) for x in m.group(1).split(",")} == set(probe)
+    assert len(all_cids) > 2, "fixture must populate more cells than the probe"
+
+
+def test_semdedup_index_rtbf_reuses_ivf_delete(spark, sf_dir, tmp_path):
+    """The semdedup layout matches the IVF maintenance contract, so
+    delete_from_ivf_index IS its RTBF. Semantics pinned: deleting a
+    kept blocker (a) removes it from the kept relation, and (b) a
+    LATER duplicate of it is then admitted — while duplicates it
+    rejected before the delete stay gone (never stored; sequential
+    admission is historical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import delete_from_ivf_index
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    dim = 64
+
+    def vec(**comps):
+        v = [0.0] * dim
+        for i, x in comps.items():
+            v[int(i)] = float(x)
+        return v
+
+    a = vec(**{"0": 0.4, "8": 0.92})
+    rows = [(20 + c, vec(**{str(c): 1.0}), 0) for c in range(8)]
+    rows.append((100, a, 1))        # the kept blocker
+    rows.append((101, a, 1))        # batch 1: duplicate of a → rejected
+    rows.append((102, a, 1))        # batch 2 (post-RTBF): admitted
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    corpus_dir, path = str(tmp_path), str(tmp_path / "sem_rtbf")
+    v = _vecs(spark, corpus_dir)
+    build_semdedup_index(
+        spark, corpus_dir, path, tuple(range(20, 28)), vectors=v.filter(F.col("vec_id") <= 100)
+    )
+    r1 = admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") == 101)).collect()[0]
+    assert r1["corpus_blocked"] and not r1["admitted"]
+
+    removed = delete_from_ivf_index(spark, path, [100])
+    assert removed == 1
+    kept_ids = {r["vec_id"] for r in kept_vectors(spark, path).select("vec_id").collect()}
+    assert 100 not in kept_ids and 101 not in kept_ids, "rejected dup must NOT resurrect"
+
+    r2 = admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") == 102)).collect()[0]
+    assert not r2["corpus_blocked"] and r2["admitted"], "blocker forgotten after RTBF"

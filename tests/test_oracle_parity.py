@@ -1106,3 +1106,53 @@ def test_dedup_recall_report_orders_the_methods(spark, sf_dir):
     assert rows["containment"]["prec"] == 1.0 and rows["containment"]["recall"] == 1.0
     assert rows["simhash"]["prec"] < 0.5 and rows["simhash"]["recall"] >= 0.5
     assert rows["minhash"]["n_truth"] > 0
+
+
+def test_semdedup_degenerate_vectors_match_oracle(spark, tmp_path):
+    """Zero-norm vectors must be DROPPED (cosine would divide by zero
+    in assignment) and a singleton cell must emit its unpruned row —
+    in both engines. The fixture never exercises either (no zero
+    vectors; every fixed cell is populated). Construct: 8 axis-aligned
+    centroids (vec_ids 20..27), one zero vector, one lone vector near
+    centroid 0, a duplicate pair near centroid 1."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+
+    def vec(**comps):
+        v = [0.0] * dim
+        for i, x in comps.items():
+            v[int(i)] = float(x)
+        return v
+
+    # Centroids are corpus rows too (the fixed-centroid convention), so
+    # non-centroid vectors sit at cos ~= 0.399 of their cell's centroid
+    # (0.4 on the centroid axis, 0.92 on an axis no centroid owns):
+    # below tau = 0.45, still the argmax cell.
+    rows = [(20 + c, vec(**{str(c): 1.0}), 0) for c in range(8)]  # centroids
+    rows += [
+        (1, vec(**{"0": 0.4, "8": 0.92}), 1),         # lone vector, cell 0
+        (2, vec(**{"1": 0.4, "9": 0.92}), 1),         # dup pair, cell 1
+        (3, vec(**{"1": 0.4, "9": 0.92}), 1),         # identical → pruned
+        (4, [0.0] * dim, 1),                          # zero-norm → dropped
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    spec = SPECS["semdedup_cell_prune"]
+    df = spec.spark(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+    compare(df, con, spec.oracle)
+    out = {r["vec_id"]: r.asDict() for r in df.collect()}
+    assert 4 not in out, "zero-norm vector must be dropped, not crash"
+    assert out[1]["pruned"] is False and out[1]["n_dup_neighbors"] == 0
+    assert out[2]["pruned"] is False and out[3]["pruned"] is True
+    assert out[3]["n_dup_neighbors"] == 1
