@@ -430,16 +430,38 @@ def append_ivf_index_exactly_once(
     if fs.exists(marker):
         return False
     prefix = f"epoch-{token}-"
+    purge_token_files(fs, index_path, prefix)
+    stage = f"{index_path}/_stage_{token}"
+    # Same validation + layout detection + frozen-quantizer assignment
+    # as the plain append, staged instead of appended. IMPORTANT for
+    # any caller whose staged rows depend on index STATE (the semdedup
+    # admission): derive them only AFTER the purge above, so a replay
+    # decides against the clean committed state.
+    assigned = _assigned_append_batch(spark, index_path, vectors)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
+    install_staged_cells(fs, index_path, stage, prefix)
+    fs.mkdirs(commits_dir)
+    fs.create_exclusive(marker, "")
+    return True
+
+
+def purge_token_files(fs, index_path: str, prefix: str) -> None:
+    """Step 2 of the exactly-once append protocol: remove any
+    ``<prefix>*`` files a crashed prior attempt left inside cid=
+    partitions (listing bounded by |cells| + |batch files|). Shared by
+    the IVF append and the semdedup admission append."""
     for d in fs.list_names(str(index_path)):
         if d.startswith("cid="):
             for f in fs.list_names(f"{index_path}/{d}"):
                 if f.startswith(prefix):
                     fs.delete(f"{index_path}/{d}/{f}")
-    stage = f"{index_path}/_stage_{token}"
-    # Same validation + layout detection + frozen-quantizer assignment
-    # as the plain append, staged instead of appended.
-    assigned = _assigned_append_batch(spark, index_path, vectors)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(stage)
+
+
+def install_staged_cells(fs, index_path: str, stage: str, prefix: str) -> None:
+    """Step 4 of the exactly-once append protocol: rename every staged
+    part file to a DETERMINISTIC ``<prefix><i>.parquet`` name inside
+    its cid= partition, then drop the staging dir. Determinism + the
+    purge make a half-installed crash converge on replay."""
     i = 0
     for d in sorted(fs.list_names(stage)):
         if not d.startswith("cid="):
@@ -453,9 +475,6 @@ def append_ivf_index_exactly_once(
             fs.rename(f"{stage}/{d}/{f}", dst)
             i += 1
     fs.delete(stage)
-    fs.mkdirs(commits_dir)
-    fs.create_exclusive(marker, "")
-    return True
 
 
 # Fixed-point mean: DECIMAL(28,9) per-dimension partial sums make the

@@ -43,6 +43,14 @@ product stays exactly representable in BOTH numpy int64 (the per-cell
 Gram kernel) and JVM integer-valued doubles (the batch×kept join):
 den2·dot² ≤ 4.3e14 and num2·na·nb ≤ 8.7e13, both below 2⁵³ and 2⁶³.
 
+Sizing note: ``admit_semdedup_batch`` is the INGEST-LOOP shape — the
+batch is broadcast-small next to the kept corpus and AQE broadcasts
+it into the cid join. A corpus-sized backfill should NOT stream
+through it (the cid key has only k distinct values, so a sort-merge
+on it would hot-spot): rebuild instead — the greedy is order-defined,
+so build(corpus∪backfill) is the same answer the loop would have
+produced, one partitioned write instead of millions of appends.
+
 Maintenance: the layout (rows keyed by vec_id, partitioned by cid)
 deliberately matches the IVF index's contract, so ann_index's
 maintenance functions apply VERBATIM — ``delete_from_ivf_index`` is
@@ -199,25 +207,14 @@ def probed_kept(spark: SparkSession, index_path: str, cells) -> DataFrame:
     return kept.filter(F.col("cid").isin(*cells)) if cells else kept
 
 
-def admit_semdedup_batch(
-    spark: SparkSession,
-    index_path: str,
-    batch_vectors: DataFrame,
-    write: bool = True,
+def _admission_report(
+    spark: SparkSession, index_path: str, batch_vectors: DataFrame
 ) -> DataFrame:
-    """Admit a batch against the kept corpus; returns the decision
-    relation (vec_id, cid, corpus_blocked, admitted) and (by default)
-    appends the admitted rows' codes into their cid= partitions.
-
-    Plan: assign the batch against the FROZEN sidecar quantizer
-    (map-side); collect its cell ids (≤ min(|batch|, k) ints — bounded
-    by construction) and scan ONLY those index partitions for the
-    corpus-blocked check (one cid equi-join, integer-exact duplicate
-    compare); resolve within-batch chains with the per-cell greedy
-    kernel over batch rows only. Batch ids must exceed every indexed
-    id — the greedy's batch-invariance is a prefix property — checked
-    with one parquet-stats aggregate, fail-loud.
-    """
+    """The admission decisions with the rows needed to land them:
+    (vec_id, cid, label, qv, nrm, corpus_blocked, admitted),
+    localCheckpointed so callers land/report without re-running the
+    greedy. Computed against the index's COMMITTED state — the
+    exactly-once path relies on calling this only after its purge."""
     p = load_semdedup_params(index_path)
     num2, den2 = p["tau_num2"], p["tau_den2"]
     cents = load_index_centroids(spark, index_path)
@@ -260,13 +257,76 @@ def admit_semdedup_batch(
     )
     flagged = qc.join(blocked, "vec_id").withColumn("rej", F.col("corpus_blocked"))
     decisions = _greedy_admitted(flagged, num2, den2)
-    report = (
+    return (
         flagged.select("vec_id", "cid", "label", "qv", "nrm", "corpus_blocked")
         .join(decisions, "vec_id")
-        .localCheckpoint(eager=True)  # decide once; the append below must not re-run the greedy
+        .localCheckpoint(eager=True)  # decide once; landing must not re-run the greedy
     )
+
+
+def admit_semdedup_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_vectors: DataFrame,
+    write: bool = True,
+) -> DataFrame:
+    """Admit a batch against the kept corpus; returns the decision
+    relation (vec_id, cid, corpus_blocked, admitted) and (by default)
+    appends the admitted rows' codes into their cid= partitions.
+
+    Plan: assign the batch against the FROZEN sidecar quantizer
+    (map-side); collect its cell ids (≤ min(|batch|, k) ints — bounded
+    by construction) and scan ONLY those index partitions for the
+    corpus-blocked check (one cid equi-join, integer-exact duplicate
+    compare); resolve within-batch chains with the per-cell greedy
+    kernel over batch rows only. Batch ids must exceed every indexed
+    id — the greedy's batch-invariance is a prefix property — checked
+    with one parquet-stats aggregate, fail-loud.
+    """
+    report = _admission_report(spark, index_path, batch_vectors)
     if write:
         report.filter(F.col("admitted")).select(
             "vec_id", "label", "qv", "nrm", "cid"
         ).write.mode("append").partitionBy("cid").parquet(index_path)
     return report.select("vec_id", "cid", "corpus_blocked", "admitted")
+
+
+def admit_semdedup_batch_exactly_once(
+    spark: SparkSession, index_path: str, batch_vectors: DataFrame, token: str
+) -> bool:
+    """``admit_semdedup_batch`` with an EXACTLY-ONCE end state under
+    at-least-once execution — the ann_index commit protocol (probe →
+    purge → stage → deterministic-name install → conditional-create
+    marker), with one extra obligation the IVF append doesn't have:
+    admission DECISIONS depend on index state, so they are computed
+    only AFTER the purge — a replay of a crashed attempt decides
+    against the clean committed state and therefore reproduces the
+    same admitted set (the staging-determinism contract). Crash before
+    the marker → replay purges and reinstalls; crash after → replay
+    no-ops at the probe. Returns True if this call landed the batch.
+
+    Rejected rows are decisions, not files — a replayed epoch re-makes
+    them identically; only admitted rows need the install protocol.
+    """
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        install_staged_cells,
+        purge_token_files,
+    )
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
+    fs = sidecar_fs(index_path, spark)
+    commits_dir = f"{index_path}/_commits"
+    marker = f"{commits_dir}/{token}"
+    if fs.exists(marker):
+        return False
+    prefix = f"epoch-{token}-"
+    purge_token_files(fs, index_path, prefix)
+    report = _admission_report(spark, index_path, batch_vectors)
+    stage = f"{index_path}/_stage_{token}"
+    report.filter(F.col("admitted")).select(
+        "vec_id", "label", "qv", "nrm", "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(stage)
+    install_staged_cells(fs, index_path, stage, prefix)
+    fs.mkdirs(commits_dir)
+    fs.create_exclusive(marker, "")
+    return True

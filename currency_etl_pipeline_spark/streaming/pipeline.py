@@ -776,6 +776,53 @@ def stream_append_ivf_index(
     return writer.start()
 
 
+def stream_append_semdedup_index(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Live SemDeDup admission: each micro-batch of (vec_id, label, v)
+    rows is admitted against the kept semantic corpus
+    (``sources/semdedup_index.admit_semdedup_batch_exactly_once``) —
+    the streaming half of the embedding-dedup ingest loop, mirroring
+    ``stream_minhash_ingest``'s text-side gate. Earlier epochs' ADMITTED
+    rows block later epochs' duplicates (the sequential greedy carries
+    across micro-batches because each epoch's admissions land before
+    the next epoch's check); the stream must therefore deliver ids in
+    increasing order across epochs — the admission API fail-louds
+    otherwise.
+
+    Replay protocol: identical to ``stream_append_ivf_index`` — the
+    ``_last_epoch`` fast path plus the exactly-once commit token
+    ``<checkpoint-ns>-<epoch>``; admission decisions are recomputed
+    AFTER the purge on a crashed replay, so they reproduce against the
+    clean committed state. Returns the StreamingQuery.
+    """
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch_exactly_once,
+    )
+
+    last_epoch, record_epoch = _last_epoch_marker(spark, index_path)
+    tag, _parse = _epoch_tagger(checkpoint_dir)
+
+    def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= last_epoch():
+            return  # replayed epoch already admitted (fast path)
+        token = tag(epoch_id).split(":", 1)[1].replace(":", "-")
+        admit_semdedup_batch_exactly_once(spark, index_path, batch_df, token=token)
+        record_epoch(epoch_id)
+
+    writer = (
+        vec_stream.writeStream.outputMode("update")
+        .foreachBatch(_admit)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_token_counts(
     spark: SparkSession,
     doc_stream: DataFrame,

@@ -1671,3 +1671,103 @@ def test_semdedup_index_rtbf_reuses_ivf_delete(spark, sf_dir, tmp_path):
 
     r2 = admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") == 102)).collect()[0]
     assert not r2["corpus_blocked"] and r2["admitted"], "blocker forgotten after RTBF"
+
+
+def test_semdedup_index_compaction_reuses_ivf_compactor(spark, sf_dir, tmp_path):
+    """compact_ivf_index works verbatim on the semdedup layout (same
+    vec_id/cid contract): appends fragment cid= partitions, compaction
+    collapses each oversized cell to the file budget, and the kept
+    relation is row-identical before/after."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import compact_ivf_index
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+    path = str(tmp_path / "sem_compact")
+    build_semdedup_index(
+        spark, sf_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    for lo, hi in ((_SPLIT, _SPLIT + 50), (_SPLIT + 50, 10**9)):
+        admit_semdedup_batch(
+            spark, path, v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    rows = lambda: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"], r["nrm"])
+        for r in kept_vectors(spark, path).select("vec_id", "cid", "nrm").collect()
+    )
+    before = rows()
+    import collections
+    import re
+
+    per_cell = collections.Counter(
+        re.search(r"cid=(\d+)", f).group(1)
+        for f in kept_vectors(spark, path).inputFiles()
+    )
+    assert max(per_cell.values()) > 1, "appends did not fragment — vacuous"
+    compact_ivf_index(spark, path, max_files_per_cell=1)
+    per_cell_after = collections.Counter(
+        re.search(r"cid=(\d+)", f).group(1)
+        for f in kept_vectors(spark, path).inputFiles()
+    )
+    assert max(per_cell_after.values()) == 1
+    assert rows() == before
+
+
+def test_semdedup_admit_exactly_once_commit_protocol(spark, sf_dir, tmp_path):
+    """admit_semdedup_batch_exactly_once: (a) replay with the same
+    token is a no-op (False, files byte-stable); (b) a simulated
+    pre-commit crash (marker deleted, landed files orphaned) converges
+    on replay — the purge runs BEFORE the admission decisions, so the
+    replay decides against the clean committed state and reinstalls
+    the identical admitted set; (c) the end state matches the plain
+    admit row-for-row."""
+    import hashlib
+    import os
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        admit_semdedup_batch_exactly_once,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+    head, tail = v.filter(F.col("vec_id") < _SPLIT), v.filter(F.col("vec_id") >= _SPLIT)
+
+    plain = str(tmp_path / "sem_plain")
+    build_semdedup_index(spark, sf_dir, plain, CENTROID_IDS, vectors=head)
+    admit_semdedup_batch(spark, plain, tail)
+    want = sorted(map(tuple, kept_vectors(spark, plain).collect()))
+
+    eo = str(tmp_path / "sem_eo")
+    build_semdedup_index(spark, sf_dir, eo, CENTROID_IDS, vectors=head)
+    assert admit_semdedup_batch_exactly_once(spark, eo, tail, token="ns1-0") is True
+    assert sorted(map(tuple, kept_vectors(spark, eo).collect())) == want
+
+    def _hashes():
+        out = {}
+        for root, _dirs, files in os.walk(eo):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                with open(os.path.join(root, f), "rb") as fh:
+                    out[os.path.join(os.path.relpath(root, eo), f)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = _hashes()
+    assert admit_semdedup_batch_exactly_once(spark, eo, tail, token="ns1-0") is False
+    assert _hashes() == before
+
+    os.remove(os.path.join(eo, "_commits", "ns1-0"))
+    assert admit_semdedup_batch_exactly_once(spark, eo, tail, token="ns1-0") is True
+    assert sorted(map(tuple, kept_vectors(spark, eo).collect())) == want, (
+        "replay after simulated pre-commit crash duplicated or lost rows"
+    )
+    assert [f for f in _hashes() if "epoch-ns1-0-" in f], "no token-named files landed"

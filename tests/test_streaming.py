@@ -1142,3 +1142,63 @@ def test_stream_token_counts_chunking_invariant_and_replay(spark, tmp_path):
     got = run()
     assert got == {"alpha": 4, "beta": 4, "gamma": 1 + 2 + 3 + 4}, got
     assert run() == got, "replaying a drained checkpoint must not double counts"
+
+
+def test_stream_append_semdedup_index_matches_one_shot(spark, sf_dir, tmp_path):
+    """A vector stream consumed by stream_append_semdedup_index must
+    leave the kept corpus IDENTICAL to a one-shot rebuild over the
+    whole corpus (chunking cannot change sequential admissions — the
+    greedy's prefix property, with earlier epochs' admissions blocking
+    later epochs' duplicates), and a replayed feed must be a no-op
+    (the _last_epoch marker + commit-token protocol)."""
+    import os
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        kept_vectors,
+    )
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        stream_append_semdedup_index,
+    )
+
+    CENTROIDS = tuple(range(20, 28))
+    v = _vecs(spark, sf_dir)
+    live, full = str(tmp_path / "sem_live"), str(tmp_path / "sem_full")
+    build_semdedup_index(spark, sf_dir, full, CENTROIDS)
+    build_semdedup_index(
+        spark, sf_dir, live, CENTROIDS, vectors=v.filter(F.col("vec_id") < 300)
+    )
+
+    feed = tmp_path / "sem_feed"
+    feed.mkdir()
+    # Ascending id ranges per file → epochs deliver ids in admission
+    # order (the API's contract; mtimes pin the file order).
+    for i, (lo, hi) in enumerate([(300, 400), (400, 10_000_000)]):
+        sub = feed / f"b{i}"
+        v.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).repartition(
+            1
+        ).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            os.utime(f, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = stream_append_semdedup_index(
+        spark, stream, live, checkpoint_dir=str(tmp_path / "sem_ck")
+    )
+    q.awaitTermination()
+
+    rows = lambda p: sorted(map(tuple, kept_vectors(spark, p).collect()))  # noqa: E731
+    assert rows(live) == rows(full), "streamed admissions diverged from one-shot build"
+
+    files_before = set(spark.read.parquet(live).inputFiles())
+    q2 = stream_append_semdedup_index(
+        spark, stream, live, checkpoint_dir=str(tmp_path / "sem_ck")
+    )
+    q2.awaitTermination()
+    assert set(spark.read.parquet(live).inputFiles()) == files_before, (
+        "replayed feed appended files"
+    )
