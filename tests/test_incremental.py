@@ -1771,3 +1771,54 @@ def test_semdedup_admit_exactly_once_commit_protocol(spark, sf_dir, tmp_path):
         "replay after simulated pre-commit crash duplicated or lost rows"
     )
     assert [f for f in _hashes() if "epoch-ns1-0-" in f], "no token-named files landed"
+
+
+def test_semdedup_index_drift_and_recenter_reuse_ivf_maintenance(spark, sf_dir, tmp_path):
+    """The quantizer-health loop works verbatim on the semdedup layout
+    (qv codes, like SQ8): centroid_drift_report reads the index's
+    code-mean drift per cell, and recluster_flagged_cells applies the
+    sidecar-only RE-CENTER repair — every data file byte-identical,
+    the flagged cell's drift collapsed to 0 against the refreshed
+    sidecar."""
+    import hashlib
+    import os
+
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        centroid_drift_report,
+        recluster_flagged_cells,
+    )
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        build_semdedup_index,
+    )
+
+    path = str(tmp_path / "sem_drift")
+    build_semdedup_index(spark, sf_dir, path, CENTROID_IDS)
+    report = {r["cid"]: r["drift"] for r in centroid_drift_report(spark, path).collect()}
+    assert len(report) == 8 and all(0.0 <= d <= 2.0 for d in report.values())
+
+    worst = max(report, key=report.get)
+    assert report[worst] > 0.0, "exemplar centroids never sit exactly on the code mean"
+
+    def _data_hashes():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            if "_centroids" in root:
+                continue
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                with open(os.path.join(root, f), "rb") as fh:
+                    out[os.path.join(os.path.relpath(root, path), f)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = _data_hashes()
+    actions = recluster_flagged_cells(spark, path, [worst])
+    assert actions == {worst: "recentered"}, actions
+    assert _data_hashes() == before, "re-center must not touch data files"
+    after = {r["cid"]: r["drift"] for r in centroid_drift_report(spark, path).collect()}
+    assert after[worst] == 0.0, "re-centered cell's drift must collapse"
+    for cid in report:
+        if cid != worst:
+            assert after[cid] == report[cid], "unflagged cells' drift must not move"
