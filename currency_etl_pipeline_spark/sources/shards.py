@@ -184,27 +184,48 @@ def run_training_data_pipeline(
     block: int = PACK_BLOCK,
     passage_dedup: bool = False,
     perplexity_nll_max: float | None = None,
+    semdedup: bool = False,
 ) -> DataFrame:
     """END-TO-END training-data pipeline in one call — the training
     twin of the reference's fetch→transform→load entry point (EP1):
     load documents → quality gate → PII redaction → exact dedup →
-    deterministic split → per-(split, lang) token packing →
-    hive-partitioned shard sink. Returns the manifest: per
-    (split, lang) shard/doc/token totals, read back from the written
-    shards so the manifest reports what actually landed.
+    [opt-in: semantic dedup] → deterministic split → per-(split, lang)
+    token packing → hive-partitioned shard sink. Returns the manifest:
+    per (split, lang) shard/doc/token totals, read back from the
+    written shards so the manifest reports what actually landed.
+
+    ``semdedup=True`` (off by default — flags-off shards stay
+    byte-identical) additionally drops documents the SemDeDup pass
+    prunes in EMBEDDING space (queries/vectors.semdedup_cell_prune):
+    paraphrases and re-encodings the text-hash dedup structurally
+    misses. Contract: the embeddings table keys vectors by the same id
+    as documents (vec_id ≡ doc_id — the testdata layout; a real
+    deployment embeds the corpus and carries doc_id through). The
+    pruned-id relation is near-dup-density-sized and anti-joins the
+    cleaned corpus on doc_id — one narrow join, text never reshuffles.
     """
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    cleaned = build_training_corpus(
+        docs, passage_dedup=passage_dedup, perplexity_nll_max=perplexity_nll_max
+    )
+    if semdedup:
+        from currency_etl_pipeline_spark.queries.vectors import semdedup_cell_prune
+
+        pruned = (
+            semdedup_cell_prune(spark, sf_dir)
+            .filter(F.col("pruned"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        cleaned = cleaned.join(pruned, "doc_id", "left_anti")
     # The cleaning plan (regex redaction + dedup window) feeds the
     # sink's null-key guard count AND the two-branch packing write —
     # persist it once so the corpus isn't re-cleaned per consumer
     # (cache, not checkpoint: recomputable lineage on executor loss).
-    cleaned = build_training_corpus(
-        docs, passage_dedup=passage_dedup, perplexity_nll_max=perplexity_nll_max
-    ).persist()
+    cleaned = cleaned.persist()
     try:
         write_training_shards(cleaned, path, budget=budget, block=block)
     finally:

@@ -315,3 +315,42 @@ def test_packed_docs_raises_when_block_offsets_exceed_cap(spark, sf_dir):
     with pytest.raises(Exception, match="max_blocks"):
         packed_docs(docs, max_blocks=2).collect()
     assert packed_docs(docs).count() > 0
+
+
+def test_pipeline_semdedup_stage_composes(spark, sf_dir, tmp_path):
+    """semdedup=True as an opt-in pipeline stage: landed shards must
+    contain NO doc the embedding-space pass prunes (and every gated
+    survivor that isn't pruned), and semdedup=False must land the same
+    rows as the default pipeline — the flags-off regression lock every
+    opt-in stage carries (row-level, the compose test's convention:
+    parquet part names embed write UUIDs, so byte trees never match)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.vectors import semdedup_cell_prune
+    from currency_etl_pipeline_spark.sources.shards import (
+        read_training_shards,
+        run_training_data_pipeline,
+    )
+
+    base, off, on = (str(tmp_path / d) for d in ("base", "off", "on"))
+    run_training_data_pipeline(spark, sf_dir, base)
+    run_training_data_pipeline(spark, sf_dir, off, semdedup=False)
+    run_training_data_pipeline(spark, sf_dir, on, semdedup=True)
+
+    def landed(p):
+        return {r["doc_id"] for r in read_training_shards(spark, p).select("doc_id").collect()}
+
+    def rows(p):
+        return sorted(map(tuple, read_training_shards(spark, p).collect()))
+
+    assert rows(off) == rows(base), "semdedup=False must land identical rows"
+
+    pruned = {
+        r["vec_id"]
+        for r in semdedup_cell_prune(spark, sf_dir).filter(F.col("pruned")).collect()
+    }
+    assert pruned, "fixture must prune at least one vector — vacuous otherwise"
+    base_ids, on_ids = landed(base), landed(on)
+    assert on_ids == base_ids - pruned, (
+        "semdedup stage must drop exactly the pruned ids among landed docs"
+    )
