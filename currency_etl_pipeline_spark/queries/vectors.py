@@ -421,10 +421,10 @@ def _banded_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_ND_LSH_CTES},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT vec_a, vec_b FROM cand c
         WHERE {_COS_DUCK.format(a="c.va", b="c.vb")} >= 0.4
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT vec_a AS a, vec_b AS b FROM pairs
         UNION SELECT vec_b, vec_a FROM pairs
     ), reach AS (
@@ -447,7 +447,11 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py, one shuffle per superstep, bounded by cluster
     diameter). The oracle replays the closure with a recursive CTE, so
     the driver check covers LSH candidate generation, cosine
-    verification, AND the iterative algorithm in one row-hash.
+    verification, AND the iterative algorithm in one row-hash. The
+    pairs/edges CTEs are MATERIALIZED (r10): DuckDB inlines plain CTEs
+    into the recursive step, re-running the whole LSH pipeline per
+    closure iteration — >9 min at sf0.1 vs 110 s materialized, values
+    identical (the sequential_dedup_admission precedent, FIXTURES).
     """
     from currency_etl_pipeline_spark.operators.graph import connected_components
 
