@@ -456,3 +456,62 @@ def test_semdedup_kernel_int64_headroom():
     ).set_index("vec_id")
     assert bool(out.loc[2, "pruned"]) and not bool(out.loc[1, "pruned"])
     assert not bool(out.loc[3, "pruned"]) and out.loc[3, "n_dup_neighbors"] == 0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-127, 127), min_size=4, max_size=4),
+        min_size=1,
+        max_size=12,
+    ),
+    rej_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_semdedup_admit_kernel_matches_reference(vecs, rej_mask):
+    """sources/semdedup_index._admit_cell_greedy must equal a
+    brute-force sequential reference on arbitrary int8-ish code sets:
+    iterate ids ascending, reject on the corpus flag or on a duplicate
+    (d > 0 and den2·d² ≥ num2·na·nb) against any previously-ADMITTED
+    row. 4-dim codes keep hypothesis fast; the inequality arithmetic is
+    identical at any width. Zero vectors get na = 0, so they are never
+    duplicates of anything (d = 0 fails the d > 0 guard) — the kernel
+    must admit them unless corpus-flagged."""
+    import pandas as pd
+
+    from currency_etl_pipeline_spark.sources.semdedup_index import _admit_cell_greedy
+
+    n = len(vecs)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "cid": [0] * n,
+            "qv": [[float(x) for x in v] for v in vecs],
+            "rej": [bool(rej_mask[i]) for i in range(n)],
+            "tn2": [81] * n,
+            "td2": [400] * n,
+        }
+    )
+    got = {
+        int(r.vec_id): bool(r.admitted)
+        for r in _admit_cell_greedy(pdf).itertuples()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    admitted: list = []
+    want = {}
+    for i in range(n):
+        if rej_mask[i]:
+            want[i] = False
+            continue
+        na = dot(vecs[i], vecs[i])
+        dup = any(
+            dot(vecs[i], vecs[j]) > 0
+            and 400 * dot(vecs[i], vecs[j]) ** 2 >= 81 * na * dot(vecs[j], vecs[j])
+            for j in admitted
+        )
+        want[i] = not dup
+        if not dup:
+            admitted.append(i)
+    assert got == want
