@@ -173,6 +173,65 @@ def simhash_near_dup_pairs(
     return cand.filter(hamming <= max_hamming).select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    size_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard VERIFY over a candidate pair list — the
+    band-join → verify discipline (multimodal/media.py's phash near-dup
+    and the FAISS shortlist re-rank, applied to text dedup): a banded
+    sketch proposes (id_a, id_b) pairs, the exact set similarity
+    confirms them. Precision comes from the exact measure; cost stays
+    linear — one pass over the shingle relation joined to the bounded
+    (near-dup-density) candidate list, never all-pairs.
+
+    ``cand``: (id_a, id_b, *carry). The caller should localCheckpoint
+    it when its lineage is expensive: it is referenced once per pair
+    side. ``shingled``: one row per (doc, DISTINCT shingle) carrying
+    the doc's shingle-set size in ``size_col`` (the
+    _shingle_pair_counts discipline — size rides the exploded row), so
+    the expensive shingle subtree is referenced exactly ONCE here: the
+    pair sides are unpivoted onto the candidate list and the shingle
+    relation joins that union a single time.
+
+    Output: cand columns + exact ``jaccard`` (rounded to 6), filtered
+    to >= threshold. A candidate side with no shingles (doc shorter
+    than the shingle width) cannot be verified and is dropped — the
+    inner-join semantics of the exact pipelines.
+    """
+    carry = list(cand.columns)
+    sides = cand.select(
+        *carry, F.col("id_a").alias("__doc"), F.lit("a").alias("__side")
+    ).unionByName(
+        cand.select(*carry, F.col("id_b").alias("__doc"), F.lit("b").alias("__side"))
+    )
+    joined = sides.join(
+        shingled.select(
+            F.col(id_col).alias("__doc"),
+            F.col(size_col).alias("__n"),
+            F.col(shingle_col).alias("__shingle"),
+        ),
+        "__doc",
+    )
+    per_shingle = joined.groupBy(*carry, "__shingle").agg(
+        F.max(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__in_a"),
+        F.max(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__in_b"),
+        F.max(F.when(F.col("__side") == "a", F.col("__n"))).alias("__n_a"),
+        F.max(F.when(F.col("__side") == "b", F.col("__n"))).alias("__n_b"),
+    )
+    totals = per_shingle.groupBy(*carry).agg(
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("__n_common"),
+        F.max("__n_a").alias("__n_a"),
+        F.max("__n_b").alias("__n_b"),
+    )
+    jac = F.col("__n_common") * 1.0 / (F.col("__n_a") + F.col("__n_b") - F.col("__n_common"))
+    return totals.filter(jac >= threshold).select(*carry, F.round(jac, 6).alias("jaccard"))
+
+
 def sequential_admission_pandas(pdf):
     """Strictly-sequential greedy admission within ONE connected
     component of a near-dup graph (pandas; use under

@@ -345,6 +345,12 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
 
 
+# Verify threshold for simhash candidates: deliberately BELOW the 0.6
+# notion dedup_recall_report grades against, so the report measures the
+# operator's production contract rather than restating its own truth
+# criterion.
+_SIMHASH_VERIFY_JACCARD = 0.5
+
 @query(
     "simhash_near_dup",
     oracle=f"""
@@ -368,20 +374,73 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a, b.doc_id AS id_b, b.simhash AS sim_b
       FROM blk a JOIN blk b ON a.n = b.n AND a.block = b.block AND a.doc_id < b.doc_id
+    ),
+    cpair AS (
+      SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
+    ),
+    vsh AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+      FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    ),
+    vsize AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.hamming, count(*) AS n_common
+      FROM cpair c
+      JOIN vsh a ON a.doc_id = c.id_a
+      JOIN vsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3
     )
-    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
-    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
+    SELECT i.id_a, i.id_b, i.hamming,
+           round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN vsize sa ON sa.doc_id = i.id_a
+    JOIN vsize sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= {_SIMHASH_VERIFY_JACCARD}
     """,
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit bit-vote fingerprint per doc,
-    candidates via 4-block hamming pigeonhole, exact popcount(xor) ≤ 2
-    filter (operators/dedup.py; Charikar/Manku scheme)."""
-    from currency_etl_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+    """SimHash near-dup pairs, VERIFIED: 32-bit bit-vote fingerprint per
+    doc, candidates via 4-block hamming pigeonhole + exact popcount(xor)
+    ≤ 2 (operators/dedup.py; Charikar/Manku scheme), then an exact
+    shingle-Jaccard ≥ 0.5 verify over the candidate list only — the
+    band-join → verify discipline media_phash_near_dup established.
+
+    Why the verify exists (r10's dedup_recall_report finding): the raw
+    token-MULTISET fingerprint is order-blind and over-predicted ~100×
+    against the shingle-Jaccard notion (25 836 candidates vs 256 true
+    pairs at sf0.1, precision 0.008). The sketch is kept as the linear
+    candidate generator; the exact measure — computed only for the
+    bounded candidate set — supplies the precision, exactly like the
+    FAISS rerank in search_ivfpq_index.
+
+    Plan/scale: the candidate list is bounded by fingerprint-collision
+    density, so it is localCheckpointed (≤ tens of KB/row-pair) and the
+    shingle subtree is planned ONCE (pair sides unpivot onto the
+    candidates; one join against the exploded shingles). Everything
+    else is hash-partitioned groupBy/join — no all-pairs anywhere."""
+    from currency_etl_pipeline_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        simhash_near_dup_pairs,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tokenized = exploded(docs, ["doc_id"], tokens(), "tok")
-    return simhash_near_dup_pairs(tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4)
+    cand = simhash_near_dup_pairs(
+        tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4
+    ).localCheckpoint(eager=True)
+    sh_docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", shingles().alias("sh")
+    )
+    shingled = exploded(
+        sh_docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")),
+        ["doc_id", "n"],
+        F.col("sh"),
+        "shingle",
+    )
+    return jaccard_verify_pairs(
+        cand, shingled, "doc_id", "shingle", "n", threshold=_SIMHASH_VERIFY_JACCARD
+    )
 
 
 @query(
@@ -1764,11 +1823,14 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     grade perfectly here (the planted near-dups sit at J >= 0.89 over a
     <= 0.1 background — real corpora have a gray zone this fixture
     lacks, so perfect rows mean "no separation failure", not "no FP
-    ever"); simhash at hamming <= 2 over-predicts ~100x against the
-    SHINGLE-Jaccard notion (25 836 pred vs 256 truth at sf0.1,
-    precision ~= 0.008, recall 0.84) — its token-MULTISET fingerprint
-    ignores word order, so it is a different similarity, quantified
-    here rather than assumed interchangeable.
+    ever"). Simhash history: in r10 this report measured the RAW
+    hamming <= 2 fingerprint at precision 0.008 (25 836 pred vs 256
+    truth at sf0.1 — the token-MULTISET fingerprint is order-blind, a
+    different similarity). r11 added the exact-Jaccard >= 0.5 verify
+    stage on the banded candidates (simhash_near_dup's docstring);
+    the report now grades the verified operator, whose residual gap
+    vs the 0.6 truth is candidate-generation recall plus the
+    deliberate 0.5-vs-0.6 threshold daylight.
 
     Plan/scale: truth rides the shared _shingle_pair_counts inverted
     index (the containment branch reuses the identical subtree);
