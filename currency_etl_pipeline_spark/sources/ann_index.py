@@ -316,6 +316,15 @@ def _assigned_append_batch(
     (codes — r9: assigns cells via the centroid sidecar and encodes
     against the ``_pq_codebook`` sidecar, so streaming appends work on
     PQ indexes too)."""
+    from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
+
+    if sidecar_fs(index_path, spark).exists(f"{index_path}/_params.json"):
+        raise ValueError(
+            f"index at {index_path} carries a _params.json admission "
+            "sidecar (a SemDeDup admission index): raw IVF appends would "
+            "bypass duplicate admission and mix code layouts — use "
+            "admit_semdedup_batch / stream_append_semdedup_index instead"
+        )
     idx_schema = {f.name: f.dataType for f in spark.read.parquet(index_path).schema}
     batch_schema = {f.name: f.dataType for f in vectors.schema}
     for col in ("vec_id", "label"):

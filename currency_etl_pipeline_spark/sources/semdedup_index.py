@@ -16,7 +16,8 @@ Same lifecycle split as the MinHash dedup index
 Layout under ``index_path``:
 
 - ``cid=*/``       (vec_id, label, qv array<double> int8 codes,
-                    nrm long) — KEPT vectors only, partitioned by cell
+                    nrm long, seq long arrival order) — KEPT vectors
+                    only, partitioned by cell
 - ``_centroids``   the frozen coarse quantizer (ann_index convention:
                    leading underscore keeps sidecars invisible to
                    parquet scans of the index itself)
@@ -24,18 +25,41 @@ Layout under ``index_path``:
                    as the exact rational tau² = num2/den2, persisted so
                    appends can never compare incompatibly
 
-Admission semantics — SEQUENTIAL greedy by vec_id (the exact-chain
-rule of ``sequential_dedup_admission`` / the minhash streaming gate),
-not the in-plan query's pairwise lower-id rule: a vector is admitted
-iff no ALREADY-ADMITTED vector in its cell is a duplicate. On a chain
-a~b~c (a kept, a!~c) the pairwise rule drops both b and c; the greedy
-drops b and admits c — the decision a one-at-a-time ingest loop makes.
-kept(greedy) ⊇ kept(pairwise) always; they coincide when the dup graph
-has no chains (cliques), which ``near_dup_graph_stats``' clustering
-coefficient measures. Batch ids must EXCEED every indexed id (checked,
-fail-loud): the greedy's batch-invariance is a prefix property —
-build(corpus)+admit(batch) ≡ one-shot build over corpus∪batch only
-when ids arrive in admission order (pinned in tests/test_incremental).
+Admission semantics — SEQUENTIAL greedy in ARRIVAL order (the
+exact-chain rule of ``sequential_dedup_admission`` / the minhash
+streaming gate), not the in-plan query's pairwise lower-id rule: a
+vector is admitted iff no ALREADY-ADMITTED vector in its cell is a
+duplicate. On a chain a~b~c (a kept, a!~c) the pairwise rule drops
+both b and c; the greedy drops b and admits c — the decision a
+one-at-a-time ingest loop makes. kept(greedy) ⊇ kept(pairwise)
+always; they coincide when the dup graph has no chains (cliques),
+which ``near_dup_graph_stats``' clustering coefficient measures.
+
+Admission ORDER (r11 — the monotonic-vec_id constraint lifted):
+arrival order is an explicit persisted ``seq`` column, decoupled from
+vec_id. The build stamps seq = vec_id (its greedy runs in id order);
+each admitted batch stamps seq = max(indexed seq) + rank(vec_id within
+batch) — so within a batch the deterministic order is still vec_id,
+across batches it is arrival. Real ingest loops don't get to choose
+upstream ids; what they DO own is arrival order, which is exactly what
+the greedy is defined over. Consequences, both pinned in
+tests/test_incremental.py:
+
+- vec_id-ordered ingest (the fast path): build(corpus)+admit(batch) ≡
+  one-shot build over corpus∪batch — the prefix property, unchanged.
+- out-of-order ids: decisions equal a one-at-a-time replay in arrival
+  order (brute-force twin). A rebuild from raw vectors reproduces the
+  index only if replayed in seq order — the seq column IS that record.
+
+Fail-loud id hygiene (vec_id stays the identity key): duplicate ids
+WITHIN a batch raise (the greedy's sort order would be arbitrary
+between the copies — the silent-winner-change class, ADVICE r10);
+a batch id already present in the batch's own cells raises (the same
+vector re-assigned lands in the same cell under the frozen quantizer,
+so the pruned check catches true re-ingest; an id collision between
+DIFFERENT vectors in different cells is upstream id corruption the
+index cannot see without a full scan — ids are the caller's contract,
+as with every index in this package).
 
 Duplicate test: the all-integer compare den2·dot² ≥ num2·na·nb with a
 dot > 0 guard, on int8 codes — |dot| ≤ 127²·64 ≈ 1.03e6, so every
@@ -180,8 +204,10 @@ def build_semdedup_index(
     cents = _centroids(spark, sf_dir, centroid_ids)
     qc = quantized_cells(v, cents).withColumn("rej", F.lit(False))
     kept = _greedy_admitted(qc, tau_num2, tau_den2).filter(F.col("admitted"))
+    # seq = vec_id: the build's greedy runs in id order, so id IS the
+    # arrival order it decides under; appends stamp max(seq)+rank.
     rows = qc.join(kept.select("vec_id"), "vec_id").select(
-        "vec_id", "label", "qv", "nrm", "cid"
+        "vec_id", "label", "qv", "nrm", F.col("vec_id").alias("seq"), "cid"
     )
     rows.write.mode("overwrite").partitionBy("cid").parquet(index_path)
     cents.write.mode("overwrite").parquet(os.path.join(index_path, _CENTROID_SIDECAR))
@@ -192,7 +218,7 @@ def build_semdedup_index(
 
 
 def kept_vectors(spark: SparkSession, index_path: str) -> DataFrame:
-    """The kept corpus relation (vec_id, label, qv, nrm, cid)."""
+    """The kept corpus relation (vec_id, label, qv, nrm, seq, cid)."""
     return spark.read.parquet(index_path)
 
 
@@ -202,35 +228,84 @@ def probed_kept(spark: SparkSession, index_path: str, cells) -> DataFrame:
     ``cid IN`` filter is static partition pruning at the scan
     (PartitionFilters; plan-pinned in tests/test_incremental.py —
     the search_ivf_index discipline). Exposed so tests can pin the
-    exact scan the admission join runs."""
+    exact scan the admission join runs.
+
+    An EMPTY ``cells`` list returns the empty relation, not the full
+    corpus (ADVICE r10: the silent fallback would defeat partition
+    pruning for any caller passing a computed, possibly-empty list —
+    'no cells probed' must mean 'no rows', as it does for an empty or
+    all-zero-norm batch)."""
     kept = kept_vectors(spark, index_path)
-    return kept.filter(F.col("cid").isin(*cells)) if cells else kept
+    return kept.filter(F.col("cid").isin(*cells)) if cells else kept.limit(0)
 
 
 def _admission_report(
     spark: SparkSession, index_path: str, batch_vectors: DataFrame
 ) -> DataFrame:
     """The admission decisions with the rows needed to land them:
-    (vec_id, cid, label, qv, nrm, corpus_blocked, admitted),
+    (vec_id, cid, label, qv, nrm, seq, corpus_blocked, admitted),
     localCheckpointed so callers land/report without re-running the
     greedy. Computed against the index's COMMITTED state — the
-    exactly-once path relies on calling this only after its purge."""
+    exactly-once path relies on calling this only after its purge.
+
+    Arrival order: each batch row gets seq = max(indexed seq) +
+    rank(vec_id within batch). The unpartitioned row_number window is
+    a single-partition pass over the BATCH only — bounded by the
+    ingest-loop shape (module sizing note), never corpus-sized."""
+    from pyspark.sql import Window as W
+
     p = load_semdedup_params(index_path)
     num2, den2 = p["tau_num2"], p["tau_den2"]
     cents = load_index_centroids(spark, index_path)
     qc = quantized_cells(batch_vectors, cents)
 
-    kept = kept_vectors(spark, index_path)
-    hi = kept.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
-    lo_batch = qc.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
-    if hi is not None and lo_batch is not None and lo_batch <= hi:
+    kept_all = kept_vectors(spark, index_path)
+    idx_stats = kept_all.agg(
+        F.max("vec_id").alias("max_vid"), F.max("seq").alias("max_seq")
+    ).collect()[0]
+    # On the RAW batch: quantized_cells' rn==1 assignment window keeps
+    # one row per vec_id, so a duplicated id would be collapsed silently
+    # (arbitrary winner) before any post-assignment count could see it.
+    b = batch_vectors.agg(
+        F.count("vec_id").alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+        F.min("vec_id").alias("lo"),
+    ).collect()[0]
+    if b["n"] != b["nd"]:
         raise ValueError(
-            f"batch vec_ids must exceed every indexed id (index max {hi}, "
-            f"batch min {lo_batch}): sequential admission is order-defined"
+            f"batch carries duplicate vec_ids ({b['n']} rows, {b['nd']} "
+            "distinct): the greedy's order between equal ids is arbitrary, "
+            "so which copy wins would be nondeterministic"
         )
 
     batch_cells = sorted({r["cid"] for r in qc.select("cid").distinct().collect()})
     kept = probed_kept(spark, index_path, batch_cells)
+    if (
+        idx_stats["max_vid"] is not None
+        and b["lo"] is not None
+        and b["lo"] <= idx_stats["max_vid"]
+    ):
+        # Out-of-order ids: legal (seq carries arrival order), but an id
+        # already present would silently alias two vectors — check the
+        # batch's own cells (same vector → same cell under the frozen
+        # quantizer; see module docstring for the contract's limits).
+        clash = (
+            qc.select("vec_id")
+            .join(kept.select("vec_id"), "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"batch vec_id {clash[0]['vec_id']} already kept in the "
+                "index: vec_id is the identity key — re-ingest or upstream "
+                "id collision"
+            )
+    base_seq = int(idx_stats["max_seq"]) if idx_stats["max_seq"] is not None else 0
+    qc = qc.withColumn(
+        "seq",
+        (F.lit(base_seq) + F.row_number().over(W.orderBy("vec_id"))).cast("long"),
+    )
     blocked = (
         qc.select(
             F.col("vec_id").alias("b_id"),
@@ -258,7 +333,7 @@ def _admission_report(
     flagged = qc.join(blocked, "vec_id").withColumn("rej", F.col("corpus_blocked"))
     decisions = _greedy_admitted(flagged, num2, den2)
     return (
-        flagged.select("vec_id", "cid", "label", "qv", "nrm", "corpus_blocked")
+        flagged.select("vec_id", "cid", "label", "qv", "nrm", "seq", "corpus_blocked")
         .join(decisions, "vec_id")
         .localCheckpoint(eager=True)  # decide once; landing must not re-run the greedy
     )
@@ -279,14 +354,15 @@ def admit_semdedup_batch(
     by construction) and scan ONLY those index partitions for the
     corpus-blocked check (one cid equi-join, integer-exact duplicate
     compare); resolve within-batch chains with the per-cell greedy
-    kernel over batch rows only. Batch ids must exceed every indexed
-    id — the greedy's batch-invariance is a prefix property — checked
-    with one parquet-stats aggregate, fail-loud.
+    kernel over batch rows only. Arbitrary vec_ids are admitted in
+    ARRIVAL order via the persisted seq column (module docstring);
+    duplicate ids within a batch, or a batch id already kept in the
+    batch's own cells, fail loud.
     """
     report = _admission_report(spark, index_path, batch_vectors)
     if write:
         report.filter(F.col("admitted")).select(
-            "vec_id", "label", "qv", "nrm", "cid"
+            "vec_id", "label", "qv", "nrm", "seq", "cid"
         ).write.mode("append").partitionBy("cid").parquet(index_path)
     return report.select("vec_id", "cid", "corpus_blocked", "admitted")
 
@@ -324,7 +400,7 @@ def admit_semdedup_batch_exactly_once(
     report = _admission_report(spark, index_path, batch_vectors)
     stage = f"{index_path}/_stage_{token}"
     report.filter(F.col("admitted")).select(
-        "vec_id", "label", "qv", "nrm", "cid"
+        "vec_id", "label", "qv", "nrm", "seq", "cid"
     ).write.mode("overwrite").partitionBy("cid").parquet(stage)
     install_staged_cells(fs, index_path, stage, prefix)
     fs.mkdirs(commits_dir)

@@ -1519,23 +1519,148 @@ def test_semdedup_index_build_plus_admit_equals_rebuild(spark, sf_dir, tmp_path)
     assert ids(inc) == ids(full)
 
 
-def test_semdedup_index_rejects_out_of_order_ids(spark, sf_dir, tmp_path):
-    """Sequential admission is order-DEFINED: a batch id at or below
-    the indexed max would silently change which copy wins, so the
-    append must fail loudly instead."""
+def test_semdedup_admission_is_arrival_ordered_not_id_ordered(spark, tmp_path):
+    """r11: the monotonic-vec_id constraint is lifted — admission order
+    is the persisted ``seq`` column (arrival), not vec_id. Pin the
+    distinction with a planted duplicate: admit X under a HIGH id, then
+    its duplicate under a LOW id. The pairwise lower-id rule would keep
+    the low id; arrival-order admission must keep the FIRST arrival and
+    block the later one, exactly like a one-at-a-time ingest loop. Also
+    pins the seq bookkeeping (append seqs extend max(indexed seq)) and
+    the id-hygiene fail-louds (duplicate ids within a batch; a batch id
+    already kept in its own cell)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import pytest
 
     from currency_etl_pipeline_spark.queries.vectors import _vecs
     from currency_etl_pipeline_spark.sources.semdedup_index import (
         admit_semdedup_batch,
         build_semdedup_index,
+        kept_vectors,
+    )
+
+    dim = 64
+
+    def vec(**comps):
+        v = [0.0] * dim
+        for i, x in comps.items():
+            v[int(i)] = float(x)
+        return v
+
+    rows = [(20 + c, vec(**{str(c): 1.0}), 0) for c in range(8)]
+    rows.append((100, vec(**{"0": 0.4, "8": 0.92}), 1))  # corpus keeper
+    rows.append((200, vec(**{"0": 0.4, "9": 0.92}), 1))  # X, arrives first
+    rows.append((5, vec(**{"0": 0.4, "9": 0.92}), 1))    # dup of X, LOWER id, arrives later
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    corpus_dir = str(tmp_path)
+    path = str(tmp_path / "sem_arrival")
+    v = _vecs(spark, corpus_dir)
+    build_semdedup_index(
+        spark, corpus_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") >= 20)
+    )
+    build_seq_max = max(
+        r["seq"] for r in kept_vectors(spark, path).select("seq").collect()
+    )
+    r2 = admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") == 5)).collect()[0]
+    assert r2["corpus_blocked"] and not r2["admitted"], (
+        "later arrival must be blocked by the kept first arrival, "
+        "regardless of its lower vec_id"
+    )
+    kept = {r["vec_id"]: r.asDict() for r in kept_vectors(spark, path).collect()}
+    assert 200 in kept and 5 not in kept
+    assert kept[200]["seq"] == 200, "build stamps seq = vec_id"
+    assert build_seq_max == 200
+
+    # id hygiene: a duplicate id within one batch fails loud...
+    dup_batch = v.filter(F.col("vec_id") == 100).unionByName(
+        v.filter(F.col("vec_id") == 100)
+    )
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        admit_semdedup_batch(spark, path, dup_batch)
+    # ...and so does re-ingesting an id the batch's own cell already keeps.
+    with pytest.raises(ValueError, match="already kept"):
+        admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") == 100))
+
+
+def test_semdedup_out_of_order_append_seq_extends_arrival(spark, sf_dir, tmp_path):
+    """Out-of-order ids (batch ids below the indexed max) admit
+    correctly on the organic fixture: build over the HIGH half of the
+    corpus, admit the LOW half, and check the admitted rows' seq values
+    extend max(indexed seq) densely in within-batch vec_id order —
+    the persisted record a seq-ordered replay/rebuild would consume."""
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
     )
 
     v = _vecs(spark, sf_dir)
-    path = str(tmp_path / "sem_order")
+    path = str(tmp_path / "sem_ooo")
+    build_semdedup_index(
+        spark, sf_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") >= _SPLIT)
+    )
+    pre = kept_vectors(spark, path).select("vec_id", "seq").collect()
+    max_seq = max(r["seq"] for r in pre)
+    report = admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") < _SPLIT))
+    admitted = sorted(
+        (r["vec_id"] for r in report.collect() if r["admitted"]),
+    )
+    assert admitted, "gate admitted nothing — vacuous"
+    post = {r["vec_id"]: r["seq"] for r in kept_vectors(spark, path).collect()}
+    got = sorted(((vid, post[vid]) for vid in admitted), key=lambda t: t[0])
+    # Batch seqs: max(indexed seq) + rank over the FULL batch by vec_id
+    # (rejected rows consume ranks too — the arrival record covers every
+    # decision, admitted or not), so admitted seqs are increasing in
+    # vec_id and strictly above the pre-append max.
+    seqs = [s for _, s in got]
+    assert all(s > max_seq for s in seqs)
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_semdedup_probed_kept_empty_cells_is_empty(spark, sf_dir, tmp_path):
+    """ADVICE r10: an empty probe list must return the EMPTY relation,
+    not the full unfiltered corpus — 'no cells probed' means 'no rows',
+    so a computed, possibly-empty cell list can never silently defeat
+    partition pruning."""
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        probed_kept,
+    )
+
+    path = str(tmp_path / "sem_empty_probe")
     build_semdedup_index(spark, sf_dir, path, CENTROID_IDS)
-    with pytest.raises(ValueError, match="must exceed"):
-        admit_semdedup_batch(spark, path, v.filter(F.col("vec_id") <= 5))
+    assert probed_kept(spark, path, []).count() == 0
+
+
+def test_ivf_append_refuses_semdedup_admission_index(spark, sf_dir, tmp_path):
+    """ADVICE r10: the semdedup layout intentionally matches the IVF
+    maintenance contract (delete/compact reuse), but a raw IVF APPEND
+    would bypass admission and mix qv element types — the append must
+    refuse any index carrying a _params.json admission sidecar."""
+    import pytest
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import append_ivf_index
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        build_semdedup_index,
+    )
+
+    v = _vecs(spark, sf_dir)
+    path = str(tmp_path / "sem_guard")
+    build_semdedup_index(
+        spark, sf_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    with pytest.raises(ValueError, match="admission sidecar"):
+        append_ivf_index(spark, path, v.filter(F.col("vec_id") >= _SPLIT))
 
 
 def test_semdedup_admission_exact_chain_semantics(spark, sf_dir, tmp_path):
