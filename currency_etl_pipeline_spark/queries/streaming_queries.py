@@ -213,6 +213,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly on match (the watermark governs state eviction, not
     emission), so driving the file stream to completion yields exactly
     the batch inner join — which is the oracle.
+
+    Drive cost (r11, the left-outer twin's r9 trim applied here): the
+    fixture drive is dominated by per-micro-batch state-store commits —
+    32 shuffle partitions mean 2×32 state stores checkpointed per
+    batch. The drive starts under 8 state partitions
+    (run_stream_to_memory's ``state_partitions``); results are
+    partitioning-invariant, production sizes state by rate.
     """
     from pyspark.sql import functions as F
 
@@ -251,7 +258,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("p_ts").alias("purchase_ts"),
         "purchase_value",
     )
-    return run_stream_to_memory(joined, spark, output_mode="append")
+    return run_stream_to_memory(joined, spark, output_mode="append", state_partitions=8)
 
 
 @query(
@@ -894,10 +901,20 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text is never re-hashed. The streamed feed is tiny here by
     construction — the plan shape, not the volume, is what carries to
     100 TB (same as the other streaming twins).
+
+    Drive cost (r11 protocol trim, the left-outer-join precedent): the
+    two feed files land DRIVER-SIDE with pyarrow (a column-pruned,
+    predicate-filtered read of the fixture file — no Spark
+    repartition(1) write jobs for a fixture feed), and the admission
+    drive runs under 8 shuffle partitions (scoped, restored after —
+    every foreachBatch epoch's joins are batch-bounded, so 32-way
+    shuffles are pure per-epoch protocol). Results are
+    partitioning-invariant (pinned catalog-wide).
     """
     import os
     import tempfile
 
+    import pyarrow.parquet as papq
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.sources.dedup_index import build_minhash_index
@@ -905,30 +922,36 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.tables import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    idx = tempfile.mkdtemp(prefix="mh_ingest_idx_")
-    build_minhash_index(
-        spark, docs.filter(F.col("doc_id") < _MINGEST_SPLIT), idx,
-        num_hashes=8, band_size=2,
-    )
     feed = tempfile.mkdtemp(prefix="mh_ingest_feed_")
     windows = [(_MINGEST_SPLIT, _MINGEST_B2), (_MINGEST_B2, None)]
     for i, (lo, hi) in enumerate(windows):
-        b = docs.filter(F.col("doc_id") >= lo)
-        if hi is not None:
-            b = b.filter(F.col("doc_id") < hi)
+        filt = [("doc_id", ">=", lo)] + ([("doc_id", "<", hi)] if hi is not None else [])
+        tbl = papq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filters=filt
+        )
         sub = os.path.join(feed, f"b{i}")
-        b.repartition(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed + "/*")
-    )
-    acc = tempfile.mkdtemp(prefix="mh_ingest_acc_")
-    q = stream_minhash_ingest(spark, stream, idx, acc, _MINGEST_EST)
-    q.awaitTermination()
+        os.makedirs(sub)
+        out = os.path.join(sub, "batch.parquet")
+        papq.write_table(tbl, out)
+        os.utime(out, (1_000_000_000 + i * 1000,) * 2)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        idx = tempfile.mkdtemp(prefix="mh_ingest_idx_")
+        build_minhash_index(
+            spark, docs.filter(F.col("doc_id") < _MINGEST_SPLIT), idx,
+            num_hashes=8, band_size=2,
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/*")
+        )
+        acc = tempfile.mkdtemp(prefix="mh_ingest_acc_")
+        q = stream_minhash_ingest(spark, stream, idx, acc, _MINGEST_EST)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     admitted = (
         spark.read.parquet(acc)
         .select("doc_id")

@@ -149,16 +149,30 @@ def build_minhash_index(
     )
 
 
-def append_minhash_index(spark: SparkSession, index_path: str, new_docs: DataFrame) -> None:
+def append_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    batch_tables: tuple[DataFrame, DataFrame] | None = None,
+) -> None:
     """Admit a batch into the corpus: hash it with the INDEX's stored
     parameters and append its bands/signatures — one pass over the new
     text, existing index files untouched. build(corpus)+append(batch)
     is relation-equal to a full rebuild over corpus∪batch (pinned in
     tests/test_incremental.py), because the hash pipeline is a pure
     function of (text, params). ``new_docs`` doc_ids must be new —
-    id-level upsert is the warehouse family's job."""
+    id-level upsert is the warehouse family's job.
+
+    ``batch_tables`` lets a caller that already shingled the batch
+    (the streaming admission gate evaluates the same (bands, sigs)
+    twice for its probe + within-batch check) pass its persisted
+    relations instead of re-hashing the text a third time — byte-equal
+    by the same pure-function argument, since the caller derives them
+    from the identical (text, params)."""
     p = load_index_params(index_path)
-    bands, sigs = doc_signature_tables(new_docs, p["num_hashes"], p["band_size"])
+    bands, sigs = batch_tables or doc_signature_tables(
+        new_docs, p["num_hashes"], p["band_size"]
+    )
     bands.write.mode("append").parquet(os.path.join(index_path, "bands"))
     sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
 

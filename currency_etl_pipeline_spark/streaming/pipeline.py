@@ -219,15 +219,36 @@ def windowed_rates(stream: DataFrame, window: str = "1 hour", watermark: str = "
     )
 
 
-def run_stream_to_memory(agg: DataFrame, spark: SparkSession, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    agg: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming aggregation to completion synchronously via the
     memory sink; returns the final result as a batch DataFrame.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    ``start()`` — the moment Structured Streaming pins state
+    partitioning into the checkpoint — and restores it immediately
+    after (the r9 left-outer-join drive trim). Results are
+    partitioning-invariant; only the per-micro-batch state-store commit
+    overhead changes. Production sizes state partitions by rate; this
+    knob exists for fixture-scale drives where 32 state stores per
+    stateful operator are pure protocol cost.
 
     (Test/driver harness path — production would writeStream to a real
     sink with a trigger.)
     """
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
     finally:
@@ -638,6 +659,10 @@ def stream_minhash_ingest(
             docs = batch.select("doc_id", "text")
             p = load_index_params(index_path)
             bb, bs = doc_signature_tables(docs, p["num_hashes"], p["band_size"])
+            # Three consumers per epoch (corpus probe, within-batch
+            # check, index append): hash the batch once, not thrice.
+            bb, bs = bb.persist(), bs.persist()
+            pinned += [bb, bs]
             vs_corpus = query_minhash_index(
                 spark, index_path, docs, min_est_jaccard, batch_tables=(bb, bs)
             ).select(F.col("batch_id").alias("doc_id"))
@@ -692,16 +717,24 @@ def stream_minhash_ingest(
                 accepted = batch.join(rejected, "doc_id", "left_anti")
             epoch_dir = f"{accepted_path}/epoch={epoch_id}"
             accepted.write.mode("overwrite").parquet(epoch_dir)
-            # Hash the LANDED rows (one deterministic source) into the
-            # index — the admitted set and the index stay in lockstep.
-            # Explicit schema: an all-rejected epoch dir has no part
-            # files, which schema inference would refuse to read.
+            # Index rows keyed by the LANDED ids (one deterministic
+            # source) — the admitted set and the index stay in lockstep.
+            # The (bands, sigs) relations are the persisted batch hash
+            # tables semi-joined on those ids: byte-equal to re-hashing
+            # the landed text (pure function of text+params), without a
+            # third shingle pass. Explicit schema: an all-rejected epoch
+            # dir has no part files, which inference would refuse.
+            landed_ids = (
+                spark.read.schema(batch.schema).parquet(epoch_dir).select("doc_id")
+            )
             append_minhash_index(
                 spark,
                 index_path,
-                spark.read.schema(batch.schema)
-                .parquet(epoch_dir)
-                .select("doc_id", "text"),
+                None,
+                batch_tables=(
+                    bb.join(landed_ids, "doc_id", "leftsemi"),
+                    bs.join(landed_ids, "doc_id", "leftsemi"),
+                ),
             )
         finally:
             for df in pinned:
