@@ -252,6 +252,8 @@ HEADLINE = [
     "watermark_lateness_profile",
     "cross_rate_triangulation",
     "bpe_merge_topk",
+    "bpe_merge_iterations",
+    "bpe_apply_encode",
     "decontaminated_train_split",
     # r10, batch 3: the eval-by-composition pair — SemDeDup embedding
     # pruning and the near-dup family's precision/recall report.

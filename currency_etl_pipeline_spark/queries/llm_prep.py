@@ -56,6 +56,7 @@ def packed_docs(
     block: int = PACK_BLOCK,
     strata: tuple[str, ...] = ("lang",),
     max_blocks: int = PACK_MAX_BLOCKS,
+    token_count: "F.Column | None" = None,
 ) -> DataFrame:
     """Per-document shard assignment via the two-level distributed
     prefix sum (see sequence_packing's docstring for the scale
@@ -68,7 +69,13 @@ def packed_docs(
     ("split", "lang") so each split's shards are gap-free full-budget
     packs (packing corpus-wide and splitting afterwards would slice
     shards across splits: under-budget shards with doc gaps where the
-    other splits' documents were removed)."""
+    other splits' documents were removed).
+
+    ``token_count`` overrides the per-document token counter (default:
+    whitespace token count). Pass a Column over ``docs``'s columns —
+    e.g. a precomputed BPE count joined onto the corpus
+    (run_training_data_pipeline(bpe_tokens=True)) — so shard budgets
+    meter what the training dataloader actually consumes."""
     # The (lang, block) repartition makes the window branch and the
     # block-offsets branch read ONE exchange (ReusedExchange,
     # plan-test pinned) — the tokenizer below it runs once; only
@@ -82,11 +89,12 @@ def packed_docs(
     not_null = F.col("block").isNotNull()
     for k in strata:
         not_null = not_null & F.col(k).isNotNull()
+    counter = token_count if token_count is not None else F.size(tokens())
     base = (
         docs.select(
             "doc_id",
             *strata,
-            F.size(tokens()).alias("n_tokens"),
+            counter.alias("n_tokens"),
             F.expr(f"doc_id DIV {block}").alias("block"),
         )
         .filter(not_null)
@@ -1566,6 +1574,280 @@ def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wf").cast("long").alias("merge_count"))
         .orderBy(F.desc("merge_count"), F.asc("pair"))
         .limit(20)
+    )
+
+
+# Number of unrolled BPE merge rounds for the learn loop. Small and
+# fixed: each round is vocabulary-sized (never corpus-sized), and the
+# DuckDB twin unrolls the same rounds as chained MATERIALIZED CTEs —
+# the near_dup_pagerank precedent for iterative-algorithm oracles.
+_BPE_ITERS = 8
+
+
+def _bpe_seq0() -> "F.Column":
+    """A word's initial symbol sequence as a DOUBLE-SPACE-joined string
+    with single-space sentinels: ' h  e  l  l  o '. Each symbol is
+    flanked by two spaces it shares with no neighbor, so replacing
+    ' a  b ' with ' ab ' merges every non-overlapping (a, b) occurrence
+    left to right — plain string replace IS the BPE merge step, in both
+    engines, with correct greedy semantics on overlaps ('a a a' merges
+    once) and on back-to-back matches ('a b a b' merges twice). Words
+    come from a whitespace tokenizer, so no symbol can contain a space."""
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _bpe_syms(col: str = "seq") -> "F.Column":
+    return F.split(F.trim(F.col(col)), "  ")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS):
+    """Run ``iters`` BPE merge rounds (Sennrich et al. 2016) over the
+    corpus word histogram; returns (merge rows, final vocab DataFrame).
+
+    Round structure: ONE corpus pass builds the weighted vocabulary
+    (word, wf, seq); every round after that is vocabulary-sized — count
+    adjacent symbol pairs weighted by wf, pick the arg-max (ties break
+    on the pair strings, both engines), rewrite every word's seq with
+    one string replace. The vocab histogram is localCheckpointed ONCE
+    (bounded: distinct words — the corpus is never rescanned); the
+    replaces STACK as column expressions over it instead of
+    re-materializing per round, so round k evaluates k codegen'd
+    replaces over vocab rows (k²/2 total, still vocabulary-sized) —
+    cheaper than k checkpoint write jobs. The winning pair is collected
+    per round (1 row — bounded) and applied via F.replace with literal
+    Columns, so document text can never inject into SQL."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("text")).filter(
+        F.col("text").isNotNull()
+    )
+    words = exploded(docs, [], tokens(), "word").filter(F.col("word") != "")
+    vocab0 = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .select("word", "wf", _bpe_seq0().alias("seq"))
+        .localCheckpoint(eager=True)
+    )
+    seq_expr = F.col("seq")
+    merges: list[tuple] = []
+    for it in range(1, iters + 1):
+        syms_expr = F.split(F.trim(seq_expr), "  ")
+        s = vocab0.select("wf", syms_expr.alias("syms")).filter(F.size("syms") >= 2)
+        # zip_with over shifted slices (the shingles() discipline): the
+        # syms array is evaluated once per row, not once per element.
+        pa_arr = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        pb_arr = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        pairs = s.select(
+            "wf",
+            F.explode(
+                F.zip_with(pa_arr, pb_arr, lambda x, y: F.struct(x.alias("pa"), y.alias("pb")))
+            ).alias("p"),
+        ).select("wf", "p.pa", "p.pb")
+        top = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("wf").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pa, pb, c = top[0]["pa"], top[0]["pb"], top[0]["c"]
+        merges.append((it, pa, pb, pa + pb, c))
+        seq_expr = F.replace(seq_expr, F.lit(f" {pa}  {pb} "), F.lit(f" {pa}{pb} "))
+    return merges, vocab0.select("word", "wf", seq_expr.alias("seq"))
+
+
+def _bpe_chain_cte(iters: int = _BPE_ITERS) -> str:
+    """The DuckDB twin of ``_bpe_learn`` as a chained-CTE prefix:
+    v0 (corpus word histogram + initial seqs) then per round k the
+    pair counts p{k}, the arg-max m{k}, and the merged vocab v{k}.
+    Every CTE is MATERIALIZED — v{k-1} is referenced twice per round
+    (by p{k} and v{k}), and DuckDB inlines plain CTEs, which re-runs
+    the whole chain exponentially (the embedding_dedup_clusters /
+    sequential_dedup_admission lesson). m{k} LEFT JOIN ON TRUE keeps
+    the chain alive if a round ever has no pairs (degenerate corpora)."""
+    parts = [
+        f"""w AS (SELECT unnest({_TOKS_DUCK}) AS word
+           FROM documents WHERE text IS NOT NULL),
+    v0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf,
+               ' ' || array_to_string(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substring(word, CAST(i AS INTEGER), 1)),
+                   '  ') || ' ' AS seq
+        FROM w WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    p{k} AS MATERIALIZED (
+        SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(sum(wf) AS BIGINT) AS c
+        FROM (SELECT wf, string_split(trim(seq), '  ') AS syms FROM v{k - 1}),
+             unnest(generate_series(1, len(syms) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (SELECT pa, pb, c FROM p{k} ORDER BY c DESC, pa, pb LIMIT 1),
+    v{k} AS MATERIALIZED (
+        SELECT word, wf,
+               CASE WHEN m.pa IS NULL THEN seq
+                    ELSE replace(seq, ' ' || m.pa || '  ' || m.pb || ' ',
+                                 ' ' || m.pa || m.pb || ' ') END AS seq
+        FROM v{k - 1} LEFT JOIN m{k} m ON TRUE
+    )"""
+        )
+    return "WITH " + "".join(parts)
+
+
+_BPE_MERGES_SELECT = " UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS iter, pa AS pair_a, pb AS pair_b, "
+    f"pa || pb AS merged, c AS merge_count FROM m{k}"
+    for k in range(1, _BPE_ITERS + 1)
+)
+
+
+@query(
+    "bpe_merge_iterations",
+    oracle=f"""
+    {_bpe_chain_cte()}
+    {_BPE_MERGES_SELECT}
+    """,
+)
+def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training loop, _BPE_ITERS (8) merge rounds:
+    bpe_merge_topk computes round 1's statistic; this runs the actual
+    iteration — arg-max pair, merge it into every word's symbol
+    sequence, recount — and returns the learned merge table
+    (iter, pair_a, pair_b, merged, merge_count), i.e. the tokenizer.
+
+    Plan/scale (the BPE trick, distributed): the corpus is touched
+    ONCE (word histogram — the only corpus-sized shuffle); every merge
+    round is vocabulary-sized, runs on the checkpointed vocab relation,
+    and the per-round reduction to the driver is exactly one row. The
+    merge step itself is a single string replace over the
+    double-space-delimited symbol sequence (see _bpe_seq0: plain
+    replace has exactly BPE's greedy left-to-right semantics), so the
+    loop is whole-stage-codegen'd JVM work end to end. The DuckDB twin
+    unrolls the same rounds as chained MATERIALIZED CTEs and must
+    reproduce every round's winner bit-for-bit — integer counts,
+    string tie-breaks."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "iter long, pair_a string, pair_b string, merged string, merge_count long"
+    )
+
+
+@query(
+    "bpe_apply_encode",
+    oracle=f"""
+    {_bpe_chain_cte()},
+    fs AS MATERIALIZED (
+        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
+    ),
+    sym_ids AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
+    ),
+    word_ids AS MATERIALIZED (
+        SELECT word, list(tid ORDER BY j) AS ids
+        FROM (SELECT word, syms[j] AS sym, j
+              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
+        JOIN sym_ids USING (sym)
+        GROUP BY word
+    ),
+    doc_words AS (
+        SELECT doc_id, ws[j] AS word, j AS wpos
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(generate_series(1, len(ws))) AS u(j)
+        WHERE ws[j] <> ''
+    )
+    SELECT dw.doc_id,
+           flatten(list(wi.ids ORDER BY dw.wpos)) AS token_ids,
+           CAST(sum(len(wi.ids)) AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM doc_words dw JOIN word_ids wi USING (word)
+    GROUP BY dw.doc_id
+    """,
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE tokenizer: every document encoded to its
+    token-ID array (doc_id, token_ids, n_bpe_tokens, n_words). Token
+    ids are the rank of the final symbol string (deterministic — no
+    hash, no RNG), assigned from the post-merge symbol inventory.
+
+    Plan/scale — encode the VOCABULARY, not the corpus: the learned
+    merges rewrite the distinct-word table (_BPE_ITERS string
+    replaces over vocab rows); the symbol inventory is BOUNDED
+    (≤ alphabet + _BPE_ITERS merged symbols), so the id dim
+    broadcasts; each word's id array is assembled once per DISTINCT
+    word. The corpus pass is then one positional explode joined to the
+    vocab's id arrays on the word string and re-assembled in document
+    order — text shuffles once as (word, pos) pairs, never as full
+    documents. This is what feeds sequence_packing real tokenizer
+    budgets instead of whitespace counts
+    (run_training_data_pipeline(bpe_tokens=True))."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    fs = vocab.select("word", _bpe_syms().alias("syms"))
+    sym_ids = (
+        fs.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("sym")).cast("long")
+        )
+    )
+    wexp = fs.select("word", F.posexplode("syms").alias("j", "sym"))
+    word_ids = (
+        wexp.join(F.broadcast(sym_ids), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tid"))), lambda x: x["tid"]
+            ).alias("ids")
+        )
+    )
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).filter(
+        F.col("text").isNotNull()
+    )
+    dw = docs.select("doc_id", F.posexplode_outer(tokens()).alias("wpos", "word")).filter(
+        F.col("word").isNotNull() & (F.col("word") != "")
+    )
+    return (
+        dw.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda x: x["ids"],
+                )
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_bpe_tokens"),
+            "n_words",
+        )
+    )
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bpe_tokens) for the shard pipeline's packing budget —
+    bpe_apply_encode without materializing the id arrays (the counts
+    are sums of per-word symbol counts, so the corpus side shuffles
+    only (doc_id, word) pairs and the vocab side only (word, n_syms))."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    enc = vocab.select("word", F.size(_bpe_syms()).cast("long").alias("n_syms"))
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).filter(
+        F.col("text").isNotNull()
+    )
+    w = exploded(docs, ["doc_id"], tokens(), "word").filter(F.col("word") != "")
+    return (
+        w.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("long").alias("n_bpe_tokens"))
     )
 
 

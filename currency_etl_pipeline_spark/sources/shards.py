@@ -38,6 +38,7 @@ def write_training_shards(
     path: str,
     budget: int = PACK_BUDGET,
     block: int = PACK_BLOCK,
+    token_count=None,
 ) -> None:
     """Assign (split, shard_id) to every document and write the corpus
     as `path/split=*/lang=*/part-*.parquet`, each file sorted by
@@ -67,7 +68,13 @@ def write_training_shards(
         )
     with_split = docs.withColumn("split", _split_expr())
     assigned = with_split.join(
-        packed_docs(with_split, budget=budget, block=block, strata=("split", "lang")),
+        packed_docs(
+            with_split,
+            budget=budget,
+            block=block,
+            strata=("split", "lang"),
+            token_count=token_count,
+        ),
         ["doc_id", "split", "lang"],
     )
     (
@@ -185,6 +192,7 @@ def run_training_data_pipeline(
     passage_dedup: bool = False,
     perplexity_nll_max: float | None = None,
     semdedup: bool = False,
+    bpe_tokens: bool = False,
 ) -> DataFrame:
     """END-TO-END training-data pipeline in one call — the training
     twin of the reference's fetch→transform→load entry point (EP1):
@@ -203,6 +211,16 @@ def run_training_data_pipeline(
     deployment embeds the corpus and carries doc_id through). The
     pruned-id relation is near-dup-density-sized and anti-joins the
     cleaned corpus on doc_id — one narrow join, text never reshuffles.
+
+    ``bpe_tokens=True`` (off by default — flags-off shards stay
+    byte-identical) meters shard budgets in LEARNED BPE tokens instead
+    of whitespace counts: the merge table is trained on the raw corpus
+    (queries/llm_prep._bpe_learn — one corpus pass, then
+    vocabulary-sized rounds) and each cleaned document's count is the
+    sum of its words' post-merge symbol counts (bpe_token_counts — the
+    corpus shuffles only (doc_id, word) pairs). The count rides the
+    corpus as n_bpe_tokens into the shards, so a dataloader can verify
+    the budget it actually consumes.
     """
     from pyspark.sql import functions as F
 
@@ -221,13 +239,26 @@ def run_training_data_pipeline(
             .select(F.col("vec_id").alias("doc_id"))
         )
         cleaned = cleaned.join(pruned, "doc_id", "left_anti")
+    token_count = None
+    if bpe_tokens:
+        from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
+
+        counts = bpe_token_counts(spark, sf_dir)
+        # Left join: a cleaned doc whose text is degenerate (no words)
+        # has no count row — it packs at 0 tokens rather than dropping.
+        cleaned = cleaned.join(counts, "doc_id", "left").withColumn(
+            "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
+        )
+        token_count = F.col("n_bpe_tokens")
     # The cleaning plan (regex redaction + dedup window) feeds the
     # sink's null-key guard count AND the two-branch packing write —
     # persist it once so the corpus isn't re-cleaned per consumer
     # (cache, not checkpoint: recomputable lineage on executor loss).
     cleaned = cleaned.persist()
     try:
-        write_training_shards(cleaned, path, budget=budget, block=block)
+        write_training_shards(
+            cleaned, path, budget=budget, block=block, token_count=token_count
+        )
     finally:
         cleaned.unpersist()
     landed = read_training_shards(spark, path)

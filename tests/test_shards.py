@@ -354,3 +354,55 @@ def test_pipeline_semdedup_stage_composes(spark, sf_dir, tmp_path):
     assert on_ids == base_ids - pruned, (
         "semdedup stage must drop exactly the pruned ids among landed docs"
     )
+
+
+def test_pipeline_bpe_tokens_stage_composes(spark, sf_dir, tmp_path):
+    """bpe_tokens=True as an opt-in pipeline stage: shard budgets are
+    metered in LEARNED BPE tokens — every landed doc's n_tokens must
+    equal its bpe_token_counts row (never the whitespace count), doc
+    membership is unchanged (BPE changes budgets, not admission), and
+    bpe_tokens=False lands rows identical to the default pipeline (the
+    flags-off regression lock every opt-in stage carries)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
+    from currency_etl_pipeline_spark.sources.shards import (
+        read_training_shards,
+        run_training_data_pipeline,
+    )
+
+    base, off, on = (str(tmp_path / d) for d in ("base", "off", "on"))
+    run_training_data_pipeline(spark, sf_dir, base)
+    run_training_data_pipeline(spark, sf_dir, off, bpe_tokens=False)
+    manifest = run_training_data_pipeline(spark, sf_dir, on, bpe_tokens=True)
+
+    def rows(p):
+        return sorted(map(tuple, read_training_shards(spark, p).collect()))
+
+    assert rows(off) == rows(base), "bpe_tokens=False must land identical rows"
+
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(spark, sf_dir).collect()
+    }
+    landed = read_training_shards(spark, on).select("doc_id", "n_tokens").collect()
+    base_ids = {
+        r["doc_id"]
+        for r in read_training_shards(spark, base).select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in landed} == base_ids, "membership must not change"
+    ws = {
+        r["doc_id"]: r["n"]
+        for r in read_training_shards(spark, base)
+        .select("doc_id", F.expr("size(split(trim(text), '\\\\s+'))").alias("n"))
+        .collect()
+    }
+    diff = [d for d in base_ids if counts.get(d, 0) != ws[d]]
+    assert diff, "fixture must have docs where BPE count != whitespace count"
+    for r in landed:
+        assert r["n_tokens"] == counts.get(r["doc_id"], 0), (
+            f"doc {r['doc_id']} packed at {r['n_tokens']}, "
+            f"bpe count {counts.get(r['doc_id'], 0)}"
+        )
+    total = sum(r["total_tokens"] for r in manifest.collect())
+    assert total == sum(counts.get(d, 0) for d in base_ids)
