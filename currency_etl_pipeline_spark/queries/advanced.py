@@ -349,15 +349,18 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "label", "cos_sim")
 
 
-@query("ivf_ann_topk_trained", oracle=None)
-def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN with TRAINED coarse centroids: pyspark.ml KMeans (k=8,
+def ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-IVF search surface: (query_id, vec_id, label,
+    cos_sim) top-5 per query at nprobe=2 — pyspark.ml KMeans (k=8,
     cosine distance, fixed seed) replaces ``ivf_ann_topk``'s fixed seed
-    vectors — real coarse quantization, so cell populations follow the
-    data distribution instead of 8 arbitrary Voronoi sites. Rows-only
-    by design (KMeans centers aren't oracle-replayable in SQL); recall
-    vs the exact brute-force top-k is pinned in
-    tests/test_scale_plans.py::test_ivf_trained_recall.
+    vectors, so cell populations follow the data distribution instead
+    of 8 arbitrary Voronoi sites. The registered
+    ``ivf_ann_topk_trained`` query grades this surface against the
+    exact brute-force baseline (KMeans centers aren't
+    oracle-replayable in SQL, so the SEARCH ROWS can't hash-check —
+    the recall VERDICT can); raw recall is additionally pinned in
+    tests/test_scale_plans.py::test_ivf_trained_recall so a vacuous
+    always-true verdict cannot pass.
 
     Plan: training is a few passes over an (optionally sampled) corpus;
     assignment = model.transform (map-side, centroids broadcast by ml);
@@ -365,9 +368,6 @@ def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate search is the cid equi-join — written partitioned by cid
     at 100 TB, probing nprobe cells is partition pruning. Same shape as
     ivf_ann_topk; only the centroid source changes.
-    r7 rotation note: docstring touched to re-enter the driver sweep
-    (rows-only pins last adjudicated r5/r3; registry hashes only the
-    query function + oracle, so helper drift needs this nudge).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -408,6 +408,66 @@ def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         cand, ["query_id"], [F.col("cos_sim").desc(), F.col("vec_id").asc()], k=5, descending=False
     ).select("query_id", "vec_id", "label", "cos_sim")
+
+
+# Recall floor for the trained-IVF verdict — matches the pytest pin
+# (measured 0.53-0.60 on the testdata; random 2-of-8 cells would give
+# ~0.25, so 0.4 separates 'works' from 'broken' with margin for
+# k-means|| init shifting across partitionings).
+_IVF_TRAINED_RECALL_FLOOR = 0.4
+
+
+@query(
+    "ivf_ann_topk_trained",
+    oracle=f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(has_k_rows AS BOOLEAN) AS has_k_rows,
+           CAST(recall_ok AS BOOLEAN) AS recall_ok
+    FROM (VALUES {", ".join(f"({q}, true, true)" for q in _IVF_QUERY_IDS)})
+         AS t(query_id, has_k_rows, recall_ok)
+    """,
+)
+def ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUND VERDICT for the trained-IVF search (the r10 sketch-verdict
+    pattern, closing the r10 rows-only carve-out): per query,
+    ``has_k_rows`` (the probe returned a full top-5) and ``recall_ok``
+    (recall@5 vs the exact brute-force top-5 ≥ 0.4), graded against a
+    literal-true oracle. The trained centers are seeded and
+    deterministic within a Spark version but not SQL-replayable, so
+    the verdict — not the search rows — is what can hash-check; the
+    raw search surface is ``ivf_trained_search`` and its un-thresholded
+    recall stays pinned in tests/test_scale_plans.py (a vacuous
+    always-true flag cannot pass both).
+
+    Plan: the trained search (see ivf_trained_search) plus the exact
+    baseline composed from the REGISTERED cosine_topk_bruteforce plan,
+    joined per (query_id, vec_id) — an eval-harness row by nature,
+    like ann_recall_report."""
+    from currency_etl_pipeline_spark.queries.registry import _REGISTRY
+
+    trained = ivf_trained_search(spark, sf_dir).select("query_id", "vec_id")
+    exact = _REGISTRY["cosine_topk_bruteforce"].spark(spark, sf_dir)
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact5 = (
+        exact.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        trained.join(exact5, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            (F.col("n_rows") == 5).alias("has_k_rows"),
+            (F.col("n_hits") * 1.0 / 5 >= _IVF_TRAINED_RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
 
 
 @query(

@@ -216,9 +216,11 @@ def test_ivf_trained_recall(spark, sf_dir):
     the testdata; 0.4 floor leaves margin for k-means|| init shifting
     with partitioning while still catching a broken assignment or probe
     selection (random cells would recall ~2/8 of the corpus ~ 0.25)."""
+    from currency_etl_pipeline_spark.queries.advanced import ivf_trained_search
+
     trained = {
         (r["query_id"], r["vec_id"])
-        for r in SPECS["ivf_ann_topk_trained"].spark(spark, sf_dir).collect()
+        for r in ivf_trained_search(spark, sf_dir).collect()
     }
     exact = SPECS["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
     per_query: dict = {}
@@ -231,6 +233,11 @@ def test_ivf_trained_recall(spark, sf_dir):
     assert len(trained) == len(top5) == 15
     recall = len(trained & top5) / len(top5)
     assert recall >= 0.4, f"trained-IVF recall collapsed: {recall:.3f}"
+    # The registered verdict (r11 bound-verdict form) must agree with
+    # this raw measurement — 3 rows, every flag true.
+    verdict = SPECS["ivf_ann_topk_trained"].spark(spark, sf_dir).collect()
+    assert len(verdict) == 3
+    assert all(r["has_k_rows"] and r["recall_ok"] for r in verdict)
 
 
 def test_point_lookup_is_topk_not_sort(spark, sf_dir):
