@@ -1947,3 +1947,155 @@ def test_semdedup_index_drift_and_recenter_reuse_ivf_maintenance(spark, sf_dir, 
     for cid in report:
         if cid != worst:
             assert after[cid] == report[cid], "unflagged cells' drift must not move"
+
+
+def test_maintain_indexes_one_call_restores_health(spark, sf_dir, tmp_path):
+    """VERDICT r10 task 6 — the composed maintenance loop an operator
+    actually runs: ONE maintain_indexes() call over a drifted+fragmented
+    IVF index, a tombstone-laden MinHash index, and an append-fragmented
+    SemDeDup index must (a) flag and repair the drifted cell, (b) bring
+    every cid partition within the file budget, (c) apply the minhash
+    tombstones physically with query results invariant, and (d) leave
+    the SemDeDup kept set and its admission decisions invariant. Each
+    piece is pinned individually elsewhere; this pins the COMPOSITION
+    and its report."""
+    import os
+
+    from currency_etl_pipeline_spark.queries.registry import all_queries
+    from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        centroid_drift_report,
+        load_index_centroids,
+        search_ivf_index,
+    )
+    from currency_etl_pipeline_spark.sources.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+    from currency_etl_pipeline_spark.sources.maintenance import maintain_indexes
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+
+    # --- IVF: drift (outlier flood) + fragmentation (chunked appends).
+    ivf = str(tmp_path / "m_ivf")
+    build_ivf_index(spark, sf_dir, ivf, CENTROID_IDS)
+    idx_df = spark.read.parquet(ivf)
+    worst = (
+        idx_df.join(F.broadcast(load_index_centroids(spark, ivf)), "cid")
+        .select("cid", "dv", cosine(F.col("dv"), F.col("cv")).alias("csim"))
+        .orderBy(F.col("csim").asc(), F.col("cid").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    tcell, outlier = worst["cid"], list(worst["dv"])
+    n_copies = 2 * idx_df.filter(F.col("cid") == tcell).count()
+    per_chunk = n_copies // 3 + 1
+    for chunk in range(3):
+        rows = [
+            (100_000 + chunk * per_chunk + i, outlier, 999) for i in range(per_chunk)
+        ]
+        append_ivf_index(
+            spark,
+            ivf,
+            spark.createDataFrame(
+                rows, "vec_id bigint, v array<double>, label int"
+            ).select("vec_id", "label", "v"),
+        )
+
+    # --- MinHash: pending tombstones.
+    mh = str(tmp_path / "m_mh")
+    docs = _docs(spark, sf_dir)
+    build_minhash_index(spark, docs.filter(F.col("doc_id") < 400), mh)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    before = _q_rows(query_minhash_index(spark, mh, batch, min_est_jaccard=0.5))
+    assert before, "fixture lost its cross-split matches"
+    victims = sorted({corpus_id for _, corpus_id, _ in before})[:2]
+    delete_from_minhash_index(spark, mh, victims)
+    soft = _q_rows(query_minhash_index(spark, mh, batch, min_est_jaccard=0.5))
+
+    # --- SemDeDup: fragmented by an admitted append.
+    sd = str(tmp_path / "m_sd")
+    build_semdedup_index(
+        spark, sf_dir, sd, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    admit_semdedup_batch(spark, sd, v.filter(F.col("vec_id") >= _SPLIT))
+    sd_rows_before = sorted(
+        (r["vec_id"], r["label"], tuple(r["qv"]), r["nrm"], r["seq"])
+        for r in kept_vectors(spark, sd).collect()
+    )
+
+    report = maintain_indexes(
+        spark, ivf_paths=[ivf], minhash_paths=[mh], semdedup_paths=[sd]
+    )
+
+    # IVF: the flooded cell was flagged and repaired; drift is healthy;
+    # every cid partition is within the 1-file budget.
+    assert report[ivf]["kind"] == "ivf"
+    assert tcell in report[ivf]["drift_flagged"]
+    assert report[ivf]["repairs"].get(tcell), report[ivf]
+    drift_after = {
+        r["cid"]: r["drift"] for r in centroid_drift_report(spark, ivf).collect()
+    }
+    assert all(d <= 0.05 for d in drift_after.values()), drift_after
+
+    def cell_files(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cid="):
+                out[d] = [
+                    f
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                ]
+        return out
+
+    for path in (ivf, sd):
+        for d, files in cell_files(path).items():
+            assert len(files) <= 1, (path, d, files)
+
+    # IVF search against the repaired sidecar keeps the recall floor.
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(
+            spark, sf_dir, ivf, QUERY_IDS, centroid_ids=None, nprobe=2, k=5
+        ).collect()
+    }
+    exact = all_queries()["cosine_topk_bruteforce"].spark(spark, sf_dir).collect()
+    per_query: dict = {}
+    top5 = set()
+    for r in sorted(exact, key=lambda r: (r["query_id"], -r["cos_sim"], r["vec_id"])):
+        per_query.setdefault(r["query_id"], 0)
+        if per_query[r["query_id"]] < 5:
+            per_query[r["query_id"]] += 1
+            top5.add((r["query_id"], r["vec_id"]))
+    assert len(got & top5) / len(top5) >= 0.4
+
+    # MinHash: tombstones applied physically, query results invariant.
+    assert report[mh] == {"kind": "minhash", "tombstones_applied": len(victims)}
+    assert not os.path.isdir(f"{mh}/tombstones")
+    assert _q_rows(query_minhash_index(spark, mh, batch, min_est_jaccard=0.5)) == soft
+
+    # SemDeDup: the kept set is invariant (cid may move on a split, the
+    # membership and codes may not), and admission still blocks a
+    # duplicate of a kept vector — maintenance must never change
+    # decisions.
+    assert report[sd]["kind"] == "semdedup"
+    sd_rows_after = sorted(
+        (r["vec_id"], r["label"], tuple(r["qv"]), r["nrm"], r["seq"])
+        for r in kept_vectors(spark, sd).collect()
+    )
+    assert sd_rows_after == sd_rows_before
+    some_kept = sd_rows_before[0][0]
+    dup = v.filter(F.col("vec_id") == some_kept).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"), "label", "v"
+    )
+    r = admit_semdedup_batch(spark, sd, dup, write=False).collect()[0]
+    assert r["corpus_blocked"] and not r["admitted"]

@@ -38,6 +38,12 @@ _ALLOWED = {
     "VARCHAR",
     "DATE",
     "TIMESTAMP",
+    # r11, widened CONSCIOUSLY for bpe_apply_encode's token_ids: both
+    # engines fetch an int64 list as a python list of ints, so the
+    # driver's str() serialization is shared ("[1, 2, 3]" == "[1, 2,
+    # 3]"); verified hash-green at sf0.001/0.01/0.1 before widening.
+    # Float/decimal lists stay banned — element rendering diverges.
+    "BIGINT[]",
 }
 _DECIMAL = re.compile(r"^DECIMAL\(\d+,\d+\)$")
 
