@@ -383,20 +383,22 @@ _SIMHASH_VERIFY_JACCARD = 0.5
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
       FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
     ),
-    vsize AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY doc_id),
+    vsets AS (
+      SELECT doc_id, list(DISTINCT shingle) AS ss, count(DISTINCT shingle) AS n_sh
+      FROM vsh GROUP BY doc_id
+    ),
     inter AS (
-      SELECT c.id_a, c.id_b, c.hamming, count(*) AS n_common
+      SELECT c.id_a, c.id_b, c.hamming,
+             len(list_intersect(sa.ss, sb.ss)) AS n_common,
+             sa.n_sh AS n_a, sb.n_sh AS n_b
       FROM cpair c
-      JOIN vsh a ON a.doc_id = c.id_a
-      JOIN vsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      GROUP BY 1, 2, 3
+      JOIN vsets sa ON sa.doc_id = c.id_a
+      JOIN vsets sb ON sb.doc_id = c.id_b
     )
-    SELECT i.id_a, i.id_b, i.hamming,
-           round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
-    FROM inter i
-    JOIN vsize sa ON sa.doc_id = i.id_a
-    JOIN vsize sb ON sb.doc_id = i.id_b
-    WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= {_SIMHASH_VERIFY_JACCARD}
+    SELECT id_a, id_b, hamming,
+           round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+    FROM inter
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= {_SIMHASH_VERIFY_JACCARD}
     """,
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,10 +417,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS rerank in search_ivfpq_index.
 
     Plan/scale: the candidate list is bounded by fingerprint-collision
-    density, so it is localCheckpointed (≤ tens of KB/row-pair) and the
-    shingle subtree is planned ONCE (pair sides unpivot onto the
-    candidates; one join against the exploded shingles). Everything
-    else is hash-partitioned groupBy/join — no all-pairs anywhere."""
+    density, so it is localCheckpointed (≤ tens of KB/row-pair); the
+    verify collapses the shingle relation to per-doc SET ARRAYS once
+    and runs one codegen'd array_intersect per candidate pair — no
+    per-(pair, shingle) explosion (jaccard_verify_pairs docstring has
+    the cost comparison). Everything else is hash-partitioned
+    groupBy/join — no all-pairs anywhere."""
     from currency_etl_pipeline_spark.operators.dedup import (
         jaccard_verify_pairs,
         simhash_near_dup_pairs,
@@ -432,14 +436,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", shingles().alias("sh")
     )
-    shingled = exploded(
-        sh_docs.select("doc_id", F.size("sh").alias("n"), F.col("sh")),
-        ["doc_id", "n"],
-        F.col("sh"),
-        "shingle",
-    )
+    shingled = exploded(sh_docs, ["doc_id"], F.col("sh"), "shingle")
     return jaccard_verify_pairs(
-        cand, shingled, "doc_id", "shingle", "n", threshold=_SIMHASH_VERIFY_JACCARD
+        cand, shingled, "doc_id", "shingle", threshold=_SIMHASH_VERIFY_JACCARD
     )
 
 
