@@ -515,3 +515,122 @@ def test_semdedup_admit_kernel_matches_reference(vecs, rej_mask):
         if not dup:
             admitted.append(i)
     assert got == want
+
+
+# --- r11: independent references for the shared-construction kernels ---
+# The simhash verify and the BPE loop use the SAME device in Spark and
+# in their DuckDB oracles (array set-intersection; double-space string
+# replace), so oracle parity alone cannot catch a flaw in the device
+# itself. These properties check both against textbook list-based
+# python implementations that share nothing with either engine.
+
+
+_jv_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "aa", "ab"]), min_size=0, max_size=12
+)
+
+
+@given(docs=st.lists(_jv_doc, min_size=2, max_size=6), thr_pct=st.sampled_from([30, 50, 80]))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_jaccard_verify_pairs_matches_bruteforce(spark, docs, thr_pct):
+    """jaccard_verify_pairs == per-pair python set Jaccard, for every
+    candidate pair over random tiny corpora: same surviving pairs, same
+    rounded values; pairs where a side has no shingles are dropped."""
+    from currency_etl_pipeline_spark.operators.dedup import jaccard_verify_pairs
+
+    threshold = thr_pct / 100.0
+    shingle_sets = {
+        i: {" ".join(d[j : j + 3]) for j in range(len(d) - 2)} if len(d) >= 3 else set()
+        for i, d in enumerate(docs)
+    }
+    cand_rows = [(a, b) for a in shingle_sets for b in shingle_sets if a < b]
+    if not cand_rows:
+        return
+    cand = spark.createDataFrame(cand_rows, "id_a long, id_b long")
+    sh_rows = [(i, s) for i, ss in shingle_sets.items() for s in ss]
+    if not sh_rows:
+        return
+    shingled = spark.createDataFrame(sh_rows, "doc_id long, shingle string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify_pairs(
+            cand, shingled, "doc_id", "shingle", threshold=threshold
+        ).collect()
+    }
+    want = {}
+    for a, b in cand_rows:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        if not sa or not sb:
+            continue  # unverifiable side -> dropped (inner-join semantics)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def _ref_bpe(word_counts: dict, iters: int):
+    """Textbook list-based BPE (Sennrich et al.): count adjacent symbol
+    pairs weighted by word frequency, merge the arg-max (ties: lowest
+    (pa, pb)) left-to-right non-overlapping, repeat."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(iters):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            wf = word_counts[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + wf
+        if not counts:
+            break
+        (pa, pb), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((pa, pb, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+_bpe_word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@given(docs=st.lists(st.lists(_bpe_word, min_size=1, max_size=6), min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_learn_matches_textbook_reference(spark, docs, tmp_path_factory):
+    """_bpe_learn (string-replace merges over double-space-delimited
+    sequences) == textbook list-based BPE, merge table AND final
+    per-word symbol sequences, on random tiny two-letter corpora — the
+    alphabet forces overlap cases ('aaa') and back-to-back merges
+    ('abab') every few examples."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.llm_prep import _bpe_learn
+
+    tmp = tmp_path_factory.mktemp("bpe_prop")
+    texts = [" ".join(ws) for ws in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    word_counts = collections.Counter(w for ws in docs for w in ws)
+    ref_merges, ref_vocab = _ref_bpe(dict(word_counts), iters=4)
+    merges, vocab = _bpe_learn(spark, str(tmp), iters=4)
+    assert [(pa_, pb_, c) for _, pa_, pb_, _, c in merges] == ref_merges
+    got_vocab = {
+        r["word"]: r["seq"].strip(" ").split("  ") for r in vocab.collect()
+    }
+    assert got_vocab == {w: syms for w, syms in ref_vocab.items()}
