@@ -2099,3 +2099,14 @@ def test_maintain_indexes_one_call_restores_health(spark, sf_dir, tmp_path):
     )
     r = admit_semdedup_batch(spark, sd, dup, write=False).collect()[0]
     assert r["corpus_blocked"] and not r["admitted"]
+
+    # Idempotence: a second maintenance pass over the now-healthy
+    # indexes finds nothing to do — no drift flags, no compactable
+    # cells, no tombstones.
+    again = maintain_indexes(
+        spark, ivf_paths=[ivf], minhash_paths=[mh], semdedup_paths=[sd]
+    )
+    assert again[ivf]["drift_flagged"] == [] and again[ivf]["repairs"] == {}
+    assert again[ivf]["cells_compacted"] == 0
+    assert again[sd]["cells_compacted"] == 0 and again[sd]["drift_flagged"] == []
+    assert again[mh]["tombstones_applied"] == 0
