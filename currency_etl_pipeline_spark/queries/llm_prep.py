@@ -1601,9 +1601,13 @@ def _bpe_syms(col: str = "seq") -> "F.Column":
     return F.split(F.trim(F.col(col)), "  ")
 
 
-def _bpe_learn(spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS):
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS, docs: DataFrame | None = None
+):
     """Run ``iters`` BPE merge rounds (Sennrich et al. 2016) over the
     corpus word histogram; returns (merge rows, final vocab DataFrame).
+    ``docs`` overrides the corpus relation (needs doc_id/text — the
+    shard pipeline trains on its CLEANED corpus, not the raw table).
 
     Round structure: ONE corpus pass builds the weighted vocabulary
     (word, wf, seq); every round after that is vocabulary-sized — count
@@ -1617,10 +1621,10 @@ def _bpe_learn(spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS):
     cheaper than k checkpoint write jobs. The winning pair is collected
     per round (1 row — bounded) and applied via F.replace with literal
     Columns, so document text can never inject into SQL."""
-    docs = spread(load_table(spark, sf_dir, "documents").select("text")).filter(
-        F.col("text").isNotNull()
-    )
-    words = exploded(docs, [], tokens(), "word").filter(F.col("word") != "")
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.select("text").filter(F.col("text").isNotNull())
+    words = exploded(corpus, [], tokens(), "word").filter(F.col("word") != "")
     vocab0 = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("wf"))
@@ -1833,17 +1837,26 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_bpe_tokens) for the shard pipeline's packing budget —
     bpe_apply_encode without materializing the id arrays (the counts
     are sums of per-word symbol counts, so the corpus side shuffles
-    only (doc_id, word) pairs and the vocab side only (word, n_syms))."""
-    _, vocab = _bpe_learn(spark, sf_dir)
+    only (doc_id, word) pairs and the vocab side only (word, n_syms)).
+
+    ``docs`` overrides the corpus (doc_id/text): the shard pipeline
+    passes its CLEANED relation so the tokenizer trains on — and the
+    budgets meter — the text the dataloader actually consumes
+    (redacted, optionally passage-rewritten), not the raw table. A
+    cleaned-corpus word missing from the vocabulary is impossible by
+    construction (same relation trains and encodes)."""
+    _, vocab = _bpe_learn(spark, sf_dir, docs=docs)
     enc = vocab.select("word", F.size(_bpe_syms()).cast("long").alias("n_syms"))
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).filter(
-        F.col("text").isNotNull()
-    )
-    w = exploded(docs, ["doc_id"], tokens(), "word").filter(F.col("word") != "")
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    w = exploded(base, ["doc_id"], tokens(), "word").filter(F.col("word") != "")
     return (
         w.join(enc, "word")
         .groupBy("doc_id")

@@ -383,7 +383,7 @@ _SIMHASH_VERIFY_JACCARD = 0.5
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
       FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
     ),
-    vsets AS (
+    vsets AS MATERIALIZED (
       SELECT doc_id, list(DISTINCT shingle) AS ss, count(DISTINCT shingle) AS n_sh
       FROM vsh GROUP BY doc_id
     ),
@@ -433,10 +433,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = simhash_near_dup_pairs(
         tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4
     ).localCheckpoint(eager=True)
-    sh_docs = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", shingles().alias("sh")
+    shingled = exploded(
+        docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
     )
-    shingled = exploded(sh_docs, ["doc_id"], F.col("sh"), "shingle")
     return jaccard_verify_pairs(
         cand, shingled, "doc_id", "shingle", threshold=_SIMHASH_VERIFY_JACCARD
     )

@@ -58,6 +58,9 @@ def maintain_indexes(
     ``ivf_paths`` (the layouts share the vec_id/cid contract —
     pinned); they are separate parameters only so the report names
     what each path is and so a caller cannot silently misfile one.
+    A path appearing in more than one list (or twice in one) is that
+    exact misfile and fails loud — it would otherwise be maintained
+    twice with only the LAST report entry surviving.
     """
     from currency_etl_pipeline_spark.sources.ann_index import (
         centroid_drift_report,
@@ -67,6 +70,14 @@ def maintain_indexes(
     from currency_etl_pipeline_spark.sources.dedup_index import (
         compact_minhash_index,
     )
+
+    all_paths = [*ivf_paths, *semdedup_paths, *minhash_paths]
+    dupes = sorted({p for p in all_paths if all_paths.count(p) > 1})
+    if dupes:
+        raise ValueError(
+            f"index path(s) listed more than once across the path lists: "
+            f"{dupes} — each index has exactly one kind and one loop"
+        )
 
     report: dict = {}
     for kind, paths in (("ivf", ivf_paths), ("semdedup", semdedup_paths)):

@@ -266,11 +266,20 @@ def _admission_report(
     # On the RAW batch: quantized_cells' rn==1 assignment window keeps
     # one row per vec_id, so a duplicated id would be collapsed silently
     # (arbitrary winner) before any post-assignment count could see it.
+    # count(lit(1)), not count(vec_id): NULL ids skip both count("col")
+    # and countDistinct, so null-id rows would pass the equality check
+    # and then collapse in the same window (code-review r11).
     b = batch_vectors.agg(
-        F.count("vec_id").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("nd"),
+        F.sum(F.col("vec_id").isNull().cast("int")).alias("n_null"),
         F.min("vec_id").alias("lo"),
     ).collect()[0]
+    if b["n_null"]:
+        raise ValueError(
+            f"batch carries {b['n_null']} NULL vec_id row(s): vec_id is "
+            "the identity key — assign ids upstream"
+        )
     if b["n"] != b["nd"]:
         raise ValueError(
             f"batch carries duplicate vec_ids ({b['n']} rows, {b['nd']} "

@@ -214,13 +214,14 @@ def run_training_data_pipeline(
 
     ``bpe_tokens=True`` (off by default — flags-off shards stay
     byte-identical) meters shard budgets in LEARNED BPE tokens instead
-    of whitespace counts: the merge table is trained on the raw corpus
-    (queries/llm_prep._bpe_learn — one corpus pass, then
-    vocabulary-sized rounds) and each cleaned document's count is the
-    sum of its words' post-merge symbol counts (bpe_token_counts — the
-    corpus shuffles only (doc_id, word) pairs). The count rides the
-    corpus as n_bpe_tokens into the shards, so a dataloader can verify
-    the budget it actually consumes.
+    of whitespace counts: the merge table is trained on the CLEANED
+    corpus — the text the dataloader actually consumes, post-redaction
+    and post-optional-rewrite (queries/llm_prep._bpe_learn — one
+    corpus pass, then vocabulary-sized rounds) — and each document's
+    count is the sum of its words' post-merge symbol counts
+    (bpe_token_counts; the corpus shuffles only (doc_id, word) pairs).
+    The count rides the corpus as n_bpe_tokens into the shards, so a
+    dataloader can verify the budget it actually consumes.
     """
     from pyspark.sql import functions as F
 
@@ -243,7 +244,12 @@ def run_training_data_pipeline(
     if bpe_tokens:
         from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
 
-        counts = bpe_token_counts(spark, sf_dir)
+        # Train on and meter the CLEANED corpus — the text the
+        # dataloader actually consumes (redacted, optionally
+        # passage-rewritten), not the raw table.
+        counts = bpe_token_counts(
+            spark, sf_dir, docs=cleaned.select("doc_id", "text")
+        )
         # Left join: a cleaned doc whose text is degenerate (no words)
         # has no count row — it packs at 0 tokens rather than dropping.
         cleaned = cleaned.join(counts, "doc_id", "left").withColumn(

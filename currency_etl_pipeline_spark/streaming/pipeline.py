@@ -822,9 +822,11 @@ def stream_append_semdedup_index(
     ``stream_minhash_ingest``'s text-side gate. Earlier epochs' ADMITTED
     rows block later epochs' duplicates (the sequential greedy carries
     across micro-batches because each epoch's admissions land before
-    the next epoch's check); the stream must therefore deliver ids in
-    increasing order across epochs — the admission API fail-louds
-    otherwise.
+    the next epoch's check). Admission order is ARRIVAL order — each
+    epoch's rows extend the persisted ``seq`` column (r11; ids may be
+    arbitrary). The API fail-louds on id hygiene instead: duplicate or
+    NULL ids within a batch, or a batch id already kept in the batch's
+    own cells.
 
     Replay protocol: identical to ``stream_append_ivf_index`` — the
     ``_last_epoch`` fast path plus the exactly-once commit token

@@ -358,18 +358,23 @@ def test_pipeline_semdedup_stage_composes(spark, sf_dir, tmp_path):
 
 def test_pipeline_bpe_tokens_stage_composes(spark, sf_dir, tmp_path):
     """bpe_tokens=True as an opt-in pipeline stage: shard budgets are
-    metered in LEARNED BPE tokens — every landed doc's n_tokens must
-    equal its bpe_token_counts row (never the whitespace count), doc
-    membership is unchanged (BPE changes budgets, not admission), and
+    metered in LEARNED BPE tokens computed over the CLEANED corpus (the
+    text the dataloader consumes — code-review r11 finding: raw-table
+    counts would let a redacted/rewritten doc hog budget it no longer
+    uses) — every landed doc's n_tokens must equal its cleaned-corpus
+    bpe_token_counts row (never the whitespace count), doc membership
+    is unchanged (BPE changes budgets, not admission), and
     bpe_tokens=False lands rows identical to the default pipeline (the
     flags-off regression lock every opt-in stage carries)."""
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
     from currency_etl_pipeline_spark.sources.shards import (
+        build_training_corpus,
         read_training_shards,
         run_training_data_pipeline,
     )
+    from currency_etl_pipeline_spark.tables import load_table
 
     base, off, on = (str(tmp_path / d) for d in ("base", "off", "on"))
     run_training_data_pipeline(spark, sf_dir, base)
@@ -381,9 +386,12 @@ def test_pipeline_bpe_tokens_stage_composes(spark, sf_dir, tmp_path):
 
     assert rows(off) == rows(base), "bpe_tokens=False must land identical rows"
 
+    cleaned = build_training_corpus(load_table(spark, sf_dir, "documents"))
     counts = {
         r["doc_id"]: r["n_bpe_tokens"]
-        for r in bpe_token_counts(spark, sf_dir).collect()
+        for r in bpe_token_counts(
+            spark, sf_dir, docs=cleaned.select("doc_id", "text")
+        ).collect()
     }
     landed = read_training_shards(spark, on).select("doc_id", "n_tokens").collect()
     base_ids = {
