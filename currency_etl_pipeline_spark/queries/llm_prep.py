@@ -89,7 +89,17 @@ def packed_docs(
     not_null = F.col("block").isNotNull()
     for k in strata:
         not_null = not_null & F.col(k).isNotNull()
-    counter = token_count if token_count is not None else F.size(tokens())
+    # The override is a public surface (write_training_shards'
+    # token_count): a NULL in a caller-supplied counter would land
+    # NULL n_tokens rows whose window prefix-sum silently treats them
+    # as 0 — undercounting shard budgets with no error. Pin the
+    # treats-as-0 behavior explicitly. The DEFAULT counter keeps its
+    # NULL (null-text docs), matching the sequence_packing oracle.
+    counter = (
+        F.coalesce(token_count, F.lit(0).cast("long"))
+        if token_count is not None
+        else F.size(tokens())
+    )
     base = (
         docs.select(
             "doc_id",
@@ -1741,44 +1751,16 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bpe_apply_encode",
-    oracle=f"""
-    {_bpe_chain_cte()},
-    fs AS MATERIALIZED (
-        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
-    ),
-    sym_ids AS MATERIALIZED (
-        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
-        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
-    ),
-    word_ids AS MATERIALIZED (
-        SELECT word, list(tid ORDER BY j) AS ids
-        FROM (SELECT word, syms[j] AS sym, j
-              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
-        JOIN sym_ids USING (sym)
-        GROUP BY word
-    ),
-    doc_words AS (
-        SELECT doc_id, ws[j] AS word, j AS wpos
-        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
-              FROM documents WHERE text IS NOT NULL) d,
-             unnest(generate_series(1, len(ws))) AS u(j)
-        WHERE ws[j] <> ''
-    )
-    SELECT dw.doc_id,
-           flatten(list(wi.ids ORDER BY dw.wpos)) AS token_ids,
-           CAST(sum(len(wi.ids)) AS BIGINT) AS n_bpe_tokens,
-           CAST(count(*) AS BIGINT) AS n_words
-    FROM doc_words dw JOIN word_ids wi USING (word)
-    GROUP BY dw.doc_id
-    """,
-)
-def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the learned BPE tokenizer: every document encoded to its
     token-ID array (doc_id, token_ids, n_bpe_tokens, n_words). Token
     ids are the rank of the final symbol string (deterministic — no
     hash, no RNG), assigned from the post-merge symbol inventory.
+    This is the API surface (run_training_data_pipeline /
+    shard_token_streams consume the id arrays); the registered
+    ``bpe_apply_encode`` query wraps it with a scalar digest of the
+    array because the driver's pandas canonicalizer cannot hash
+    list-valued cells (CORRECTNESS_r11 err).
 
     Plan/scale — encode the VOCABULARY, not the corpus: the learned
     merges rewrite the distinct-word table (_BPE_ITERS string
@@ -1834,6 +1816,62 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("token_ids").cast("long").alias("n_bpe_tokens"),
             "n_words",
         )
+    )
+
+
+@query(
+    "bpe_apply_encode",
+    oracle=f"""
+    {_bpe_chain_cte()},
+    fs AS MATERIALIZED (
+        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
+    ),
+    sym_ids AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
+    ),
+    word_ids AS MATERIALIZED (
+        SELECT word, list(tid ORDER BY j) AS ids
+        FROM (SELECT word, syms[j] AS sym, j
+              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
+        JOIN sym_ids USING (sym)
+        GROUP BY word
+    ),
+    doc_words AS (
+        SELECT doc_id, ws[j] AS word, j AS wpos
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(generate_series(1, len(ws))) AS u(j)
+        WHERE ws[j] <> ''
+    )
+    SELECT dw.doc_id,
+           md5(array_to_string(flatten(list(wi.ids ORDER BY dw.wpos)), ','))
+               AS token_ids_md5,
+           CAST(sum(len(wi.ids)) AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM doc_words dw JOIN word_ids wi USING (word)
+    GROUP BY dw.doc_id
+    """,
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-checked face of bpe_encode_docs: same per-document
+    encoding, but the id array is reduced to md5(array_join(ids, ','))
+    — a SCALAR digest that pins element values AND order — because the
+    driver's oracle harness canonicalizes results through pandas
+    sort_values, which factorizes every column and dies on list cells
+    (``unhashable type: 'list'``, CORRECTNESS_r11). The digest is
+    exactly as discriminating as the array for equality checking;
+    callers who need the ids use bpe_encode_docs."""
+    enc = bpe_encode_docs(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform("token_ids", lambda x: x.cast("string")), ","
+            )
+        ).alias("token_ids_md5"),
+        "n_bpe_tokens",
+        "n_words",
     )
 
 

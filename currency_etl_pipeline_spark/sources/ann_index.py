@@ -318,12 +318,27 @@ def _assigned_append_batch(
     PQ indexes too)."""
     from currency_etl_pipeline_spark.sources.localfs import sidecar_fs
 
-    if sidecar_fs(index_path, spark).exists(f"{index_path}/_params.json"):
+    fs = sidecar_fs(index_path, spark)
+    if fs.exists(f"{index_path}/_params.json"):
+        # Disambiguate by sidecar CONTENT, not filename (ADVICE r11):
+        # the MinHash index writes the same _params.json name; only the
+        # SemDeDup admission sidecar carries the tau_* threshold keys.
+        import json as _json
+
+        try:
+            keys = set(_json.loads(fs.read_text(f"{index_path}/_params.json")))
+        except Exception:
+            keys = set()
+        kind = (
+            "a SemDeDup admission index — use admit_semdedup_batch / "
+            "stream_append_semdedup_index instead"
+            if {"tau_num2", "tau_den2"} <= keys
+            else "not an IVF index (params sidecar without SemDeDup "
+            "thresholds — a misfiled MinHash or foreign index path?)"
+        )
         raise ValueError(
-            f"index at {index_path} carries a _params.json admission "
-            "sidecar (a SemDeDup admission index): raw IVF appends would "
-            "bypass duplicate admission and mix code layouts — use "
-            "admit_semdedup_batch / stream_append_semdedup_index instead"
+            f"index at {index_path} carries a _params.json sidecar: raw "
+            f"IVF appends would bypass its contract and mix layouts; it is {kind}"
         )
     idx_schema = {f.name: f.dataType for f in spark.read.parquet(index_path).schema}
     batch_schema = {f.name: f.dataType for f in vectors.schema}

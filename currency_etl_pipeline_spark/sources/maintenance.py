@@ -13,9 +13,11 @@ index (sources/dedup_index.py) has tombstone-applying compaction
 
 Order per cid-partitioned index: drift report first (reads the index
 as-is), repairs second (split rewrites only flagged cells; re-center
-is sidecar-only), compaction last (so a split's freshly-written cells
-and the append backlog coalesce in the same pass, and no compacted
-cell is immediately rewritten by a repair). MinHash indexes carry no
+is sidecar-only; SKIPPED for SemDeDup admission indexes, whose
+correctness requires the frozen quantizer — see maintain_indexes),
+compaction last (so a split's freshly-written cells and the append
+backlog coalesce in the same pass, and no compacted cell is
+immediately rewritten by a repair). MinHash indexes carry no
 quantizer, so their whole loop is tombstone compaction.
 
 Every step is bounded the way its own docstring argues: the drift
@@ -56,8 +58,12 @@ def maintain_indexes(
 
     ``semdedup_paths`` are maintained through the SAME functions as
     ``ivf_paths`` (the layouts share the vec_id/cid contract —
-    pinned); they are separate parameters only so the report names
-    what each path is and so a caller cannot silently misfile one.
+    pinned) EXCEPT drift repair, which is skipped for them: admission
+    correctness requires the frozen quantizer (see the inline note),
+    so a drifted SemDeDup index reports its flagged cells and the
+    remedy but is only compacted here. The parameters are separate so
+    the report names what each path is, so a caller cannot silently
+    misfile one — and so the repair policy can differ by kind.
     A path appearing in more than one list (or twice in one) is that
     exact misfile and fails loud — it would otherwise be maintained
     twice with only the LAST report entry surviving.
@@ -89,9 +95,28 @@ def maintain_indexes(
                 ).collect()
                 if r["recluster"]
             ]
-            repairs = (
-                recluster_flagged_cells(spark, path, flagged) if flagged else {}
-            )
+            # SemDeDup admission indexes get NO drift repair (ADVICE
+            # r11): admission correctness rests on the FROZEN quantizer
+            # assigning an identical vector to the same cell as its
+            # kept twin. BOTH repairs move assignment boundaries —
+            # re-center rewrites the sidecar under unchanged stored
+            # cids, and a split changes the global nearest-centroid
+            # function while every OTHER cell keeps its old cids — so
+            # after either, a duplicate of a kept vector can quantize
+            # into a cell its twin isn't stored in, miss the pruned
+            # probe, and be falsely admitted (pinned in
+            # tests/test_incremental.py). Drift on an admission index
+            # is a cell-balance (performance) signal only; the flagged
+            # list is still reported so an operator can schedule the
+            # correct remedy — a full build_semdedup_index rebuild,
+            # which re-assigns every row and re-runs the greedy under
+            # the new quantizer atomically.
+            if kind == "semdedup":
+                repairs = {}
+            else:
+                repairs = (
+                    recluster_flagged_cells(spark, path, flagged) if flagged else {}
+                )
             compacted = compact_ivf_index(
                 spark, path, max_files_per_cell=max_files_per_cell
             )
@@ -101,6 +126,11 @@ def maintain_indexes(
                 "repairs": repairs,
                 "cells_compacted": compacted,
             }
+            if kind == "semdedup" and flagged:
+                report[path]["repairs_skipped"] = (
+                    "frozen-quantizer admission contract: rebuild with "
+                    "build_semdedup_index to re-partition"
+                )
     for path in minhash_paths:
         applied = compact_minhash_index(spark, path)
         report[path] = {"kind": "minhash", "tombstones_applied": applied}

@@ -218,8 +218,24 @@ def build_semdedup_index(
 
 
 def kept_vectors(spark: SparkSession, index_path: str) -> DataFrame:
-    """The kept corpus relation (vec_id, label, qv, nrm, seq, cid)."""
-    return spark.read.parquet(index_path)
+    """The kept corpus relation (vec_id, label, qv, nrm, seq, cid).
+
+    Layout-version guard (ADVICE r11): ``seq`` became a required
+    column in r11 (arrival-order admission). An index built before
+    that ships no ``seq``, and the first consumer to notice would be
+    _admission_report's ``max("seq")`` — an opaque unresolved-column
+    AnalysisException deep in an append. Fail here, at the read edge,
+    with the actual remedy (schema-only check, no job)."""
+    df = spark.read.parquet(index_path)
+    if "seq" not in df.columns:
+        raise ValueError(
+            f"SemDeDup index at {index_path} predates the arrival-order "
+            "layout (no `seq` column): rebuild it with "
+            "build_semdedup_index, or backfill seq = vec_id (the build's "
+            "own stamp — the pre-seq greedy ran in id order, so id IS "
+            "its arrival order)"
+        )
+    return df
 
 
 def probed_kept(spark: SparkSession, index_path: str, cells) -> DataFrame:

@@ -240,33 +240,37 @@ def run_training_data_pipeline(
             .select(F.col("vec_id").alias("doc_id"))
         )
         cleaned = cleaned.join(pruned, "doc_id", "left_anti")
-    token_count = None
-    if bpe_tokens:
-        from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
-
-        # Train on and meter the CLEANED corpus — the text the
-        # dataloader actually consumes (redacted, optionally
-        # passage-rewritten), not the raw table.
-        counts = bpe_token_counts(
-            spark, sf_dir, docs=cleaned.select("doc_id", "text")
-        )
-        # Left join: a cleaned doc whose text is degenerate (no words)
-        # has no count row — it packs at 0 tokens rather than dropping.
-        cleaned = cleaned.join(counts, "doc_id", "left").withColumn(
-            "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
-        )
-        token_count = F.col("n_bpe_tokens")
     # The cleaning plan (regex redaction + dedup window) feeds the
     # sink's null-key guard count AND the two-branch packing write —
-    # persist it once so the corpus isn't re-cleaned per consumer
-    # (cache, not checkpoint: recomputable lineage on executor loss).
-    cleaned = cleaned.persist()
+    # and, with bpe_tokens=True, the BPE trainer's word histogram
+    # (localCheckpointed at BUILD time) plus the count join. Persist
+    # BEFORE the BPE branch so every consumer reads the cached
+    # relation instead of re-cleaning the corpus (cache, not
+    # checkpoint: recomputable lineage on executor loss).
+    cleaned = cached = cleaned.persist()
+    token_count = None
     try:
+        if bpe_tokens:
+            from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
+
+            # Train on and meter the CLEANED corpus — the text the
+            # dataloader actually consumes (redacted, optionally
+            # passage-rewritten), not the raw table.
+            counts = bpe_token_counts(
+                spark, sf_dir, docs=cleaned.select("doc_id", "text")
+            )
+            # Left join: a cleaned doc whose text is degenerate (no
+            # words) has no count row — it packs at 0 tokens rather
+            # than dropping.
+            cleaned = cleaned.join(counts, "doc_id", "left").withColumn(
+                "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
+            )
+            token_count = F.col("n_bpe_tokens")
         write_training_shards(
             cleaned, path, budget=budget, block=block, token_count=token_count
         )
     finally:
-        cleaned.unpersist()
+        cached.unpersist()
     landed = read_training_shards(spark, path)
     return landed.groupBy("split", "lang").agg(
         F.countDistinct("shard_id").alias("n_shards"),

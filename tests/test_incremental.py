@@ -1645,11 +1645,16 @@ def test_ivf_append_refuses_semdedup_admission_index(spark, sf_dir, tmp_path):
     """ADVICE r10: the semdedup layout intentionally matches the IVF
     maintenance contract (delete/compact reuse), but a raw IVF APPEND
     would bypass admission and mix qv element types — the append must
-    refuse any index carrying a _params.json admission sidecar."""
+    refuse any index carrying a _params.json sidecar. ADVICE r11: the
+    refusal DIAGNOSIS reads the sidecar's content, not just the
+    filename — the MinHash index writes the same _params.json name, so
+    a misfiled MinHash path must get the 'not an IVF index' message,
+    not a false 'SemDeDup admission index' one."""
     import pytest
 
     from currency_etl_pipeline_spark.queries.vectors import _vecs
     from currency_etl_pipeline_spark.sources.ann_index import append_ivf_index
+    from currency_etl_pipeline_spark.sources.dedup_index import build_minhash_index
     from currency_etl_pipeline_spark.sources.semdedup_index import (
         build_semdedup_index,
     )
@@ -1659,8 +1664,13 @@ def test_ivf_append_refuses_semdedup_admission_index(spark, sf_dir, tmp_path):
     build_semdedup_index(
         spark, sf_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
     )
-    with pytest.raises(ValueError, match="admission sidecar"):
+    with pytest.raises(ValueError, match="SemDeDup admission index"):
         append_ivf_index(spark, path, v.filter(F.col("vec_id") >= _SPLIT))
+
+    mh = str(tmp_path / "mh_misfile")
+    build_minhash_index(spark, _docs(spark, sf_dir), mh)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        append_ivf_index(spark, mh, v.filter(F.col("vec_id") >= _SPLIT))
 
 
 def test_semdedup_admission_exact_chain_semantics(spark, sf_dir, tmp_path):
@@ -1899,12 +1909,17 @@ def test_semdedup_admit_exactly_once_commit_protocol(spark, sf_dir, tmp_path):
 
 
 def test_semdedup_index_drift_and_recenter_reuse_ivf_maintenance(spark, sf_dir, tmp_path):
-    """The quantizer-health loop works verbatim on the semdedup layout
-    (qv codes, like SQ8): centroid_drift_report reads the index's
-    code-mean drift per cell, and recluster_flagged_cells applies the
-    sidecar-only RE-CENTER repair — every data file byte-identical,
-    the flagged cell's drift collapsed to 0 against the refreshed
-    sidecar."""
+    """The quantizer-health MACHINERY works verbatim on the semdedup
+    layout (qv codes, like SQ8): centroid_drift_report reads the
+    index's code-mean drift per cell, and recluster_flagged_cells
+    applies the sidecar-only RE-CENTER repair — every data file
+    byte-identical, the flagged cell's drift collapsed to 0 against
+    the refreshed sidecar. NOTE (r12): maintain_indexes deliberately
+    never invokes this repair on semdedup paths — re-centering an
+    ADMISSION index breaks the frozen-quantizer contract (see
+    test_semdedup_recenter_breaks_admission_so_maintenance_skips_it);
+    this test pins only that the shared machinery composes with the
+    layout (e.g. for a search-only copy of the index)."""
     import hashlib
     import os
 
@@ -2101,12 +2116,158 @@ def test_maintain_indexes_one_call_restores_health(spark, sf_dir, tmp_path):
     assert r["corpus_blocked"] and not r["admitted"]
 
     # Idempotence: a second maintenance pass over the now-healthy
-    # indexes finds nothing to do — no drift flags, no compactable
-    # cells, no tombstones.
+    # indexes finds nothing to DO — no IVF drift flags, no compactable
+    # cells, no tombstones. The SemDeDup path is the exception by
+    # policy (r12): its drift is reported but never repaired (frozen-
+    # quantizer admission contract), so the same cells stay flagged
+    # with the same skip note on every pass — stable, not shrinking.
     again = maintain_indexes(
         spark, ivf_paths=[ivf], minhash_paths=[mh], semdedup_paths=[sd]
     )
     assert again[ivf]["drift_flagged"] == [] and again[ivf]["repairs"] == {}
     assert again[ivf]["cells_compacted"] == 0
-    assert again[sd]["cells_compacted"] == 0 and again[sd]["drift_flagged"] == []
+    assert again[sd]["cells_compacted"] == 0 and again[sd]["repairs"] == {}
+    assert again[sd]["drift_flagged"] == report[sd]["drift_flagged"]
     assert again[mh]["tombstones_applied"] == 0
+
+
+def test_semdedup_recenter_breaks_admission_so_maintenance_skips_it(spark, tmp_path):
+    """ADVICE r11 (medium): SemDeDup admission correctness rests on the
+    FROZEN quantizer — an identical vector must land in the same cell
+    as its kept twin for the pruned probe to see it. This test first
+    DEMONSTRATES the hazard: after a sidecar-only re-center (the repair
+    maintain_indexes used to run on semdedup paths), a planted
+    duplicate of a kept vector quantizes into a DIFFERENT cell, misses
+    the probe, and is falsely admitted. It then pins the policy fix:
+    maintain_indexes reports the drifted cells but performs NO repairs
+    on semdedup paths, and admission decisions stay correct after the
+    maintenance pass.
+
+    Geometry (dims 0-7 carry the 8 exemplar centroids; 8-9 are free):
+    X = {0:.1, 9:.995} sits in cell 0 (cos .1 with e0, 0 elsewhere) and
+    is kept (cos(X,e0) < tau = .45). Cell 1 keeps m = {1:.44, 9:.42,
+    8:.85} (cos(m,e1)=.42 < tau). Re-centering cell 1 replaces its
+    centroid with mean(e1, m) = {1:.72, 9:.21, 8:.425}, whose cosine
+    with X is .24 > .1 — so X's duplicate now assigns to cell 1, whose
+    kept rows (e1: cos 0, m: cos .40) are all below tau: admitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.ann_index import (
+        recluster_flagged_cells,
+    )
+    from currency_etl_pipeline_spark.sources.maintenance import maintain_indexes
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    dim = 64
+
+    def vec(**comps):
+        v = [0.0] * dim
+        for i, x in comps.items():
+            v[int(i)] = float(x)
+        return v
+
+    rows = [(20 + c, vec(**{str(c): 1.0}), 0) for c in range(8)]
+    rows.append((30, vec(**{"1": 0.44, "9": 0.42, "8": 0.85}), 1))  # m, cell 1
+    rows.append((100, vec(**{"0": 0.1, "9": 0.995}), 1))            # X, cell 0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    corpus_dir = str(tmp_path)
+    v = _vecs(spark, corpus_dir)
+
+    def dup_batch(new_id):
+        return v.filter(F.col("vec_id") == 100).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "label", "v"
+        )
+
+    # --- the hazard, demonstrated on a throwaway copy of the index.
+    broken = str(tmp_path / "sem_broken")
+    build_semdedup_index(spark, corpus_dir, broken, CENTROID_IDS)
+    kept = {r["vec_id"]: r["cid"] for r in kept_vectors(spark, broken).collect()}
+    assert set(kept) == {20, 21, 22, 23, 24, 25, 26, 27, 30, 100}, kept
+    assert kept[100] == kept[20] and kept[30] == kept[21], kept
+    r0 = admit_semdedup_batch(spark, broken, dup_batch(500), write=False).collect()[0]
+    assert r0["corpus_blocked"] and not r0["admitted"], (
+        "pre-repair, the frozen quantizer routes the duplicate to its "
+        "twin's cell and blocks it"
+    )
+    actions = recluster_flagged_cells(spark, broken, [kept[21]])
+    assert actions == {kept[21]: "recentered"}, actions
+    r1 = admit_semdedup_batch(spark, broken, dup_batch(501), write=False).collect()[0]
+    assert r1["admitted"] and not r1["corpus_blocked"], (
+        "the hazard this test exists to pin: after a re-center the "
+        "duplicate assigns to a cell its twin isn't stored in and is "
+        "falsely admitted — if this stopped reproducing, the admission "
+        "probe became recenter-aware and maintain_indexes may repair "
+        "semdedup paths again"
+    )
+
+    # --- the policy: maintenance on a semdedup path never repairs.
+    sd = str(tmp_path / "sem_policy")
+    build_semdedup_index(spark, corpus_dir, sd, CENTROID_IDS)
+    before = sorted(
+        (r["vec_id"], r["cid"], r["seq"]) for r in kept_vectors(spark, sd).collect()
+    )
+    report = maintain_indexes(spark, semdedup_paths=[sd])
+    assert report[sd]["kind"] == "semdedup"
+    # X and m drag their cells' code means off the exemplar centroids.
+    assert report[sd]["drift_flagged"], "fixture must actually drift"
+    assert report[sd]["repairs"] == {}
+    assert "frozen-quantizer" in report[sd]["repairs_skipped"]
+    after = sorted(
+        (r["vec_id"], r["cid"], r["seq"]) for r in kept_vectors(spark, sd).collect()
+    )
+    assert after == before, "maintenance must not touch the kept set"
+    r2 = admit_semdedup_batch(spark, sd, dup_batch(502), write=False).collect()[0]
+    assert r2["corpus_blocked"] and not r2["admitted"], (
+        "after maintenance the quantizer is still frozen, so the "
+        "duplicate is still blocked"
+    )
+
+
+def test_semdedup_pre_seq_index_fails_loud_at_read_edge(spark, sf_dir, tmp_path):
+    """ADVICE r11: the seq column became required in r11 with no layout
+    version check — an index built before that died later with an
+    opaque unresolved-column error inside _admission_report. The read
+    edge (kept_vectors) must instead name the incompatibility and the
+    remedy."""
+    import pytest
+
+    from currency_etl_pipeline_spark.queries.vectors import _vecs
+    from currency_etl_pipeline_spark.sources.semdedup_index import (
+        admit_semdedup_batch,
+        build_semdedup_index,
+        kept_vectors,
+    )
+
+    v = _vecs(spark, sf_dir)
+    path = str(tmp_path / "sem_preseq")
+    build_semdedup_index(
+        spark, sf_dir, path, CENTROID_IDS, vectors=v.filter(F.col("vec_id") < _SPLIT)
+    )
+    # Rewrite the index as a pre-r11 build would have laid it out.
+    old = spark.read.parquet(path).drop("seq").collect()
+    legacy = str(tmp_path / "sem_legacy")
+    spark.createDataFrame(old).write.partitionBy("cid").parquet(legacy)
+    import shutil
+
+    shutil.copytree(f"{path}/_centroids", f"{legacy}/_centroids")
+    shutil.copy(f"{path}/_params.json", f"{legacy}/_params.json")
+
+    with pytest.raises(ValueError, match="predates the arrival-order layout"):
+        kept_vectors(spark, legacy)
+    with pytest.raises(ValueError, match="predates the arrival-order layout"):
+        admit_semdedup_batch(
+            spark, legacy, v.filter(F.col("vec_id") >= _SPLIT), write=False
+        )

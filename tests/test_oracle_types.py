@@ -38,12 +38,13 @@ _ALLOWED = {
     "VARCHAR",
     "DATE",
     "TIMESTAMP",
-    # r11, widened CONSCIOUSLY for bpe_apply_encode's token_ids: both
-    # engines fetch an int64 list as a python list of ints, so the
-    # driver's str() serialization is shared ("[1, 2, 3]" == "[1, 2,
-    # 3]"); verified hash-green at sf0.001/0.01/0.1 before widening.
-    # Float/decimal lists stay banned — element rendering diverges.
-    "BIGINT[]",
+    # r11's BIGINT[] widening is REVERTED (r12): the driver's real
+    # harness canonicalizes through pandas sort_values, which
+    # factorizes every column and dies on list cells ("unhashable
+    # type: 'list'" — CORRECTNESS_r11 bpe_apply_encode). The lint
+    # models the DRIVER's contract, not the local harness's: checked
+    # outputs must be scalar. Array-valued results go out as
+    # md5(array_to_string(..)) digests (see bpe_apply_encode).
 }
 _DECIMAL = re.compile(r"^DECIMAL\(\d+,\d+\)$")
 
@@ -81,6 +82,19 @@ def test_lint_is_not_vacuous():
     assert not _type_ok(rows[0][1])
 
 
-@pytest.mark.parametrize("typ", ["HUGEINT", "UHUGEINT", "FLOAT", "UBIGINT"])
+@pytest.mark.parametrize(
+    "typ",
+    ["HUGEINT", "UHUGEINT", "FLOAT", "UBIGINT", "BIGINT[]", "VARCHAR[]", "DOUBLE[]"],
+)
 def test_known_unsafe_types_rejected(typ):
     assert not _type_ok(typ)
+
+
+def test_list_rejection_is_not_vacuous():
+    """The lint must catch the r11 failure shape non-vacuously: a
+    list-typed output column (the driver's pandas canonicalizer cannot
+    factorize list cells)."""
+    con = duckdb.connect()
+    rows = con.execute("DESCRIBE SELECT list(x) AS ids FROM (VALUES (1), (2)) t(x)").fetchall()
+    assert rows[0][1].endswith("[]")
+    assert not _type_ok(rows[0][1])
