@@ -259,6 +259,9 @@ HEADLINE = [
     # pruning and the near-dup family's precision/recall report.
     "semdedup_cell_prune",
     "dedup_recall_report",
+    # r12 addition (appended; prior rows byte-identical): the learned-
+    # tokenizer shard stream — BPE-metered packing, id-stream md5.
+    "shard_token_id_streams",
 ]
 
 

@@ -1751,16 +1751,24 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """APPLY the learned BPE tokenizer: every document encoded to its
     token-ID array (doc_id, token_ids, n_bpe_tokens, n_words). Token
     ids are the rank of the final symbol string (deterministic — no
     hash, no RNG), assigned from the post-merge symbol inventory.
     This is the API surface (run_training_data_pipeline /
-    shard_token_streams consume the id arrays); the registered
+    shard_token_id_streams consume the id arrays); the registered
     ``bpe_apply_encode`` query wraps it with a scalar digest of the
     array because the driver's pandas canonicalizer cannot hash
     list-valued cells (CORRECTNESS_r11 err).
+
+    ``docs`` overrides the corpus (doc_id/text), bpe_token_counts'
+    contract: the shard pipeline passes its CLEANED relation so the
+    tokenizer trains on — and the ids encode — the text the dataloader
+    actually consumes. A word missing from the vocabulary is impossible
+    by construction (the same relation trains and encodes).
 
     Plan/scale — encode the VOCABULARY, not the corpus: the learned
     merges rewrite the distinct-word table (_BPE_ITERS string
@@ -1773,7 +1781,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents. This is what feeds sequence_packing real tokenizer
     budgets instead of whitespace counts
     (run_training_data_pipeline(bpe_tokens=True))."""
-    _, vocab = _bpe_learn(spark, sf_dir)
+    _, vocab = _bpe_learn(spark, sf_dir, docs=docs)
     fs = vocab.select("word", _bpe_syms().alias("syms"))
     sym_ids = (
         fs.select(F.explode("syms").alias("sym"))
@@ -1792,12 +1800,12 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids")
         )
     )
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).filter(
-        F.col("text").isNotNull()
-    )
-    dw = docs.select("doc_id", F.posexplode_outer(tokens()).alias("wpos", "word")).filter(
-        F.col("word").isNotNull() & (F.col("word") != "")
-    )
+    if docs is None:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    dw = corpus.select(
+        "doc_id", F.posexplode_outer(tokens()).alias("wpos", "word")
+    ).filter(F.col("word").isNotNull() & (F.col("word") != ""))
     return (
         dw.join(word_ids, "word")
         .groupBy("doc_id")
@@ -1872,6 +1880,109 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_ids_md5"),
         "n_bpe_tokens",
         "n_words",
+    )
+
+
+@query(
+    "shard_token_id_streams",
+    oracle=f"""
+    {_bpe_chain_cte()},
+    fs AS MATERIALIZED (
+        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
+    ),
+    sym_ids AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
+    ),
+    word_ids AS MATERIALIZED (
+        SELECT word, list(tid ORDER BY j) AS ids
+        FROM (SELECT word, syms[j] AS sym, j
+              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
+        JOIN sym_ids USING (sym)
+        GROUP BY word
+    ),
+    doc_words AS (
+        SELECT doc_id, ws[j] AS word, j AS wpos
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(generate_series(1, len(ws))) AS u(j)
+        WHERE ws[j] <> ''
+    ),
+    enc AS MATERIALIZED (
+        SELECT dw.doc_id,
+               flatten(list(wi.ids ORDER BY dw.wpos)) AS ids,
+               CAST(sum(len(wi.ids)) AS BIGINT) AS n_tok
+        FROM doc_words dw JOIN word_ids wi USING (word)
+        GROUP BY dw.doc_id
+    ),
+    c AS (
+        SELECT e.doc_id, d.lang, e.ids, e.n_tok,
+               CAST(floor(CAST(coalesce(sum(e.n_tok) OVER (
+                   PARTITION BY d.lang ORDER BY e.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) / {PACK_BUDGET}.0) AS BIGINT) AS shard_id
+        FROM enc e JOIN documents d USING (doc_id)
+    )
+    SELECT lang, shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ','))
+               AS stream_md5
+    FROM c GROUP BY lang, shard_id
+    """,
+)
+def shard_token_id_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED-tokenizer twin of shard_token_streams (VERDICT r11
+    task 6): per (lang, shard), the ordered stream of BPE token IDS a
+    training dataloader actually consumes — budgets metered in learned
+    tokens (packed_docs(token_count=n_bpe_tokens)), content pinned as
+    md5 of the comma-joined id stream in doc order. shard_token_streams
+    pins the whitespace-token TEXT stream and the grouped-map surface;
+    this pins the id stream with the declarative form (collect_list
+    ORDER BY device, whole-stage codegen — the preferred shape when no
+    imperative per-group work is needed).
+
+    Plan/scale: the encoded corpus (bpe_encode_docs — one corpus pass)
+    is localCheckpointed because TWO consumers need it: the packer
+    (longs only: doc_id, lang, n_bpe_tokens shuffle through the
+    two-level prefix sum — the id arrays never enter the window
+    machinery) and the stream concat (one groupBy shuffle of the id
+    arrays, unavoidable: that shuffle IS the shard assembly). Without
+    the pin, join-key constraint inference re-plans the whole
+    encode subtree per branch (the near_dup_jaccard_pairs lesson). In
+    production the encoded corpus is a landed artifact (the pipeline
+    writes it with the shards), making the checkpoint a parquet read.
+
+    Docs with no encodable words (null/empty text) have no id stream
+    and are excluded by construction in both engines."""
+    enc = bpe_encode_docs(spark, sf_dir).localCheckpoint()
+    langs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "lang")
+    with_lang = enc.join(langs, "doc_id")
+    packed = packed_docs(with_lang, token_count=F.col("n_bpe_tokens"))
+    return (
+        packed.join(enc.select("doc_id", "token_ids"), "doc_id")
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id", "token_ids"))
+                            ),
+                            lambda x: x["token_ids"],
+                        )
+                    ).cast("array<string>"),
+                    ",",
+                )
+            ).alias("stream_md5"),
+        )
     )
 
 

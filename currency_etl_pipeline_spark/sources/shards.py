@@ -251,19 +251,29 @@ def run_training_data_pipeline(
     token_count = None
     try:
         if bpe_tokens:
-            from currency_etl_pipeline_spark.queries.llm_prep import bpe_token_counts
+            from currency_etl_pipeline_spark.queries.llm_prep import bpe_encode_docs
 
-            # Train on and meter the CLEANED corpus — the text the
-            # dataloader actually consumes (redacted, optionally
-            # passage-rewritten), not the raw table.
-            counts = bpe_token_counts(
+            # Train on, meter, AND ENCODE the CLEANED corpus — the text
+            # the dataloader actually consumes (redacted, optionally
+            # passage-rewritten), not the raw table. The shards land the
+            # learned token_ids alongside the text (r12, VERDICT r11
+            # task 6): the artifact a trainer reads is the id stream,
+            # and the budget that packed it is exactly size(token_ids).
+            enc = bpe_encode_docs(
                 spark, sf_dir, docs=cleaned.select("doc_id", "text")
-            )
+            ).select("doc_id", "token_ids", "n_bpe_tokens")
             # Left join: a cleaned doc whose text is degenerate (no
-            # words) has no count row — it packs at 0 tokens rather
-            # than dropping.
-            cleaned = cleaned.join(counts, "doc_id", "left").withColumn(
-                "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
+            # words) has no encode row — it packs at 0 tokens with an
+            # empty id stream rather than dropping.
+            cleaned = (
+                cleaned.join(enc, "doc_id", "left")
+                .withColumn(
+                    "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
+                )
+                .withColumn(
+                    "token_ids",
+                    F.coalesce("token_ids", F.array().cast("array<bigint>")),
+                )
             )
             token_count = F.col("n_bpe_tokens")
         write_training_shards(

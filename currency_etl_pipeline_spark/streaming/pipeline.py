@@ -253,7 +253,18 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # Detach the result from the memory sink before returning (r12):
+    # the named memory table otherwise lives for the whole session, so
+    # a sequence driving many streams (the full-catalog bench: ~14
+    # streaming entries × 3 drives each) accumulates dozens of pinned
+    # row buffers — the JVM-wide mid-sequence degradation the r11
+    # driver bench recorded on exactly the streaming rows. An eager
+    # localCheckpoint copies the (aggregate-sized) result to
+    # GC-managed executor blocks; the sink's buffer is then dropped
+    # with its temp view.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_upsert_snapshot(

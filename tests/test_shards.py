@@ -414,3 +414,27 @@ def test_pipeline_bpe_tokens_stage_composes(spark, sf_dir, tmp_path):
         )
     total = sum(r["total_tokens"] for r in manifest.collect())
     assert total == sum(counts.get(d, 0) for d in base_ids)
+
+    # r12 (VERDICT r11 task 6): the shards carry the LEARNED token_ids
+    # — the artifact a trainer's dataloader actually consumes — and
+    # the packing budget is exactly the id count: size(token_ids) ==
+    # n_tokens for every landed row, and an independent re-encode of
+    # the cleaned corpus reproduces the landed ids bit-for-bit.
+    from currency_etl_pipeline_spark.queries.llm_prep import bpe_encode_docs
+
+    with_ids = read_training_shards(spark, on).select(
+        "doc_id", "n_tokens", "token_ids"
+    )
+    bad = with_ids.filter(F.size("token_ids") != F.col("n_tokens")).count()
+    assert bad == 0, "every landed row's id count must equal its packed budget"
+    landed_ids = {
+        r["doc_id"]: tuple(r["token_ids"]) for r in with_ids.collect()
+    }
+    re_enc = {
+        r["doc_id"]: tuple(r["token_ids"])
+        for r in bpe_encode_docs(
+            spark, sf_dir, docs=cleaned.select("doc_id", "text")
+        ).collect()
+    }
+    for d, ids in landed_ids.items():
+        assert ids == re_enc.get(d, ()), f"doc {d}: landed ids != re-encode"
