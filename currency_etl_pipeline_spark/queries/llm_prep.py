@@ -1713,6 +1713,37 @@ def _bpe_chain_cte(iters: int = _BPE_ITERS) -> str:
     return "WITH " + "".join(parts)
 
 
+def _bpe_encode_cte(iters: int = _BPE_ITERS) -> str:
+    """The shared encode chain appended to ``_bpe_chain_cte`` by both
+    bpe_apply_encode and shard_token_id_streams: final symbol table →
+    rank-assigned ids → per-word id arrays → positional corpus
+    explode. ONE definition so an encoding change (tie-break, id
+    assignment) can never desync the two oracles — the drift class
+    _bpe_chain_cte exists to prevent."""
+    return f"""
+    fs AS MATERIALIZED (
+        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{iters}
+    ),
+    sym_ids AS MATERIALIZED (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
+    ),
+    word_ids AS MATERIALIZED (
+        SELECT word, list(tid ORDER BY j) AS ids
+        FROM (SELECT word, syms[j] AS sym, j
+              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
+        JOIN sym_ids USING (sym)
+        GROUP BY word
+    ),
+    doc_words AS (
+        SELECT doc_id, ws[j] AS word, j AS wpos
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(generate_series(1, len(ws))) AS u(j)
+        WHERE ws[j] <> ''
+    )"""
+
+
 _BPE_MERGES_SELECT = " UNION ALL ".join(
     f"SELECT CAST({k} AS BIGINT) AS iter, pa AS pair_a, pb AS pair_b, "
     f"pa || pb AS merged, c AS merge_count FROM m{k}"
@@ -1831,27 +1862,7 @@ def bpe_encode_docs(
     "bpe_apply_encode",
     oracle=f"""
     {_bpe_chain_cte()},
-    fs AS MATERIALIZED (
-        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
-    ),
-    sym_ids AS MATERIALIZED (
-        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
-        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
-    ),
-    word_ids AS MATERIALIZED (
-        SELECT word, list(tid ORDER BY j) AS ids
-        FROM (SELECT word, syms[j] AS sym, j
-              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
-        JOIN sym_ids USING (sym)
-        GROUP BY word
-    ),
-    doc_words AS (
-        SELECT doc_id, ws[j] AS word, j AS wpos
-        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
-              FROM documents WHERE text IS NOT NULL) d,
-             unnest(generate_series(1, len(ws))) AS u(j)
-        WHERE ws[j] <> ''
-    )
+    {_bpe_encode_cte()}
     SELECT dw.doc_id,
            md5(array_to_string(flatten(list(wi.ids ORDER BY dw.wpos)), ','))
                AS token_ids_md5,
@@ -1887,27 +1898,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shard_token_id_streams",
     oracle=f"""
     {_bpe_chain_cte()},
-    fs AS MATERIALIZED (
-        SELECT word, string_split(trim(seq), '  ') AS syms FROM v{_BPE_ITERS}
-    ),
-    sym_ids AS MATERIALIZED (
-        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
-        FROM (SELECT DISTINCT unnest(syms) AS sym FROM fs)
-    ),
-    word_ids AS MATERIALIZED (
-        SELECT word, list(tid ORDER BY j) AS ids
-        FROM (SELECT word, syms[j] AS sym, j
-              FROM fs, unnest(generate_series(1, len(syms))) AS u(j)) t
-        JOIN sym_ids USING (sym)
-        GROUP BY word
-    ),
-    doc_words AS (
-        SELECT doc_id, ws[j] AS word, j AS wpos
-        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
-              FROM documents WHERE text IS NOT NULL) d,
-             unnest(generate_series(1, len(ws))) AS u(j)
-        WHERE ws[j] <> ''
-    ),
+    {_bpe_encode_cte()},
     enc AS MATERIALIZED (
         SELECT dw.doc_id,
                flatten(list(wi.ids ORDER BY dw.wpos)) AS ids,

@@ -732,8 +732,14 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         q.processAllAvailable()  # releases every remaining real click
     finally:
         q.stop()
-    # Sentinels out HERE, on the batch result (see docstring).
-    return spark.table(name).filter(F.col("user_id") >= 0)
+    # Sentinels out HERE, on the batch result (see docstring). Detach
+    # from the memory sink (the run_stream_to_memory r12 rule): an
+    # eager localCheckpoint copies the result to GC-managed blocks so
+    # the named sink buffer doesn't outlive the query in a long drive
+    # sequence.
+    out = spark.table(name).filter(F.col("user_id") >= 0).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 from currency_etl_pipeline_spark.queries.incremental_queries import (  # noqa: E402

@@ -328,14 +328,25 @@ def _assigned_append_batch(
         try:
             keys = set(_json.loads(fs.read_text(f"{index_path}/_params.json")))
         except Exception:
-            keys = set()
-        kind = (
-            "a SemDeDup admission index — use admit_semdedup_batch / "
-            "stream_append_semdedup_index instead"
-            if {"tau_num2", "tau_den2"} <= keys
-            else "not an IVF index (params sidecar without SemDeDup "
-            "thresholds — a misfiled MinHash or foreign index path?)"
-        )
+            # Unreadable/corrupt sidecar: refuse with THAT diagnosis —
+            # labeling it "misfiled MinHash" would send the operator
+            # after the wrong remedy (review r12).
+            keys = None
+        if keys is None:
+            kind = (
+                "of undetermined kind (its _params.json is unreadable or "
+                "not valid JSON — restore the sidecar before any append)"
+            )
+        elif {"tau_num2", "tau_den2"} <= keys:
+            kind = (
+                "a SemDeDup admission index — use admit_semdedup_batch / "
+                "stream_append_semdedup_index instead"
+            )
+        else:
+            kind = (
+                "not an IVF index (params sidecar without SemDeDup "
+                "thresholds — a misfiled MinHash or foreign index path?)"
+            )
         raise ValueError(
             f"index at {index_path} carries a _params.json sidecar: raw "
             f"IVF appends would bypass its contract and mix layouts; it is {kind}"

@@ -54,7 +54,10 @@ def maintain_indexes(
                 "drift_flagged": [cid, ...],        # cid-partitioned only
                 "repairs": {cid: action, ...},      # from recluster_flagged_cells
                 "cells_compacted": int,             # cid-partitioned only
-                "tombstones_applied": int}}         # minhash only
+                "tombstones_applied": int,          # minhash only
+                "repairs_skipped": str}}            # semdedup with flagged
+                                                    # cells: why no repair
+                                                    # ran + the remedy
 
     ``semdedup_paths`` are maintained through the SAME functions as
     ``ivf_paths`` (the layouts share the vec_id/cid contract —

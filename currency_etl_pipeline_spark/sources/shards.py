@@ -249,6 +249,7 @@ def run_training_data_pipeline(
     # checkpoint: recomputable lineage on executor loss).
     cleaned = cached = cleaned.persist()
     token_count = None
+    enc_cached = None
     try:
         if bpe_tokens:
             from currency_etl_pipeline_spark.queries.llm_prep import bpe_encode_docs
@@ -259,14 +260,19 @@ def run_training_data_pipeline(
             # learned token_ids alongside the text (r12, VERDICT r11
             # task 6): the artifact a trainer reads is the id stream,
             # and the budget that packed it is exactly size(token_ids).
-            enc = bpe_encode_docs(
+            # The encode relation is ITSELF persisted (review r12): the
+            # write drives three subtrees over the join below (null-key
+            # guard count, packed_docs branch, assignment-join left
+            # side), and without the pin each would re-run the
+            # corpus-sized encode (explode + vocab join + collect).
+            enc_cached = bpe_encode_docs(
                 spark, sf_dir, docs=cleaned.select("doc_id", "text")
-            ).select("doc_id", "token_ids", "n_bpe_tokens")
+            ).select("doc_id", "token_ids", "n_bpe_tokens").persist()
             # Left join: a cleaned doc whose text is degenerate (no
             # words) has no encode row — it packs at 0 tokens with an
             # empty id stream rather than dropping.
             cleaned = (
-                cleaned.join(enc, "doc_id", "left")
+                cleaned.join(enc_cached, "doc_id", "left")
                 .withColumn(
                     "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
                 )
@@ -281,6 +287,8 @@ def run_training_data_pipeline(
         )
     finally:
         cached.unpersist()
+        if enc_cached is not None:
+            enc_cached.unpersist()
     landed = read_training_shards(spark, path)
     return landed.groupBy("split", "lang").agg(
         F.countDistinct("shard_id").alias("n_shards"),

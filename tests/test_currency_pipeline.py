@@ -379,12 +379,14 @@ def test_sql_merge_into_verbatim_when_available(spark, tmp_path):
         "timestamp",
     )
     b1.write.format("delta").save(path)
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW sql_merge_target USING delta OPTIONS (path '{path}')")
     b2.createOrReplaceTempView("sql_merge_source")
     on = " AND ".join(f"t.{k} = s.{k}" for k in KEYS)
+    # The path-identifier form (delta.`<path>`) is the canonical SQL
+    # target for an unregistered Delta table; MERGE rejects most view
+    # targets, so no temp view on the target side.
     spark.sql(
         f"""
-        MERGE INTO sql_merge_target t
+        MERGE INTO delta.`{path}` t
         USING sql_merge_source s
         ON {on}
         WHEN MATCHED AND s.timestamp > t.timestamp THEN UPDATE SET *

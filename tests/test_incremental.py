@@ -1672,6 +1672,15 @@ def test_ivf_append_refuses_semdedup_admission_index(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="not an IVF index"):
         append_ivf_index(spark, mh, v.filter(F.col("vec_id") >= _SPLIT))
 
+    # ...and a CORRUPT sidecar gets its own diagnosis, not a false
+    # "misfiled MinHash" (review r12).
+    import os
+
+    with open(os.path.join(path, "_params.json"), "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(ValueError, match="undetermined kind"):
+        append_ivf_index(spark, path, v.filter(F.col("vec_id") >= _SPLIT))
+
 
 def test_semdedup_admission_exact_chain_semantics(spark, sf_dir, tmp_path):
     """The planted a~b~c chain (a kept in the corpus, a!~c): b is
