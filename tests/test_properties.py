@@ -634,3 +634,53 @@ def test_bpe_learn_matches_textbook_reference(spark, docs, tmp_path_factory):
         r["word"]: r["seq"].strip(" ").split("  ") for r in vocab.collect()
     }
     assert got_vocab == {w: syms for w, syms in ref_vocab.items()}
+
+
+@given(docs=st.lists(st.lists(_bpe_word, min_size=1, max_size=6), min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_encode_matches_textbook_reference(spark, docs, tmp_path_factory):
+    """bpe_encode_docs == textbook encode, ids and order, on random
+    tiny corpora (r12). The Spark encode and its DuckDB oracle share
+    the whole device (rank-of-symbol ids, positional assembly), so
+    oracle parity cannot catch a flaw in the device itself — this is
+    the independent check, per the r11 convention: encode each doc by
+    looking its words up in the textbook reference's final vocab and
+    assigning each symbol the 1-based rank within the sorted distinct
+    symbol inventory (exactly what sym_ids' row_number ORDER BY sym
+    computes)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_pipeline_spark.queries.llm_prep import (
+        _BPE_ITERS,
+        bpe_encode_docs,
+    )
+
+    tmp = tmp_path_factory.mktemp("bpe_enc_prop")
+    texts = [" ".join(ws) for ws in docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    word_counts = collections.Counter(w for ws in docs for w in ws)
+    _, ref_vocab = _ref_bpe(dict(word_counts), iters=_BPE_ITERS)
+    inventory = sorted({s for seq in ref_vocab.values() for s in seq})
+    tid = {s: i + 1 for i, s in enumerate(inventory)}
+    expected = {
+        i: ([tid[s] for w in ws for s in ref_vocab[w]], len(ws))
+        for i, ws in enumerate(docs)
+    }
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_words"])
+        for r in bpe_encode_docs(spark, str(tmp)).collect()
+    }
+    assert got == expected
+    for r in bpe_encode_docs(spark, str(tmp)).select("token_ids", "n_bpe_tokens").collect():
+        assert len(r["token_ids"]) == r["n_bpe_tokens"]
