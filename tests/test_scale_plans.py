@@ -1087,3 +1087,35 @@ def test_quantize_int8_code_semantics(spark):
     for r in got:
         exact = cos(dict(vecs)[r[0]], dict(vecs)[r[1]])
         assert abs(r["qcos"] - exact) < 0.02, (r[0], r[1], r["qcos"], exact)
+
+
+def test_shard_token_id_streams_windows_never_shuffle_arrays(spark, sf_dir):
+    """The learned-tokenizer shard stream's scale argument (r12): the
+    packer runs the SAME blocked two-level prefix sum as
+    sequence_packing — windows over (lang, block), offsets broadcast
+    back — and the token-ID ARRAYS never enter that window machinery;
+    only the final (lang, shard_id) concat shuffle may carry them
+    (that shuffle IS the shard assembly). A refactor that threads
+    token_ids through the packer would silently turn every prefix-sum
+    exchange into a corpus-width shuffle."""
+    df = SPECS["shard_token_id_streams"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert re.search(r"windowspecdefinition\(lang#\d+, block#\d+", plan), (
+        "per-doc cumsum window is not partitioned by (lang, block)"
+    )
+    assert "BroadcastHashJoin" in plan, "block-offset table should broadcast back"
+    # Every window's input exchange must be array-free: the formatted
+    # plan prints each Exchange's input schema in its detail block.
+    packer_exchanges = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange[^\n]*\nInput \[[^\]]*\]: \[([^\]]+)\]", plan
+        )
+        if "block#" in m.group(1)  # the packer's exchanges carry the block key
+    ]
+    assert packer_exchanges, "regex stopped matching the packer's exchanges (vacuous)"
+    for cols in packer_exchanges:
+        assert "token_ids" not in cols, (
+            "prefix-sum exchange carries the id arrays: " + cols
+        )
+    assert "CartesianProduct" not in plan
