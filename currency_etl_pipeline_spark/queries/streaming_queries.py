@@ -66,26 +66,23 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, output_mode="complete")
 
 
-@query("streaming_window_approx_users")  # no oracle: HLL sketch values are engine-specific
-def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_window_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches inside STATEFUL streaming: per tumbling hour and event
     type, the HyperLogLog++ distinct-user estimate computed on a live
     stream — the composition a real-time dashboard needs (exact
     streaming count-distinct would keep every distinct key in state;
     the sketch keeps ~1.5 KB per group, mergeable across micro-batches
     by construction, which is exactly why it is the only viable form
-    at stream scale).
+    at stream scale). This is the raw surface; the registered
+    ``streaming_window_approx_users`` wraps it in a hash-checkable
+    bound verdict (sketch values are engine-specific, so the estimate
+    itself has no DuckDB twin).
 
-    Rows-only by design (sketch estimates are engine-specific);
-    tests/test_streaming.py pins (a) the estimate against the batch
-    exact distinct per window within the rsd bound and (b) streaming ==
-    batch-sketch equality — HLL register merges are commutative maxes,
-    so the estimate is identical no matter how micro-batches sliced
-    the stream.
-    
-    r7 rotation note: docstring touched to re-enter the driver sweep
-    (rows-only pins last adjudicated r5/r3; registry hashes only the
-    query function + oracle, so helper drift needs this nudge).
+    tests/test_streaming.py pins the STRICT contracts on this raw
+    form: (a) the estimate against the batch exact distinct per window
+    within 5%, and (b) streaming == batch-sketch equality — HLL
+    register merges are commutative maxes, so the estimate is
+    identical no matter how micro-batches sliced the stream.
     """
     from pyspark.sql import functions as F
 
@@ -101,6 +98,55 @@ def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_window_approx_users",
+    # The sketch-verdict pattern (ivf_ann_topk_trained precedent,
+    # r11): the ESTIMATE has no DuckDB twin, but the CONTRACT does —
+    # one row per (hour window, event_type), estimate within the HLL
+    # envelope of the exact distinct count. The oracle states the
+    # expected verdict for exactly that row set.
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           TRUE AS within_bound
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound verdict over ``streaming_window_user_sketch`` (r12 —
+    rows-only floor shrunk to the 2 media stubs): per (window,
+    event_type), TRUE iff the streamed HLL estimate sits within
+    max(3, 10% of exact) of the batch exact distinct count. The join
+    is FULL OUTER with null-verdict=false, so a window the stream
+    dropped, or one it invented, fails the hash as a false/extra row
+    instead of vanishing from an inner join. The bound is deliberately
+    looser than the pytest pin's 5% (rsd=0.02 sketches are near-exact
+    at fixture cardinalities; the driver check must stay stable across
+    sf0.001-0.1, where tiny windows make the relative error lumpy —
+    the strict contract lives in test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.tables import load_table
+
+    raw = streaming_window_user_sketch(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return raw.join(exact, ["window_start", "event_type"], "full_outer").select(
+        "window_start",
+        "event_type",
+        F.coalesce(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3), F.col("exact_users") * 0.1),
+            F.lit(False),
+        ).alias("within_bound"),
+    )
 
 
 @query(

@@ -474,13 +474,13 @@ def test_streaming_window_sketch_matches_batch(spark, sf_dir):
     sketch over the same data exactly — register merges are
     commutative maxes, so micro-batch slicing cannot move it — and
     (b) track the exact distinct count within 5% per window."""
-    from currency_etl_pipeline_spark.queries import all_queries
+    from currency_etl_pipeline_spark.queries.streaming_queries import (
+        streaming_window_user_sketch,
+    )
 
     got = {
         (r["window_start"], r["event_type"]): r["approx_users"]
-        for r in all_queries()["streaming_window_approx_users"]
-        .spark(spark, sf_dir)
-        .collect()
+        for r in streaming_window_user_sketch(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     batch = (
