@@ -163,3 +163,58 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
     assert got["total_tokens"] == direct["total_tokens"]
     with pytest.raises(ValueError):
         observe_metrics(docs, {})
+
+
+def test_load_table_adapts_to_both_parquet_timestamp_units(spark, tmp_path):
+    """The driver REGENERATES testdata each round and has shipped both
+    TIMESTAMP(NANOS) (r1-r3: Spark reads the column as LONG under
+    nanosAsLong) and micros-with-isAdjustedToUTC=false (r4+: surfaces
+    as TimestampType instants with NTZ inference disabled). The
+    streaming twin of this pin exists (test_nanos_stored_events_still_
+    stream); this pins the BATCH reader: load_table must yield the
+    same TimestampType values from either physical encoding, so a
+    future unit flip cannot silently break the catalog between
+    rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
+    ns_vals = [t0, t0 + 3600 * 10**9 + 123_456_789, t0 + 2 * 3600 * 10**9]
+
+    def write(d, unit):
+        d.mkdir()
+        ts = (
+            pa.array(ns_vals, pa.timestamp("ns"))
+            if unit == "ns"
+            # micros file: truncate exactly like DuckDB's ns->us read
+            else pa.array([v // 1000 for v in ns_vals], pa.timestamp("us"))
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3], pa.int64()),
+                    "ts": ts,
+                    "user_id": pa.array([10, 10, 11], pa.int64()),
+                    "event_type": pa.array(["view", "click", "view"]),
+                    "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+                    "props": pa.array(["{}", "{}", "{}"]),
+                }
+            ),
+            str(d / "events.parquet"),
+            store_schema=False,
+        )
+
+    write(tmp_path / "ns", "ns")
+    write(tmp_path / "us", "us")
+    got = {}
+    for unit in ("ns", "us"):
+        df = load_table(spark, str(tmp_path / unit), "events")
+        assert str(df.schema["ts"].dataType) == "TimestampType()", unit
+        got[unit] = sorted(
+            (r["event_id"], r["ts"].isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["ns"] == got["us"], (
+        "the two physical encodings must load to identical instants"
+    )
+    # sub-microsecond precision is truncated (DIV), never rounded
+    assert any("123456" in ts for _, ts in got["ns"]), got["ns"]
