@@ -111,7 +111,9 @@ def streaming_window_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            TRUE AS within_bound
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
     """,
 )
 def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,19 +127,29 @@ def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame
     looser than the pytest pin's 5% (rsd=0.02 sketches are near-exact
     at fixture cardinalities; the driver check must stay stable across
     sf0.001-0.1, where tiny windows make the relative error lumpy —
-    the strict contract lives in test_streaming.py)."""
+    the strict contract lives in test_streaming.py).
+
+    Key symmetry (r13, ADVICE): the exact side buckets hours with the
+    SAME device as the stream — ``F.window('ts', '1 hour')`` — not
+    ``date_trunc``: window starts are epoch-aligned while date_trunc
+    truncates session-timezone wall clocks, so in a fractional-offset
+    zone (+05:30/+05:45) the formatted keys would end :30/:45 vs :00
+    and nothing would join. Null-ts rows are filtered symmetrically on
+    both sides and in the oracle (a streaming event-time aggregation
+    can never observe them; the batch sides must not either)."""
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.tables import load_table
 
     raw = streaming_window_user_sketch(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events")
-    exact = ev.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    exact = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
-    ).agg(F.countDistinct("user_id").alias("exact_users"))
+        "exact_users",
+    )
     return raw.join(exact, ["window_start", "event_type"], "full_outer").select(
         "window_start",
         "event_type",
@@ -783,8 +795,11 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     # eager localCheckpoint copies the result to GC-managed blocks so
     # the named sink buffer doesn't outlive the query in a long drive
     # sequence.
-    out = spark.table(name).filter(F.col("user_id") >= 0).localCheckpoint()
-    spark.catalog.dropTempView(name)
+    # try/finally so a failed drive still releases the sink buffer.
+    try:
+        out = spark.table(name).filter(F.col("user_id") >= 0).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
     return out
 
 

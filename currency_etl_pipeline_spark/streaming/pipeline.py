@@ -262,8 +262,14 @@ def run_stream_to_memory(
     # localCheckpoint copies the (aggregate-sized) result to
     # GC-managed executor blocks; the sink's buffer is then dropped
     # with its temp view.
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+    # try/finally: if the checkpoint (or the collect it triggers)
+    # throws, the named view must still be dropped — leaking it is the
+    # exact buffer-accumulation failure mode this detach exists to
+    # close.
+    try:
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
     return out
 
 
