@@ -78,7 +78,40 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_resize_stats", oracle=None)  # binary output → rows-only check; exact pixels pinned in tests
+@query(
+    "media_resize_stats",
+    # r13 (VERDICT task 3, closing the rows-only floor): the FAKE1
+    # decode is np.resize (cyclic tile/truncate) + the floor index
+    # map, so the resized mean has a CLOSED FORM over the payload
+    # bytes — pixel (j, i, ch) of the 8×8×3 output reads flat source
+    # index ((j*h//8)*w + (i*w//8))*3 + ch, tiled modulo len(bytes).
+    # The oracle replays exactly that per-byte math in DuckDB
+    # (p = j*24 + i*3 + ch enumerates the 192 output samples); the
+    # division by 192 = 3·2^6 makes the mean an exact double both
+    # sides. The resized payload itself (binary) stays out of the
+    # checked projection; its exact pixels are pinned in
+    # tests/test_multimodal.py.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_BYTES_DUCK} AS bytes, length(text) AS n,
+             doc_id % 16 + 8 AS w,
+             (doc_id // 16) % 16 + 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n, bytes, w, h, unnest(generate_series(0, 191)) AS p
+      FROM d
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INT) AS out_width,
+           CAST(8 AS INT) AS out_height,
+           round(CAST(sum(bytes[
+             ((((p // 24) * h // 8) * w + ((p % 24) // 3) * w // 8) * 3
+              + p % 3) % n + 1
+           ]) AS DOUBLE) / 192, 6) AS resized_mean
+    FROM px GROUP BY doc_id
+    """,
+)
 def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor resize of every asset's declared raster to 8×8
     (multimodal/media.py resize_nearest); emits geometry + mean, the
@@ -263,12 +296,46 @@ def media_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_audio_rms", oracle=None)  # binary→windows; exact sum_sq pinned in tests
+@query(
+    "media_audio_rms",
+    # r13 (VERDICT task 3): the fake1 codec reads payload bytes as
+    # unsigned 8-bit samples, so every hop-strided window's exact
+    # integer sum-of-squares is a DuckDB list expression over the
+    # text's code points (window k covers python raw[32k : 32k+64] =
+    # 1-based inclusive bytes[32k+1 : 32k+64]; tails < 64 samples are
+    # dropped, so docs shorter than 64 bytes emit nothing). rms =
+    # sqrt(sum_sq / 64): /64 is exact in binary and sqrt is correctly
+    # rounded in both engines, so the doubles are bit-identical.
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_BYTES_DUCK} AS bytes, length(text) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, bytes,
+             unnest(generate_series(0, CAST((n - 64) // 32 AS INT))) AS k
+      FROM b WHERE n >= 64
+    ),
+    s AS (
+      SELECT doc_id, k,
+             CAST(list_sum(list_transform(bytes[k * 32 + 1 : k * 32 + 64],
+                                          v -> v * v)) AS BIGINT) AS ss
+      FROM w
+    )
+    SELECT doc_id AS asset_id,
+           CAST(k AS INT) AS window_idx,
+           CAST(64 AS INT) AS n_samples,
+           ss AS sum_sq,
+           sqrt(CAST(ss AS DOUBLE) / 64) AS rms
+    FROM s
+    """,
+)
 def media_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio RMS over FAKE1 PCM payloads (64-sample windows,
     32 hop) — the audio member of the multimodal family (image stats /
-    video frame-sample / audio framing). Rows-only by design: the
-    per-window exact sum_sq integers are pinned against an independent
+    video frame-sample / audio framing). Hash-checked since r13 (was
+    rows-only): the closed-form oracle replays the exact per-window
+    integer sum-of-squares from the payload bytes; the exact sum_sq
+    integers are additionally pinned against an independent
     pure-Python computation in tests/test_multimodal.py."""
     from currency_etl_pipeline_spark.multimodal.media import audio_window_rms
 
