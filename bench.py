@@ -262,6 +262,11 @@ HEADLINE = [
     # r12 addition (appended; prior rows byte-identical): the learned-
     # tokenizer shard stream — BPE-metered packing, id-stream md5.
     "shard_token_id_streams",
+    # r13 additions (appended; prior rows byte-identical): the
+    # published 13-gram decontamination protocol and the
+    # arbitrary-boundary substring dedup (Lee et al. 2022 shape).
+    "contamination_13gram",
+    "subpassage_dedup_rewrite",
 ]
 
 

@@ -684,3 +684,63 @@ def test_bpe_encode_matches_textbook_reference(spark, docs, tmp_path_factory):
     assert got == expected
     for r in bpe_encode_docs(spark, str(tmp)).select("token_ids", "n_bpe_tokens").collect():
         assert len(r["token_ids"]) == r["n_bpe_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Sub-passage (arbitrary-boundary) exact substring dedup — r13.
+# The planted cross-boundary duplicate BELOW is the query's reason to
+# exist: a 16-word span duplicated at off-grid offsets in both docs,
+# which the fixed-chunk passage rewrite provably cannot see.
+# ---------------------------------------------------------------------------
+
+
+def test_subpassage_catches_cross_boundary_dup_that_fixed_chunks_miss(spark):
+    from currency_etl_pipeline_spark.queries.llm_prep import (
+        passage_rewrite,
+        subpassage_rewrite,
+    )
+
+    a_words = [f"alpha{i}" for i in range(24)]
+    span = a_words[4:20]  # 16 words, starting off-grid (offset 4) in doc 1
+    b_words = [f"filler{i}" for i in range(8)] + span + [f"tail{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))], ["doc_id", "text"]
+    )
+
+    # Fixed 16-word chunks: the duplicate starts at offset 4 in doc 1
+    # and offset 8 in doc 2 — no chunk of one doc equals any chunk of
+    # the other, so the fixed-grid rewrite keeps EVERYTHING.
+    fixed = {r["doc_id"]: r for r in passage_rewrite(docs).collect()}
+    assert all(r["n_kept"] == r["n_passages"] for r in fixed.values())
+    assert fixed[2]["clean_text"] == " ".join(b_words)
+
+    # Stride-1 windows: doc 2's window at position 8 is byte-identical
+    # to doc 1's window at position 4; keep-first removes the doc-2
+    # copy (positions 8..23) and leaves doc 1 intact.
+    sub = {r["doc_id"]: r for r in subpassage_rewrite(docs).collect()}
+    assert sub[1]["n_removed_words"] == 0
+    assert sub[1]["clean_text"] == " ".join(a_words)
+    assert sub[2]["n_dup_spans"] == 1
+    assert sub[2]["n_removed_words"] == 16
+    assert sub[2]["clean_text"] == " ".join(b_words[:8] + b_words[24:])
+
+
+def test_subpassage_conservation_and_nonvacuity(spark, sf_dir):
+    """Every rewritten doc conserves words (kept + removed == total),
+    span counts agree with removal counts, and the fixture corpus
+    actually exercises the operator (organic duplicated spans)."""
+    from currency_etl_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["subpassage_dedup_rewrite"].spark(spark, sf_dir).collect()
+    assert rows
+    n_dup_docs = 0
+    for r in rows:
+        kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert kept == r["n_words"] - r["n_removed_words"], r["doc_id"]
+        assert 0 <= r["n_removed_words"] <= r["n_words"]
+        assert (r["n_dup_spans"] > 0) == (r["n_removed_words"] > 0)
+        # a merged span is at least one full window wide
+        if r["n_dup_spans"]:
+            assert r["n_removed_words"] >= 16
+            n_dup_docs += 1
+    assert n_dup_docs > 0  # non-vacuous: sf0.001 has 22 such docs
