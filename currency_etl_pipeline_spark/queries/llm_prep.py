@@ -1194,14 +1194,18 @@ def subpassage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the union of its L-w+1 duplicated windows, so the merged
     spans ARE the Lee et al. duplicated substrings at threshold w.
 
-    Plan/scale — the one-text-shuffle discipline: text is never
-    shuffled at all. Digest rows (doc_id, widx, md5 — ~48 bytes)
-    shuffle once on the digest for first-occurrence ranking and once
-    on doc_id for the island merge (both narrow); the corpus-side
-    regex/zip_with work happens in the scan stage; the final
-    sort-merge join on doc_id carries only span structs. Stride-1
-    windows cost w digests per word — the price of exactness at the
-    w-word threshold (the published suffix-array approach is
+    Plan/scale — the one-text-shuffle discipline (plan-pinned in
+    tests/test_scale_plans.py): the decision pipeline shuffles digest
+    rows only — (doc_id, widx, md5), ~48 bytes — once on the digest
+    for first-occurrence ranking and once on doc_id for the island
+    merge; the corpus-side zip_with work happens in the scan stage,
+    and the per-doc span lists BROADCAST back to the rewrite join, so
+    the only text movement at fixture scale is spread()'s
+    pre-expansion repartition (a no-op once input splits >= cores).
+    In the no-broadcast sort-merge regime the rewrite join degrades
+    to the same single text shuffle passage_dedup_rewrite pays.
+    Stride-1 windows cost w digests per word — the price of exactness
+    at the w-word threshold (the published suffix-array approach is
     single-node; this is the distributable equivalent); at 100 TB the
     digest relation is bounded and spill-friendly, and w is the knob.
 

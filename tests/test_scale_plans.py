@@ -1119,3 +1119,39 @@ def test_shard_token_id_streams_windows_never_shuffle_arrays(spark, sf_dir):
             "prefix-sum exchange carries the id arrays: " + cols
         )
     assert "CartesianProduct" not in plan
+
+
+def test_contamination13_split_filters_push_below_explode(spark, sf_dir):
+    """Same guarantee as the bigram demonstrator, for the published
+    13-gram protocol: the md5-split predicate must reach BOTH branch
+    scans so each branch windows only its own split's documents."""
+    plan = executed_plan_of(SPECS["contamination_13gram"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("DataFilters: [CASE WHEN (substring(md5(") >= 2, (
+        "split predicates did not push below the explode to the scans"
+    )
+
+
+def test_subpassage_decisions_travel_as_digests(spark, sf_dir):
+    """subpassage_dedup_rewrite's scale claim: the dedup decision
+    pipeline shuffles (doc_id, widx, md5) digest rows only — no
+    exchange in the digest path may carry the text column — and the
+    per-doc span lists BROADCAST back to the rewrite join (in the
+    no-broadcast regime that join degrades to the one text shuffle
+    passage_dedup_rewrite pays, never more)."""
+    import re as _re
+
+    df = SPECS["subpassage_dedup_rewrite"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    ex = _re.findall(
+        r"\(\d+\) (Exchange|BroadcastExchange)[^\n]*\nInput \[[^\]]*\]: \[([^\]]+)\]",
+        plan,
+    )
+    digest_ex = [cols for kind, cols in ex if _re.search(r"\bh#\d+", cols)]
+    assert digest_ex, "digest exchange not found (regex went vacuous)"
+    for cols in digest_ex:
+        assert "text#" not in cols, "digest-path exchange carries the corpus: " + cols
+    assert any(
+        kind == "BroadcastExchange" and "spans#" in cols for kind, cols in ex
+    ), "span lists no longer broadcast back to the rewrite join"

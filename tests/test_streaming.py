@@ -1202,3 +1202,26 @@ def test_stream_append_semdedup_index_matches_one_shot(spark, sf_dir, tmp_path):
     assert set(spark.read.parquet(live).inputFiles()) == files_before, (
         "replayed feed appended files"
     )
+
+
+def test_memory_sink_view_dropped_even_when_detach_fails(spark, sf_dir, monkeypatch):
+    """The r12 detach exists to release memory-sink buffers; the r13
+    try/finally must release them even when the localCheckpoint (or
+    the collect it triggers) throws — otherwise a failed drive leaks
+    the exact session-lifetime buffer the detach was built to close."""
+    def boom(self, eager=True):
+        raise RuntimeError("synthetic checkpoint failure")
+
+    before = {t.name for t in spark.catalog.listTables()}
+    # Patch the CONCRETE DataFrame class (PySpark 4 splits the public
+    # pyspark.sql.DataFrame base from the classic implementation that
+    # spark.table() actually returns and that overrides the method).
+    monkeypatch.setattr(
+        type(spark.range(1)), "localCheckpoint", boom, raising=True
+    )
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    with pytest.raises(RuntimeError, match="synthetic checkpoint failure"):
+        run_stream_to_memory(windowed_rates(stream), spark, "complete")
+    after = {t.name for t in spark.catalog.listTables()}
+    leaked = {n for n in after - before if n.startswith("stream_out_")}
+    assert not leaked, f"failed drive leaked memory-sink views: {leaked}"
