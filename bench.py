@@ -267,6 +267,7 @@ HEADLINE = [
     # arbitrary-boundary substring dedup (Lee et al. 2022 shape).
     "contamination_13gram",
     "subpassage_dedup_rewrite",
+    "tokenizer_fertility_report",
 ]
 
 

@@ -2262,6 +2262,85 @@ def bpe_token_counts(
 
 
 @query(
+    "tokenizer_fertility_report",
+    oracle=f"""
+    {_bpe_chain_cte()},
+    enc AS MATERIALIZED (
+        SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_syms
+        FROM v{_BPE_ITERS}
+    ),
+    dw AS (
+        SELECT doc_id, ws[j] AS word
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS ws
+              FROM documents WHERE text IS NOT NULL) d,
+             unnest(generate_series(1, len(ws))) AS u(j)
+        WHERE ws[j] <> ''
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS words,
+               CAST(sum(n_syms) AS BIGINT) AS toks
+        FROM dw JOIN enc USING (word) GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.words) AS BIGINT) AS total_words,
+           CAST(sum(p.toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(p.toks) AS DOUBLE) / sum(p.words), 6) AS fertility,
+           round(CAST(sum(length(d.text)) AS DOUBLE) / sum(p.toks), 6)
+               AS chars_per_token
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — the published tokenizer-
+    quality metric (tokens emitted per word; the multilingual-
+    tokenizer literature's standard complaint is fertility blowup on
+    under-represented languages) plus its inverse-compression twin
+    (chars per token), for the corpus-trained BPE tokenizer. This is
+    the evaluation a team runs BEFORE committing a vocabulary: a lang
+    whose fertility is 2x the corpus mean pays 2x the context budget
+    for the same content, and `domain_temperature_resample` /
+    `shard_token_id_streams` budgets are only fair if metered in a
+    tokenizer whose fertility is known.
+
+    Plan/scale — the bpe_token_counts discipline: the learned merges
+    rewrite the DISTINCT-WORD table, per-word symbol counts join the
+    corpus's (doc_id, word) explode (text never shuffles as
+    documents), per-doc sums then a tiny per-lang rollup. The whole
+    BPE chain is the bpe_merge_iterations machinery reused; the
+    oracle shares _bpe_chain_cte with the other three BPE oracles so
+    an encoding change cannot desync them."""
+    _, vocab = _bpe_learn(spark, sf_dir)
+    enc = vocab.select("word", F.size(_bpe_syms()).cast("long").alias("n_syms"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    w = exploded(base, ["doc_id"], tokens(), "word").filter(F.col("word") != "")
+    per_doc = (
+        w.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words"),
+            F.sum("n_syms").cast("long").alias("toks"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.sum("toks") / F.sum("words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("toks"), 6).alias("chars_per_token"),
+        )
+    )
+
+
+@query(
     "decontaminated_train_split",
     oracle=f"""
     WITH t AS (
