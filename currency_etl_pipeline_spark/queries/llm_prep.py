@@ -616,21 +616,34 @@ _SPLIT_DUCK = (
     "ELSE 'test' END"
 )
 
-_BIGRAMS_DUCK = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
-    " i -> array_to_string(toks[i:i+1], ' ')))"
-)
+def _grams_duck(n: int, digest: bool = False) -> str:
+    """DuckDB twin of shingles(n) over a ``toks`` column — ONE
+    template for every n-gram oracle in this module (r13 review: the
+    bigram and 13-gram strings were hand-expanded copies whose slice
+    bounds could silently desync). 1-based inclusive slice: i..i+n-1
+    is n tokens. ``digest=True`` wraps each window in md5 — the
+    _gram_digests twin. text.py's _SHINGLES_DUCK (n=3, whitespace
+    formatting predating this helper) is intentionally NOT rebuilt on
+    it: regenerating that string would change the embedded SQL of
+    long-green oracles byte-wise and re-tier them for no behavior
+    change."""
+    core = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    if digest:
+        core = f"md5({core})"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),"
+        f" i -> {core}))"
+    )
+
+
+_BIGRAMS_DUCK = _grams_duck(2)
 
 # The published decontamination protocol (GPT-3 appx C / PaLM: 13-gram
 # sliding windows) travels as md5 DIGESTS, not window strings — a
 # 13-token window is ~90 chars while its digest is 32, so at 100 TB
 # the inverted-index shuffle carries a third of the bytes and the
-# train-side distinct vocabulary dedups fixed-width keys. DuckDB twin
-# of _gram_digests(13): 1-based inclusive slice, i..i+12 = 13 tokens.
-_13GRAMS_DUCK = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 12, 0)),"
-    " i -> md5(array_to_string(toks[i:i+12], ' '))))"
-)
+# train-side distinct vocabulary dedups fixed-width keys.
+_13GRAMS_DUCK = _grams_duck(13, digest=True)
 
 
 def _gram_digests(n: int):

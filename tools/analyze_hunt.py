@@ -32,10 +32,6 @@ if os.path.exists(r12p):
     bench = {r["name"]: r["sec"] for r in recs if r["kind"] == "bench"}
     calh = sum(c for _, c, _ in cals) / len(cals) if cals else start["calibration"]
     print(f"\nhunt mean calibration {calh:.3f} vs r12 record {cal12}")
-    rows = []
-    for n, s in bench.items():
-        if n in q12 and q12[n] > 0.2:
-            rows.append((s / calh) / (q12[n] / cal12) if q12[n] else 0 and (n, 0))
     import statistics
     ratios = sorted(
         ((n, round((bench[n] / calh) / (q12[n] / cal12), 2))
@@ -43,6 +39,9 @@ if os.path.exists(r12p):
         key=lambda t: -t[1],
     )
     vals = [r for _, r in ratios]
-    print(f"calibrated per-query ratio vs builder-r12: median {statistics.median(vals):.2f} over {len(vals)} rows")
-    print("worst 12:", ratios[:12])
-    print("best 8:", ratios[-8:])
+    if vals:
+        print(f"calibrated per-query ratio vs builder-r12: median {statistics.median(vals):.2f} over {len(vals)} rows")
+        print("worst 12:", ratios[:12])
+        print("best 8:", ratios[-8:])
+    else:
+        print("no bench rows overlap the r12 record (run aborted pre-bench?)")
