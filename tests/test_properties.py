@@ -744,3 +744,86 @@ def test_subpassage_conservation_and_nonvacuity(spark, sf_dir):
             assert r["n_removed_words"] >= 16
             n_dup_docs += 1
     assert n_dup_docs > 0  # non-vacuous: sf0.001 has 22 such docs
+
+
+def _subpassage_reference(texts: dict[int, str], w: int):
+    """Textbook single-node reference for subpassage_rewrite: find all
+    w-word windows, keep the globally first occurrence of each distinct
+    window (ordered by (doc_id, position)), mark every other
+    occurrence's word range, merge ranges per doc, drop covered words."""
+    toks = {d: t.strip().split() if t.strip() else [""] for d, t in texts.items()}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for i in range(len(ws) - w + 1):
+            key = tuple(ws[i : i + w])
+            if key not in first:
+                first[key] = (d, i)
+    out = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        covered = set()
+        spans = []
+        for i in range(len(ws) - w + 1):
+            if first[tuple(ws[i : i + w])] != (d, i):
+                covered.update(range(i, i + w))
+        # merged maximal spans = islands of the covered position set
+        pos = sorted(covered)
+        for p in pos:
+            if spans and p == spans[-1][1]:
+                spans[-1][1] = p + 1
+            elif not spans or p > spans[-1][1]:
+                spans.append([p, p + 1])
+        kept = [x for j, x in enumerate(ws) if j not in covered]
+        out[d] = (len(ws), len(spans), len(covered), " ".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # tiny vocab + short docs force organic window collisions
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_subpassage_rewrite_matches_reference(spark, docs, w):
+    from currency_etl_pipeline_spark.queries.llm_prep import subpassage_rewrite
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_dup_spans"],
+            r["n_removed_words"],
+            r["clean_text"],
+        )
+        for r in subpassage_rewrite(df, w=w).collect()
+    }
+    assert got == _subpassage_reference(texts, w)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["x", "y", "zz"]), min_size=0, max_size=20),
+    st.integers(min_value=2, max_value=13),
+)
+def test_shingles_matches_textbook_sliding_windows(spark, words, n):
+    """Independent reference for the zip_with shingle device (the
+    shared-construction-oracle lesson): distinct n-token windows in
+    first-occurrence order equal a plain python sliding window scan."""
+    from currency_etl_pipeline_spark.queries.text import shingles
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(shingles(n=n).alias("sh")).collect()[0]["sh"]
+    toks = text.strip().split() if text.strip() else [""]
+    seen, ref = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            ref.append(s)
+    assert got == ref
