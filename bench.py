@@ -268,6 +268,7 @@ HEADLINE = [
     "contamination_13gram",
     "subpassage_dedup_rewrite",
     "tokenizer_fertility_report",
+    "streaming_contamination_gate",
 ]
 
 

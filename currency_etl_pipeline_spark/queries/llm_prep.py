@@ -715,9 +715,12 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "contamination_13gram",
-    oracle=f"""
+# ONE oracle for the batch scan and its streaming gate twin
+# (streaming_queries.streaming_contamination_gate) — the driven stream
+# must land on the identical per-test-doc report no matter how
+# micro-batches sliced the corpus (the _CDC_ORACLE single-source
+# precedent).
+_CONTAM13_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {_SPLIT_DUCK} AS split, {_TOKS_DUCK} AS toks FROM documents
     ), sh AS (
@@ -735,7 +738,12 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_contaminated
     FROM test_docs d LEFT JOIN train_grams tg ON d.gram = tg.gram
     GROUP BY d.doc_id
-    """,
+    """
+
+
+@query(
+    "contamination_13gram",
+    oracle=_CONTAM13_ORACLE,
 )
 def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set contamination at the PUBLISHED protocol (r13, VERDICT

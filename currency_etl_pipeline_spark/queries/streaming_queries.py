@@ -551,6 +551,75 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(deduped, spark, output_mode="append")
 
 
+def _contam13_oracle() -> str:
+    from currency_etl_pipeline_spark.queries.llm_prep import _CONTAM13_ORACLE
+
+    return _CONTAM13_ORACLE
+
+
+@query("streaming_contamination_gate", oracle=_contam13_oracle())
+def streaming_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of `contamination_13gram` (same oracle — single
+    source of truth, the _CDC_ORACLE precedent): held-out documents
+    arrive on a live stream and are graded IN FLIGHT against the train
+    split's static 13-gram digest vocabulary — the admission gate an
+    eval-ingestion service runs so a benchmark set can never be
+    published against a corpus it leaks into. Driven to completion the
+    per-test-doc report (window count, train collisions, verdict bit)
+    must equal the batch scan's row for row, however micro-batches
+    sliced the corpus.
+
+    Plan: the digest explode is stateless map-side codegen on each
+    micro-batch; the train vocabulary is a STATIC relation, so the
+    stream-static left join is stateless too (broadcast or shuffled by
+    Catalyst's choice — no state store); the only stateful operator is
+    the per-doc_id aggregation, whose state is three counters per
+    held-out document — never a gram, never text. In production the
+    vocabulary side is the persisted digest index this query's batch
+    twin would materialize, and append mode + watermark bound the
+    report; complete mode here serves the oracle comparison.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import _gram_digests, _split_expr
+    from currency_etl_pipeline_spark.queries.text import exploded
+    from currency_etl_pipeline_spark.tables import load_table, spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = spread(docs.select("doc_id", "text")).select(
+        "doc_id", _split_expr().alias("split"), "text"
+    )
+    train_grams = (
+        exploded(t.filter(F.col("split") == "train"), [], _gram_digests(13), "gram")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    test = stream.select("doc_id", _split_expr().alias("split"), "text").filter(
+        F.col("split") == "test"
+    )
+    grams = (
+        test.select("doc_id", F.explode_outer(_gram_digests(13)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    hit = F.when(F.col("seen").isNotNull(), 1).otherwise(0)
+    agg = (
+        grams.join(train_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(hit).cast("long").alias("n_contaminated"),
+            (F.sum(hit) > 0).alias("is_contaminated"),
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
+
+
 _RAW_ZONE_ORACLE = """
     SELECT * FROM (VALUES
       ('GBP', 'GBPEUR', '1.1702', 'EUR', '2024-03-01 10:00:00', 'poll_0001.json', NULL),
