@@ -374,3 +374,48 @@ def test_png_16bit_rejects_nothing_supported_claims():
     )
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(data)
+
+
+def test_media_oracle_sql_matches_numpy_reference(sf_dir):
+    """The r13 closed-form DuckDB oracles for media_resize_stats /
+    media_audio_rms replay the numpy decode math from the payload
+    bytes. Engine parity alone can't catch a flaw shared by both
+    sides of a device, so pin the ORACLES THEMSELVES against an
+    independent numpy replication (pure DuckDB + pandas — no Spark)."""
+    import duckdb
+    import pandas as pd
+
+    from currency_etl_pipeline_spark.queries import all_oracles
+
+    oracles = all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+    ref_resize = {}
+    ref_audio = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        raw = np.frombuffer(text.encode(), dtype=np.uint8)
+        w, h = int(did % 16 + 8), int((did // 16) % 16 + 8)
+        img = np.resize(raw, (h, w, 3))
+        ys, xs = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        ref_resize[did] = round(float(img[np.ix_(ys, xs)].mean()), 6)
+        samples = raw.astype(np.int64)
+        for idx, start in enumerate(range(0, len(samples) - 64 + 1, 32)):
+            win = samples[start : start + 64]
+            ss = int((win * win).sum())
+            ref_audio[(did, idx)] = (ss, float(np.sqrt(ss / 64)))
+
+    got_resize = con.execute(oracles["media_resize_stats"]).fetchall()
+    assert len(got_resize) == len(ref_resize)
+    for aid, ow, oh, mean in got_resize:
+        assert (ow, oh) == (8, 8)
+        assert mean == ref_resize[aid], aid  # exact double equality
+
+    got_audio = con.execute(oracles["media_audio_rms"]).fetchall()
+    assert len(got_audio) == len(ref_audio)
+    for aid, widx, n, ss, rms in got_audio:
+        assert n == 64
+        assert (ss, rms) == ref_audio[(aid, widx)], (aid, widx)
