@@ -15,6 +15,19 @@ be read as (query_time / calibration_time) ratios: round 4 measured a
 uniform 1.5-1.7x wall inflation on byte-identical queries that was
 pure sandbox drift, indistinguishable from a regression without an
 anchor. See BASELINE.md.
+
+``calibration_series`` (round 14 on) re-times the SAME fixed probe
+after every PROBE_EVERY queries: rounds 10-13 proved a single
+start-of-run probe cannot normalize INTRA-run host-epoch swings (the
+r13 driver record read a median 1.32x above the builder's on
+byte-identical code while its one probe moved the opposite way; the
+instrumented hunt runs saw the fixed probe swing 0.55-1.68 s within a
+single sequence). Each entry is {"after": <queries completed>,
+"sec": <probe time>}; the cross-round per-query ratio convention is
+query_time / nearest-probe-time (the probe whose "after" is closest
+to the query's position in HEADLINE). The scalar ``calibration``
+(start-of-run probe, == series[0]) is kept for continuity with
+BENCH_r05..r13. See SURVEY.md §8.
 """
 
 from __future__ import annotations
@@ -26,6 +39,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Probe cadence for calibration_series. 10 matches the hunt tool whose
+# data motivated the series (tools/driver_sequence_hunt.py PROBE_EVERY).
+PROBE_EVERY = 10
 
 HEADLINE = [
     "latest_rate_per_key",
@@ -308,10 +325,27 @@ def main() -> None:
     specs = all_queries()
 
     calibration = _timed(lambda: _calibration_df(spark, sf_dir))
+    series = [{"after": 0, "sec": calibration}]
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE, start=1):
         timings[name] = _timed(lambda: specs[name].spark(spark, sf_dir))
+        if i % PROBE_EVERY == 0:
+            series.append(
+                {
+                    "after": i,
+                    "sec": _timed(
+                        lambda: _calibration_df(spark, sf_dir), warm=False
+                    ),
+                }
+            )
+    if series[-1]["after"] != len(HEADLINE):
+        series.append(
+            {
+                "after": len(HEADLINE),
+                "sec": _timed(lambda: _calibration_df(spark, sf_dir), warm=False),
+            }
+        )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -320,6 +354,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "calibration": calibration,
+        "calibration_series": series,
         "sf": sf,
     }
     _persist(result)
