@@ -286,6 +286,9 @@ HEADLINE = [
     "subpassage_dedup_rewrite",
     "tokenizer_fertility_report",
     "streaming_contamination_gate",
+    # r14 addition (appended; prior rows byte-identical): the streaming
+    # admission twin of the ExactSubstr sub-passage dedup.
+    "streaming_subpassage_gate",
 ]
 
 

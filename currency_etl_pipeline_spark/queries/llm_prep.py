@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from currency_etl_pipeline_spark.queries.registry import query
-from currency_etl_pipeline_spark.queries.text import exploded, shingles, tokens
+from currency_etl_pipeline_spark.queries.text import (
+    exploded,
+    rolled_window_hashes,
+    rolling_window_hashes,
+    shingles,
+    token_hashes,
+    tokens,
+)
 from currency_etl_pipeline_spark.tables import load_table, spread
 
 _TOKS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
@@ -646,13 +653,78 @@ _BIGRAMS_DUCK = _grams_duck(2)
 _13GRAMS_DUCK = _grams_duck(13, digest=True)
 
 
-def _gram_digests(n: int):
-    """Distinct md5 digests of the n-token sliding windows of text.
+def _gram_digests_from(tv, n: int):
+    """Distinct 64-bit identities of the n-token sliding windows, from
+    a pre-projected ``token_hashes`` column (r14: the rolling device
+    replaced md5-of-shingle-string — the window string is never
+    materialized and every downstream row carries one 8-byte long
+    instead of a 32-char hex digest; the DuckDB oracles keep md5
+    window strings as an independent implementation of the same
+    window-equality semantics, valid because equal windows always hash
+    equal and the reports never expose a digest). ``tv`` must be an
+    attribute reference to an already-projected token_hashes() alias —
+    see its docstring for why inline re-hashes n-fold."""
+    return F.array_distinct(rolled_window_hashes(tv, n))
 
-    ``shingles`` is the parameterized window builder (zip_with chain —
-    the tokenizer split runs n+1 times per row, never per element);
-    hashing BEFORE the explode keeps every downstream row narrow."""
-    return F.transform(shingles(n=n), lambda x: F.md5(x))
+
+def _gram_digests(n: int):
+    """Single-Column (inline) form of ``_gram_digests_from`` over the
+    ``text`` column. Kept so `decontaminated_train_split`'s r13-green
+    source stays byte-identical under the rolling upgrade (the r14
+    re-tier budget was spent on the contamination unification + the
+    subpassage/streaming edits); its two-step conversion is deferred
+    to r15. New consumers: pre-project token_hashes and use
+    `_gram_digests_from`."""
+    return F.array_distinct(rolling_window_hashes("text", n))
+
+
+def _contamination_report(
+    spark: SparkSession, sf_dir: str, n: int, *, verdict: bool
+) -> DataFrame:
+    """ONE device for the n-gram contamination family (r14, VERDICT
+    task 5 — `ngram_contamination` and `contamination_13gram` were
+    hand-maintained copies of the same shape differing only in n and
+    report columns, the desync hazard _grams_duck's docstring records
+    for their SQL twins). Per test-split document: its distinct
+    n-token window identities left-joined against the train split's
+    distinct window vocabulary.
+
+    Plan: the two branches look like a shared-subtree trap, but the
+    split predicate is a pure function of doc_id, so Catalyst pushes
+    each branch's filter BELOW its explode into the scan — the train
+    branch windows only train documents (~81% of the corpus) and the
+    test branch only test documents (~6%); total tokenizer work is
+    ~0.87 corpus passes across disjoint rows, cheaper than any shared
+    single pass over everything. Train grams collapse to a distinct
+    vocabulary (map-side partial distinct, |vocabulary|-bounded) that
+    joins the test grams on gram — the inverted-index equi-join
+    shape; only 8-byte rolling-hash longs shuffle (r14 — previously
+    32-char md5 hex for n=13 and raw window strings for n=2), never
+    text. ``verdict=True`` emits the published decontamination-report
+    columns (window count, collisions, contaminated bit);
+    ``verdict=False`` the ratio-report columns."""
+    t = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", _split_expr().alias("split"), token_hashes().alias("tv")
+    )
+    sh = exploded(t, ["doc_id", "split"], _gram_digests_from(F.col("tv"), n), "gram")
+    train_grams = (
+        sh.filter(F.col("split") == "train").select("gram").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_docs = sh.filter(F.col("split") == "test").select("doc_id", "gram")
+    hit = F.when(F.col("seen").isNotNull(), 1).otherwise(0)
+    grouped = test_docs.join(train_grams, "gram", "left").groupBy("doc_id")
+    if verdict:
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(hit).cast("long").alias("n_contaminated"),
+            (F.sum(hit) > 0).alias("is_contaminated"),
+        )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(hit).alias("n_contaminated"),
+        F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("contamination_ratio"),
+    )
 
 
 @query(
@@ -678,41 +750,17 @@ def _gram_digests(n: int):
     """,
 )
 def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set contamination scan: for every held-out (test-split)
-    document, the fraction of its distinct bigrams that also appear
-    anywhere in the train split — the pre-training hygiene check that
-    catches benchmark leakage before a model memorizes its own eval.
-
-    Plan: the two branches look like a shared-subtree trap, but the
-    split predicate is a pure function of doc_id, so Catalyst pushes
-    each branch's filter BELOW its explode into the scan — the train
-    branch shingles only train documents (~81% of the corpus) and the
-    test branch only test documents (~6%); total tokenizer work is
-    ~0.87 corpus passes across disjoint rows, cheaper than any shared
-    single pass over everything. Train grams collapse to a distinct
-    vocabulary (map-side partial distinct, |vocabulary|²-bounded) that
-    joins the test grams on ngram — the inverted-index equi-join
-    shape; only ngram strings shuffle, never text.
-    """
-    t = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", _split_expr().alias("split"), F.col("text")
-    )
-    sh = exploded(t, ["doc_id", "split"], shingles(n=2), "ngram")
-    train_grams = (
-        sh.filter(F.col("split") == "train").select("ngram").distinct()
-        .withColumn("seen", F.lit(1))
-    )
-    test_docs = sh.filter(F.col("split") == "test").select("doc_id", "ngram")
-    hit = F.when(F.col("seen").isNotNull(), 1).otherwise(0)
-    return (
-        test_docs.join(train_grams, "ngram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(hit).alias("n_contaminated"),
-            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("contamination_ratio"),
-        )
-    )
+    """Eval-set contamination scan at n=2: for every held-out
+    (test-split) document, the fraction of its distinct bigrams that
+    also appear anywhere in the train split — the pre-training hygiene
+    check that catches benchmark leakage before a model memorizes its
+    own eval. The bigram demonstrator of the family;
+    `contamination_13gram` is the published-protocol instance. Both
+    are `_contamination_report` (r14 unification — see its docstring
+    for the plan/pushdown argument; the oracle SQL is byte-identical
+    to the long-green r4 original, window equality being hash-function
+    independent)."""
+    return _contamination_report(spark, sf_dir, 2, verdict=False)
 
 
 # ONE oracle for the batch scan and its streaming gate twin
@@ -757,30 +805,16 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol cheap at 100 TB: the train-side distinct vocabulary and
     the inverted-index equi-join shuffle fixed-width keys, never text.
 
-    Plan: identical pushdown argument to `ngram_contamination` — the
-    split is a pure doc_id hash, so each branch's filter lands below
-    its explode in the scan; non-vacuous at the driver's sf0.01 (2
-    contaminated test docs / 25 hit windows; 26 docs at sf0.1 — the
-    planted near-duplicate pairs straddling the split)."""
-    t = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", _split_expr().alias("split"), F.col("text")
-    )
-    sh = exploded(t, ["doc_id", "split"], _gram_digests(13), "gram")
-    train_grams = (
-        sh.filter(F.col("split") == "train").select("gram").distinct()
-        .withColumn("seen", F.lit(1))
-    )
-    test_docs = sh.filter(F.col("split") == "test").select("doc_id", "gram")
-    hit = F.when(F.col("seen").isNotNull(), 1).otherwise(0)
-    return (
-        test_docs.join(train_grams, "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(hit).cast("long").alias("n_contaminated"),
-            (F.sum(hit) > 0).alias("is_contaminated"),
-        )
-    )
+    Plan: `_contamination_report` at n=13 with the verdict columns
+    (r14 unification with the bigram demonstrator — see its docstring
+    for the pushdown argument; window identities are now 8-byte
+    rolling-hash longs, narrower still than the md5 digests this
+    query shipped with, while the oracle keeps md5 window strings as
+    an independent equality implementation). Non-vacuous at the
+    driver's sf0.01 (2 contaminated test docs / 25 hit windows; 26
+    docs at sf0.1 — the planted near-duplicate pairs straddling the
+    split)."""
+    return _contamination_report(spark, sf_dir, 13, verdict=True)
 
 
 @query(
@@ -1067,8 +1101,32 @@ def passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBPASS_W = 16
 
 
-def _subpassage_oracle(w: int = _SUBPASS_W) -> str:
-    return f"""
+def _subpassage_oracle(w: int = _SUBPASS_W, gate: bool = False) -> str:
+    """DuckDB twin of the sub-passage family. ``gate=False`` (the
+    batch rewrite): a hit is any window occurrence after the globally
+    first, ranked by (doc_id, widx) — this branch's output is pinned
+    byte-identical to the long-green r13 string. ``gate=True`` (the
+    streaming admission gate): documents are md5-split; a hit is any
+    TEST-doc window whose content occurs anywhere in the TRAIN split's
+    window vocabulary, and the report covers test docs only — the
+    same islands/rewrite tail on a different hit predicate."""
+    if gate:
+        head = f"""
+    WITH t AS (
+        SELECT doc_id, {_SPLIT_DUCK} AS split,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+        FROM documents
+    ), w AS (
+        SELECT doc_id, split, i - 1 AS widx,
+               md5(array_to_string(toks[i:i+{w - 1}], ' ')) AS h
+        FROM t, unnest(generate_series(1, greatest(len(toks) - {w - 1}, 0))) AS g(i)
+    ), tv AS (
+        SELECT DISTINCT h FROM w WHERE split = 'train'
+    ), hits AS (
+        SELECT w.doc_id, w.widx FROM w JOIN tv USING (h) WHERE w.split = 'test'
+    ), isl AS ("""
+    else:
+        head = f"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
         FROM documents
@@ -1082,7 +1140,9 @@ def _subpassage_oracle(w: int = _SUBPASS_W) -> str:
         FROM w
     ), hits AS (
         SELECT doc_id, widx FROM r WHERE rn > 1
-    ), isl AS (
+    ), isl AS ("""
+    doc_filter = "\n    WHERE t.split = 'test'" if gate else ""
+    return head + f"""
         SELECT doc_id, widx,
                CASE WHEN widx <= coalesce(max(widx + {w}) OVER (
                         PARTITION BY doc_id ORDER BY widx
@@ -1121,7 +1181,7 @@ def _subpassage_oracle(w: int = _SUBPASS_W) -> str:
            coalesce(a.clean, '') AS clean_text
     FROM t
     LEFT JOIN s2 ON t.doc_id = s2.doc_id
-    LEFT JOIN agg a ON t.doc_id = a.doc_id
+    LEFT JOIN agg a ON t.doc_id = a.doc_id{doc_filter}
     """
 
 
@@ -1130,23 +1190,22 @@ def subpassage_rewrite(docs: DataFrame, w: int = _SUBPASS_W) -> DataFrame:
     (doc_id, text), output (doc_id, n_words, n_dup_spans,
     n_removed_words, clean_text). See the query docstring."""
     docs = docs.select("doc_id", F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("text"))
-    toks = tokens()
-    # All w-word windows IN POSITION ORDER (the shingles() zip_with
-    # device minus its array_distinct — positions are the identity of
-    # an occurrence here): entry i of the chain is words i..i+w-1,
-    # entries past len-w become NULL concats and are filtered off the
-    # tail, so the surviving array index IS widx.
-    acc = toks
-    for k in range(1, w):
-        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    windows = F.filter(acc, lambda x: x.isNotNull())
-
+    # All w-word window IDENTITIES in position order — the r14 rolling
+    # upgrade (VERDICT r13 task 3): token_hashes projects each token's
+    # hash pair ONCE, then two 31-bit polynomial chains roll over the
+    # materialized array, so the scan stage never materializes a
+    # window STRING (the old zip_with concat chain transiently carried
+    # ~w× the corpus's char volume) and the decision shuffle key is
+    # one 8-byte long instead of a 32-char md5 hex. The filtered tail
+    # preserves index-is-position, so the posexplode index IS widx.
     kw = (
         spread(docs)
-        .select("doc_id", F.posexplode_outer(windows).alias("widx", "win"))
-        .filter(F.col("win").isNotNull())
-        .select("doc_id", "widx", F.md5("win").alias("h"))
+        .select("doc_id", token_hashes().alias("tv"))
+        .select(
+            "doc_id",
+            F.posexplode_outer(rolled_window_hashes(F.col("tv"), w)).alias("widx", "h"),
+        )
+        .filter(F.col("h").isNotNull())
     )
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "widx"))
     hits = kw.withColumn("rn", rn).filter(F.col("rn") > 1).select("doc_id", "widx")
@@ -1177,7 +1236,16 @@ def subpassage_rewrite(docs: DataFrame, w: int = _SUBPASS_W) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_words"),
     )
+    return _apply_spans(docs, per_doc)
 
+
+def _apply_spans(docs: DataFrame, per_doc: DataFrame) -> DataFrame:
+    """Shared rewrite tail of the sub-passage family: join the per-doc
+    maximal-span lists (doc_id, spans array<struct<s,e>>, n_dup_spans,
+    n_removed_words — tiny, broadcast-able) back onto (doc_id, text)
+    and drop covered word positions JVM-side. Docs with no spans pass
+    through with zero counts and their full text."""
+    toks = tokens()
     sp = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:long,e:long>>"))
     covered = lambda i: F.exists(sp, lambda seg: (i >= seg["s"]) & (i < seg["e"]))  # noqa: E731
     marked = F.transform(toks, lambda x, i: F.when(covered(i), F.lit(None)).otherwise(x))
@@ -1188,6 +1256,39 @@ def subpassage_rewrite(docs: DataFrame, w: int = _SUBPASS_W) -> DataFrame:
         F.coalesce(F.col("n_removed_words"), F.lit(0)).alias("n_removed_words"),
         F.array_join(F.filter(marked, lambda x: x.isNotNull()), " ").alias("clean_text"),
     )
+
+
+def merged_spans(hits_sorted: "F.Column", w: int = _SUBPASS_W) -> "F.Column":
+    """Gaps-and-islands span merge as a single array fold, for
+    contexts where window functions are unavailable (a streaming
+    aggregation's post-agg projection): given the SORTED hit window
+    positions of one doc, the maximal merged spans
+    array<struct<s:long,e:long>>. A hit at widx merges into the last
+    span when widx <= last.e (overlap or contiguity — positions are
+    ascending, so the last span always carries the running max end),
+    else opens a new span; identical semantics to the window-function
+    form in subpassage_rewrite, property-pinned against it."""
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        ext = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"), (x + w).cast("long").alias("e")
+                )
+            ),
+        )
+        new = F.concat(
+            acc,
+            F.array(
+                F.struct(x.cast("long").alias("s"), (x + w).cast("long").alias("e"))
+            ),
+        )
+        return F.when((F.size(acc) > 0) & (x <= last["e"]), ext).otherwise(new)
+
+    return F.aggregate(hits_sorted, empty, step)
 
 
 @query("subpassage_dedup_rewrite", oracle=_subpassage_oracle())
@@ -1205,30 +1306,40 @@ def subpassage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-word threshold.
 
     Device (suffix arrays don't distribute; this does): stride-1
-    16-word windows per doc (zip_with chain — the tokenizer split runs
-    w+1 times per ROW, never per element) → md5 digests with their
-    positions → one row_number window over the digest marks every
-    occurrence after the first as a hit → per-doc gaps-and-islands
-    merge of overlapping/contiguous hit windows into maximal spans →
-    the span list (tiny per doc) joins back and the rewrite drops
-    covered words JVM-side. A duplicated span of length L >= w is
-    exactly the union of its L-w+1 duplicated windows, so the merged
-    spans ARE the Lee et al. duplicated substrings at threshold w.
+    16-word window identities per doc (rolling_window_hashes — each
+    token xxhash64-ed ONCE, two 31-bit polynomial chains rolled over
+    the hash arrays, packed into one long; the r14 upgrade that
+    retired the per-window md5-of-concatenated-string, which
+    transiently materialized ~w× the corpus's char volume in the scan
+    stage — VERDICT r13 task 3) → hashes with their positions → one
+    row_number window over the hash marks every occurrence after the
+    first as a hit → per-doc gaps-and-islands merge of
+    overlapping/contiguous hit windows into maximal spans → the span
+    list (tiny per doc) joins back and the rewrite drops covered
+    words JVM-side. A duplicated span of length L >= w is exactly the
+    union of its L-w+1 duplicated windows, so the merged spans ARE
+    the Lee et al. duplicated substrings at threshold w. The DuckDB
+    oracle keeps md5-of-window-string — an INDEPENDENT implementation
+    of the same window-equality semantics (equal windows always
+    collide on both sides; distinct windows collide Spark-side with
+    odds ~2^-62 per pair — see rolling_window_hashes for the width
+    knob at extreme scale).
 
     Plan/scale — the one-text-shuffle discipline (plan-pinned in
-    tests/test_scale_plans.py): the decision pipeline shuffles digest
-    rows only — (doc_id, widx, md5), ~48 bytes — once on the digest
-    for first-occurrence ranking and once on doc_id for the island
-    merge; the corpus-side zip_with work happens in the scan stage,
-    and the per-doc span lists BROADCAST back to the rewrite join, so
-    the only text movement at fixture scale is spread()'s
-    pre-expansion repartition (a no-op once input splits >= cores).
-    In the no-broadcast sort-merge regime the rewrite join degrades
-    to the same single text shuffle passage_dedup_rewrite pays.
-    Stride-1 windows cost w digests per word — the price of exactness
-    at the w-word threshold (the published suffix-array approach is
-    single-node; this is the distributable equivalent); at 100 TB the
-    digest relation is bounded and spill-friendly, and w is the knob.
+    tests/test_scale_plans.py): the decision pipeline shuffles hash
+    rows only — (doc_id, widx, h), ~24 bytes (was ~48 with md5 hex) —
+    once on the hash for first-occurrence ranking and once on doc_id
+    for the island merge; the corpus-side rolling work happens in the
+    scan stage over long arrays, and the per-doc span lists BROADCAST
+    back to the rewrite join, so the only text movement at fixture
+    scale is spread()'s pre-expansion repartition (a no-op once input
+    splits >= cores). In the no-broadcast sort-merge regime the
+    rewrite join degrades to the same single text shuffle
+    passage_dedup_rewrite pays. Stride-1 windows cost w multiply-adds
+    per word per chain — the price of exactness at the w-word
+    threshold (the published suffix-array approach is single-node;
+    this is the distributable equivalent); at 100 TB the hash
+    relation is bounded and spill-friendly, and w is the knob.
 
     Non-vacuous organically: 23 fixture docs carry duplicated spans at
     sf0.01 (221 at sf0.1) — the planted near-dup documents share long

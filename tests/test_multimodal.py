@@ -394,6 +394,16 @@ def test_media_oracle_sql_matches_numpy_reference(sf_dir):
     )
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
 
+    # Fixture invariant the oracles latently assume (ADVICE r13): every
+    # document's text is non-empty ASCII. An empty payload makes the
+    # oracle's `% n` with n=0 NULL while numpy's np.resize(empty)->zeros
+    # gives 0.0, and a non-ASCII char makes the oracle's code-point
+    # length diverge from the UTF-8 byte count the mapInPandas path
+    # decodes. If the generator ever changes, fail HERE, loudly, not as
+    # a silent oracle gap.
+    assert (docs.text.str.len() > 0).all(), "media oracles assume non-empty text"
+    assert docs.text.map(lambda t: t.isascii()).all(), "media oracles assume ASCII text"
+
     ref_resize = {}
     ref_audio = {}
     for did, text in zip(docs.doc_id, docs.text):

@@ -807,6 +807,88 @@ def test_subpassage_rewrite_matches_reference(spark, docs, w):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25, unique=True),
+    st.integers(min_value=2, max_value=16),
+)
+def test_merged_spans_fold_matches_textbook_merge(spark, hits, w):
+    """The array-fold span merge (merged_spans — the streaming-safe
+    form window functions can't provide) == textbook interval merge of
+    [h, h+w) ranges, on random hit position sets."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import merged_spans
+
+    hits = sorted(hits)
+    df = spark.createDataFrame([(hits,)], "hits array<int>")
+    got = [
+        (s["s"], s["e"])
+        for s in df.select(merged_spans(F.col("hits"), w).alias("sp")).collect()[0]["sp"]
+    ]
+    ref = []
+    for h in hits:
+        if ref and h <= ref[-1][1]:
+            ref[-1][1] = h + w
+        else:
+            ref.append([h, h + w])
+    assert got == [tuple(r) for r in ref]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_rolling_hash_equality_pattern_matches_window_strings(spark, docs, n):
+    """The rolling-window device's whole contract: two positions get
+    the same 62-bit hash IFF their window strings are equal (tiny
+    vocab forces dense organic collisions; a polynomial-chain bug —
+    wrong base order, a dropped token, NULL-tail misalignment — shows
+    up as a pattern mismatch here before any oracle would see it)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.text import (
+        positional_windows,
+        rolled_window_hashes,
+        token_hashes,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        df.select("doc_id", positional_windows("text", n).alias("w"), token_hashes().alias("tv"))
+        .select("doc_id", "w", rolled_window_hashes(F.col("tv"), n).alias("h"))
+        .collect()
+    )
+    by_string: dict[str, int] = {}
+    hashes = set()
+    for r in out:
+        ws = r["w"] or []
+        hs = r["h"] or []
+        assert len(ws) == len(hs)
+        for s, h in zip(ws, hs):
+            assert by_string.setdefault(s, h) == h, "equal windows, different hash"
+            hashes.add(h)
+    assert len(hashes) == len(by_string), "distinct windows collided"
+
+
+def test_subpassage_oracle_nongate_bytes_pinned():
+    """The gate parameterization (r14) must never drift the long-green
+    batch oracle: _subpassage_oracle() is pinned to the md5 of the
+    exact string the r13 driver sweep hash-validated."""
+    import hashlib
+
+    from currency_etl_pipeline_spark.queries.llm_prep import _subpassage_oracle
+
+    digest = hashlib.md5(_subpassage_oracle().encode()).hexdigest()
+    assert digest == "253240a83b3de577599a3c76bec73210", digest
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     st.lists(st.sampled_from(["x", "y", "zz"]), min_size=0, max_size=20),
     st.integers(min_value=2, max_value=13),
 )

@@ -1144,6 +1144,11 @@ def test_subpassage_decisions_travel_as_digests(spark, sf_dir):
     df = SPECS["subpassage_dedup_rewrite"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+    # r14 rolling upgrade: window identities come from xxhash64-fed
+    # polynomial chains; no per-window md5 (and hence no materialized
+    # window string as its argument) may appear anywhere in the plan.
+    assert "xxhash64" in plan, "rolling token-hash device missing from the plan"
+    assert "md5" not in plan, "a per-window md5 (string materialization) is back"
     ex = _re.findall(
         r"\(\d+\) (Exchange|BroadcastExchange)[^\n]*\nInput \[[^\]]*\]: \[([^\]]+)\]",
         plan,

@@ -1225,3 +1225,26 @@ def test_memory_sink_view_dropped_even_when_detach_fails(spark, sf_dir, monkeypa
     after = {t.name for t in spark.catalog.listTables()}
     leaked = {n for n in after - before if n.startswith("stream_out_")}
     assert not leaked, f"failed drive leaked memory-sink views: {leaked}"
+
+
+def test_gate_queries_release_their_persisted_vocabularies(spark, sf_dir):
+    """The two streaming admission gates persist their static-side
+    vocabulary before start() (a stream-static join re-evaluates the
+    static plan per micro-batch — ADVICE r13) and MUST release it in
+    finally: a leaked cached vocabulary is session-lifetime executor
+    memory, the same failure class as the r12 memory-sink leak."""
+    from currency_etl_pipeline_spark.queries import all_queries
+
+    specs = all_queries()
+    sc = spark.sparkContext
+    for name in ("streaming_contamination_gate", "streaming_subpassage_gate"):
+        before = int(sc._jsc.getPersistentRDDs().size())
+        df = specs[name].spark(spark, sf_dir)
+        assert df.count() >= 0
+        after = int(sc._jsc.getPersistentRDDs().size())
+        # run_stream_to_memory's detach is an EAGER localCheckpoint,
+        # which itself registers exactly one persisted (checkpoint)
+        # block for the aggregate-sized result — that one is the
+        # device, not a leak. A leaked vocabulary would make the
+        # delta 2.
+        assert after - before <= 1, f"{name} leaked {after - before - 1} vocab RDD(s)"
