@@ -643,6 +643,86 @@ def _subpass_gate_oracle() -> str:
     return _subpassage_oracle(gate=True)
 
 
+def run_subpassage_gate(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    incoming_static: DataFrame,
+    w: int | None = None,
+) -> DataFrame:
+    """Core of `streaming_subpassage_gate`, reusable against any
+    docs stream (tests drive it with multi-file landed zones to pin
+    chunking invariance): ``stream_docs`` is the live (doc_id, text)
+    feed of incoming documents, ``corpus_docs`` the static
+    already-ingested corpus whose window vocabulary gates admission,
+    ``incoming_static`` a batch-side copy of the same incoming docs
+    for the rewrite join (a production service rewrites at write time
+    from the payload it already holds). Returns the
+    `_subpassage_oracle(gate=True)` report shape. See the query
+    docstring for the plan."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.queries.llm_prep import (
+        _SUBPASS_W,
+        _apply_spans,
+        merged_spans,
+    )
+    from currency_etl_pipeline_spark.queries.text import (
+        exploded,
+        rolled_window_hashes,
+        token_hashes,
+    )
+
+    w = _SUBPASS_W if w is None else w
+    trimmed = F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("text")
+    corpus = corpus_docs.select("doc_id", trimmed)
+    vocab = (
+        exploded(
+            corpus.select(token_hashes().alias("tv")),
+            [],
+            rolled_window_hashes(F.col("tv"), w),
+            "h",
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        vocab.count()  # materialize the corpus vocabulary once, pre-stream
+
+        incoming = stream_docs.select("doc_id", trimmed).select(
+            "doc_id", token_hashes().alias("tv")
+        )
+        kw = (
+            incoming.select(
+                "doc_id",
+                F.posexplode_outer(rolled_window_hashes(F.col("tv"), w)).alias(
+                    "widx", "h"
+                ),
+            )
+            .filter(F.col("h").isNotNull())
+        )
+        hits = kw.join(vocab, "h", "left_semi")
+        agg = hits.groupBy("doc_id").agg(F.collect_list("widx").alias("hit_widx"))
+        driven = run_stream_to_memory(
+            agg, spark, output_mode="complete", state_partitions=8
+        )
+    finally:
+        vocab.unpersist()
+
+    per_doc = driven.select(
+        "doc_id",
+        F.sort_array(merged_spans(F.sort_array(F.col("hit_widx")), w)).alias("spans"),
+    ).select(
+        "doc_id",
+        "spans",
+        F.size("spans").cast("long").alias("n_dup_spans"),
+        F.aggregate(
+            "spans", F.lit(0).cast("long"), lambda acc, s: acc + (s["e"] - s["s"])
+        ).alias("n_removed_words"),
+    )
+    return _apply_spans(incoming_static.select("doc_id", trimmed), per_doc)
+
+
 @query("streaming_subpassage_gate", oracle=_subpass_gate_oracle())
 def streaming_subpassage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING admission twin of `subpassage_dedup_rewrite` (r14,
@@ -676,86 +756,29 @@ def streaming_subpassage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from currency_etl_pipeline_spark.queries.llm_prep import (
-        _SUBPASS_W,
-        _apply_spans,
-        _split_expr,
-        merged_spans,
-    )
-    from currency_etl_pipeline_spark.queries.text import (
-        exploded,
-        rolled_window_hashes,
-        token_hashes,
-    )
+    from currency_etl_pipeline_spark.queries.llm_prep import _split_expr
     from currency_etl_pipeline_spark.tables import load_table, spread
 
-    w = _SUBPASS_W
     docs = load_table(spark, sf_dir, "documents")
     base = spread(docs.select("doc_id", "text")).select(
-        "doc_id",
-        _split_expr().alias("split"),
-        F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+        "doc_id", _split_expr().alias("split"), "text"
     )
-    vocab = (
-        exploded(
-            base.filter(F.col("split") == "train").select(token_hashes().alias("tv")),
-            [],
-            rolled_window_hashes(F.col("tv"), w),
-            "h",
-        )
-        .distinct()
-        .persist()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
-    try:
-        vocab.count()  # materialize the corpus vocabulary once, pre-stream
-
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
-        test = (
-            stream.select("doc_id", _split_expr().alias("split"), "text")
-            .filter(F.col("split") == "test")
-            .select(
-                "doc_id",
-                F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
-            )
-            .select("doc_id", token_hashes().alias("tv"))
-        )
-        kw = (
-            test.select(
-                "doc_id",
-                F.posexplode_outer(rolled_window_hashes(F.col("tv"), w)).alias(
-                    "widx", "h"
-                ),
-            )
-            .filter(F.col("h").isNotNull())
-        )
-        hits = kw.join(vocab, "h", "left_semi")
-        agg = hits.groupBy("doc_id").agg(F.collect_list("widx").alias("hit_widx"))
-        driven = run_stream_to_memory(
-            agg, spark, output_mode="complete", state_partitions=8
-        )
-    finally:
-        vocab.unpersist()
-
-    spans = F.sort_array(
-        merged_spans(F.sort_array(F.col("hit_widx")), w)
-    ).alias("spans")
-    per_doc = driven.select(
-        "doc_id",
-        spans,
-    ).select(
-        "doc_id",
-        "spans",
-        F.size("spans").cast("long").alias("n_dup_spans"),
-        F.aggregate(
-            "spans", F.lit(0).cast("long"), lambda acc, s: acc + (s["e"] - s["s"])
-        ).alias("n_removed_words"),
+    test_stream = (
+        stream.select("doc_id", _split_expr().alias("split"), "text")
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
     )
-    test_docs = base.filter(F.col("split") == "test").select("doc_id", "text")
-    return _apply_spans(test_docs, per_doc)
+    return run_subpassage_gate(
+        spark,
+        test_stream,
+        base.filter(F.col("split") == "train").select("doc_id", "text"),
+        base.filter(F.col("split") == "test").select("doc_id", "text"),
+    )
 
 
 _RAW_ZONE_ORACLE = """

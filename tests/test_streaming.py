@@ -1248,3 +1248,85 @@ def test_gate_queries_release_their_persisted_vocabularies(spark, sf_dir):
         # device, not a leak. A leaked vocabulary would make the
         # delta 2.
         assert after - before <= 1, f"{name} leaked {after - before - 1} vocab RDD(s)"
+
+
+def test_subpassage_gate_chunking_invariant_and_matches_textbook(spark, tmp_path):
+    """run_subpassage_gate must land on the identical per-doc report
+    however micro-batches slice the incoming feed (the per-doc hit
+    positions are collected across batches by a streaming agg), and
+    the report must equal a textbook single-node gate: positions i
+    whose w-window occurs in the corpus window set are covered; spans
+    are the islands; clean text drops covered words. Planted docs put
+    duplicated runs at non-aligned offsets and across file boundaries."""
+    import itertools
+
+    from currency_etl_pipeline_spark.queries.streaming_queries import (
+        run_subpassage_gate,
+    )
+
+    w = 4
+    corpus_texts = {
+        100: "the quick brown fox jumps over the lazy dog today",
+        101: "pack my box with five dozen liquor jugs now",
+    }
+    incoming_texts = {
+        1: "prefix words then quick brown fox jumps over and more tail words",
+        2: "box with five dozen liquor jugs now extra pack my box with five",
+        3: "completely novel content that shares nothing with the corpus at all",
+        4: "",
+    }
+    schema = "doc_id bigint, text string"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, item in enumerate(incoming_texts.items()):
+        spark.createDataFrame([item], schema).repartition(1).write.parquet(
+            str(feed / f"b{i}")
+        )
+    corpus = spark.createDataFrame(list(corpus_texts.items()), schema)
+    incoming_static = spark.createDataFrame(list(incoming_texts.items()), schema)
+
+    def drive(max_files: int):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(str(feed) + "/*")
+        )
+        out = run_subpassage_gate(spark, stream, corpus, incoming_static, w=w)
+        return {
+            r["doc_id"]: (
+                r["n_words"],
+                r["n_dup_spans"],
+                r["n_removed_words"],
+                r["clean_text"],
+            )
+            for r in out.collect()
+        }
+
+    # textbook reference
+    corpus_windows = set()
+    for t in corpus_texts.values():
+        ws = t.split()
+        for i in range(len(ws) - w + 1):
+            corpus_windows.add(tuple(ws[i : i + w]))
+    ref = {}
+    for d, t in incoming_texts.items():
+        ws = t.strip().split() if t.strip() else [""]
+        covered = set()
+        for i in range(len(ws) - w + 1):
+            if tuple(ws[i : i + w]) in corpus_windows:
+                covered.update(range(i, i + w))
+        spans = []
+        for p in sorted(covered):
+            if spans and p == spans[-1][1]:
+                spans[-1][1] = p + 1
+            elif not spans or p > spans[-1][1]:
+                spans.append([p, p + 1])
+        kept = [x for j, x in enumerate(ws) if j not in covered]
+        ref[d] = (len(ws), len(spans), len(covered), " ".join(kept))
+
+    one_shot = drive(4)
+    assert one_shot == ref, one_shot
+    assert any(v[1] > 0 for v in ref.values()) and any(
+        v[1] == 0 for v in ref.values()
+    ), "fixture must exercise both sides of the gate"
+    assert drive(1) == one_shot, "per-file micro-batches changed the report"
