@@ -1132,6 +1132,27 @@ def test_contamination13_split_filters_push_below_explode(spark, sf_dir):
     )
 
 
+def test_contamination_family_exchanges_are_digest_only(spark, sf_dir):
+    """The r14 rolling upgrade's scale claim for the contamination
+    template: every exchange in the inverted-index path carries 8-byte
+    gram longs (plus doc ids), never the text column — and the window
+    identities come from the xxhash64-fed rolling device, with no
+    per-window md5 (string materialization) anywhere in the plan."""
+    import re as _re
+
+    for name in ("contamination_13gram", "ngram_contamination"):
+        plan = plan_of(SPECS[name].spark(spark, sf_dir))
+        assert "xxhash64" in plan, f"{name}: rolling token-hash device missing"
+        ex = _re.findall(
+            r"\(\d+\) (?:Exchange|BroadcastExchange)[^\n]*\nInput \[[^\]]*\]: \[([^\]]+)\]",
+            plan,
+        )
+        gram_ex = [cols for cols in ex if _re.search(r"\bgram#\d+", cols)]
+        assert gram_ex, f"{name}: gram exchange not found (regex went vacuous)"
+        for cols in gram_ex:
+            assert "text#" not in cols, f"{name}: gram exchange carries text: {cols}"
+
+
 def test_subpassage_decisions_travel_as_digests(spark, sf_dir):
     """subpassage_dedup_rewrite's scale claim: the dedup decision
     pipeline shuffles (doc_id, widx, md5) digest rows only — no
