@@ -26,8 +26,9 @@ single sequence). Each entry is {"after": <queries completed>,
 "sec": <probe time>}; the cross-round per-query ratio convention is
 query_time / nearest-probe-time (the probe whose "after" is closest
 to the query's position in HEADLINE). The scalar ``calibration``
-(start-of-run probe, == series[0]) is kept for continuity with
-BENCH_r05..r13. See SURVEY.md §8.
+(warm start-of-run probe) is kept for continuity with BENCH_r05..r13;
+series entries are all measured warm=False so every position
+normalizes against the same methodology. See SURVEY.md §8.
 """
 
 from __future__ import annotations
@@ -328,7 +329,13 @@ def main() -> None:
     specs = all_queries()
 
     calibration = _timed(lambda: _calibration_df(spark, sf_dir))
-    series = [{"after": 0, "sec": calibration}]
+    # Every series entry uses the SAME methodology (warm=False min-of-2;
+    # the engine is warm after the scalar probe above) — mixing the
+    # warm=True scalar into the series would normalize early-position
+    # queries against a differently-measured anchor than later ones.
+    series = [
+        {"after": 0, "sec": _timed(lambda: _calibration_df(spark, sf_dir), warm=False)}
+    ]
 
     timings: dict[str, float] = {}
     for i, name in enumerate(HEADLINE, start=1):

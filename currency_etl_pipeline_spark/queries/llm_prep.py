@@ -30,7 +30,6 @@ from currency_etl_pipeline_spark.queries.registry import query
 from currency_etl_pipeline_spark.queries.text import (
     exploded,
     rolled_window_hashes,
-    rolling_window_hashes,
     shingles,
     token_hashes,
     tokens,
@@ -668,14 +667,17 @@ def _gram_digests_from(tv, n: int):
 
 
 def _gram_digests(n: int):
-    """Single-Column (inline) form of ``_gram_digests_from`` over the
-    ``text`` column. Kept so `decontaminated_train_split`'s r13-green
-    source stays byte-identical under the rolling upgrade (the r14
+    """The r13 window-digest device, UNCHANGED (md5 of shingle
+    strings): kept so `decontaminated_train_split` — whose green
+    CHECKED_HASHES row is evidence about exactly this behavior —
+    keeps both its source bytes AND its runtime semantics until it
+    re-enters the sweep with the rolling upgrade in r15 (the r14
     re-tier budget was spent on the contamination unification + the
-    subpassage/streaming edits); its two-step conversion is deferred
-    to r15. New consumers: pre-project token_hashes and use
+    subpassage/streaming edits; swapping only the helper would have
+    exploited _source_hash's documented helper blind spot). New
+    consumers: pre-project token_hashes and use
     `_gram_digests_from`."""
-    return F.array_distinct(rolling_window_hashes("text", n))
+    return F.transform(shingles(n=n), lambda x: F.md5(x))
 
 
 def _contamination_report(
@@ -800,8 +802,9 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram demonstrator. Per test-split document: how many distinct
     13-token windows it has, how many also occur anywhere in the train
     split, and the protocol's verdict bit (any collision →
-    contaminated). Windows travel as md5 digests end to end (~32 bytes
-    vs ~90 for the window string), which is also what makes the
+    contaminated). Windows travel as fixed-width digests end to end —
+    8-byte rolling-hash longs since r14 (~90 bytes for the window
+    string, 32 for the r13 md5 hex) — which is what makes the
     protocol cheap at 100 TB: the train-side distinct vocabulary and
     the inverted-index equi-join shuffle fixed-width keys, never text.
 

@@ -55,13 +55,23 @@ def median(xs: list[float]) -> float:
 
 
 def main() -> None:
+    import math
+
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     old = json.load(open(old_path))
     new = json.load(open(new_path))
+    p_old, p_new = nearest_probe(old), nearest_probe(new)
     c_old, c_new = calibrated(old), calibrated(new)
     shared = sorted(set(c_old) & set(c_new))
-    ratios = {n: c_new[n] / c_old[n] for n in shared if c_old[n]}
+    # math.isfinite also rejects the NaN calibrated() returns for a
+    # zero-second probe (NaN is truthy, a bare `if c_old[n]` keeps it
+    # and poisons the median).
+    ratios = {
+        n: c_new[n] / c_old[n]
+        for n in shared
+        if math.isfinite(c_old[n]) and math.isfinite(c_new[n]) and c_old[n] > 0
+    }
     print(
         json.dumps(
             {
@@ -81,8 +91,8 @@ def main() -> None:
     for name, r in worst:
         print(
             f"{r:6.2f}x  {name}  old={old['queries'][name]:.2f}s/"
-            f"cal{nearest_probe(old)[name]:.2f}  new={new['queries'][name]:.2f}s/"
-            f"cal{nearest_probe(new)[name]:.2f}"
+            f"cal{p_old[name]:.2f}  new={new['queries'][name]:.2f}s/"
+            f"cal{p_new[name]:.2f}"
         )
     best = sorted(ratios.items(), key=lambda kv: kv[1])[:top_n]
     print("-- biggest improvements --")
