@@ -29,6 +29,19 @@ to the query's position in HEADLINE). The scalar ``calibration``
 (warm start-of-run probe) is kept for continuity with BENCH_r05..r13;
 series entries are all measured warm=False so every position
 normalizes against the same methodology. See SURVEY.md §8.
+
+Round 15 adds two streaming-specific instruments (VERDICT r14 tasks
+1/7 — the r14 driver record carried a 3-row streaming spike cluster,
+worst 27.98 s vs 1.47 s builder same-code, sitting BETWEEN flat
+probes; a stall shorter than the 10-query cadence was invisible):
+  * an extra calibration probe immediately after EVERY streaming_*
+    query, so each streaming drive is bracketed by probes and a
+    sub-cadence host stall can no longer hide between them;
+  * ``stream_epochs`` — {query: [triggerExecution ms, ...]} per-
+    micro-batch durations across that query's three builds (warm +
+    2 timed), captured by a StreamingQueryListener. Streaming wall
+    time is protocol-dominated (micro-batch drive loops), so a host
+    stall shows up as one fat epoch, not an unexplained total.
 """
 
 from __future__ import annotations
@@ -305,6 +318,45 @@ def _calibration_df(spark, sf_dir: str):
     )
 
 
+def _make_epoch_listener():
+    """StreamingQueryListener collecting per-micro-batch trigger
+    durations (ms). ``drain()`` empties the buffer so the bench loop
+    can attribute epochs to the query it just timed — every drive in
+    the catalog runs synchronously inside the query callable
+    (processAllAvailable/awaitTermination before return), so all
+    events for a query are delivered before its build returns.
+    Lazily defined: importing bench (tools/analyze_bench pulls
+    HEADLINE) must not require a Spark runtime."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _EpochListener(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.epochs_ms: list[int] = []
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802 (listener API)
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            try:
+                ms = dict(event.progress.durationMs).get("triggerExecution")
+                if ms is not None:
+                    self.epochs_ms.append(int(ms))
+            except Exception:  # noqa: BLE001 — never let telemetry kill the bench
+                pass
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+        def drain(self) -> list[int]:
+            out, self.epochs_ms = self.epochs_ms, []
+            return out
+
+    return _EpochListener()
+
+
 def _timed(build, warm: bool = True) -> float:
     if warm:
         build().write.format("noop").mode("overwrite").save()
@@ -328,6 +380,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
+    listener = None
+    try:
+        listener = _make_epoch_listener()
+        spark.streams.addListener(listener)
+    except Exception:  # noqa: BLE001 — telemetry only; bench must still run
+        listener = None
+
     calibration = _timed(lambda: _calibration_df(spark, sf_dir))
     # Every series entry uses the SAME methodology (warm=False min-of-2;
     # the engine is warm after the scalar probe above) — mixing the
@@ -338,9 +397,17 @@ def main() -> None:
     ]
 
     timings: dict[str, float] = {}
+    stream_epochs: dict[str, list[int]] = {}
     for i, name in enumerate(HEADLINE, start=1):
+        if listener is not None:
+            listener.drain()  # attribute epochs to THIS query only
         timings[name] = _timed(lambda: specs[name].spark(spark, sf_dir))
-        if i % PROBE_EVERY == 0:
+        # Probe at the fixed cadence AND after every streaming drive:
+        # streaming wall time is micro-batch protocol, exactly where a
+        # sub-cadence host stall hides (r14: a 3-row spike cluster sat
+        # between flat probes 10 positions apart). Bracketing every
+        # streaming row makes stall adjudication arithmetic.
+        if i % PROBE_EVERY == 0 or name.startswith("streaming_"):
             series.append(
                 {
                     "after": i,
@@ -349,6 +416,14 @@ def main() -> None:
                     ),
                 }
             )
+        if listener is not None:
+            # Drained AFTER the probe: listener delivery is async, and
+            # the last drive's event can trail the build by a few ms —
+            # the probe's ~1s of batch work absorbs the lag (batch jobs
+            # emit no streaming events, so attribution stays exact).
+            eps = listener.drain()
+            if eps:
+                stream_epochs[name] = eps
     if series[-1]["after"] != len(HEADLINE):
         series.append(
             {
@@ -365,6 +440,7 @@ def main() -> None:
         "queries": timings,
         "calibration": calibration,
         "calibration_series": series,
+        "stream_epochs": stream_epochs,
         "sf": sf,
     }
     _persist(result)

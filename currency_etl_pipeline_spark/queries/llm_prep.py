@@ -628,7 +628,9 @@ def _grams_duck(n: int, digest: bool = False) -> str:
     bigram and 13-gram strings were hand-expanded copies whose slice
     bounds could silently desync). 1-based inclusive slice: i..i+n-1
     is n tokens. ``digest=True`` wraps each window in md5 — the
-    _gram_digests twin. text.py's _SHINGLES_DUCK (n=3, whitespace
+    oracle twin of _gram_digests_from (an independent implementation
+    of the same window-equality semantics — see its docstring).
+    text.py's _SHINGLES_DUCK (n=3, whitespace
     formatting predating this helper) is intentionally NOT rebuilt on
     it: regenerating that string would change the embedded SQL of
     long-green oracles byte-wise and re-tier them for no behavior
@@ -660,24 +662,12 @@ def _gram_digests_from(tv, n: int):
     instead of a 32-char hex digest; the DuckDB oracles keep md5
     window strings as an independent implementation of the same
     window-equality semantics, valid because equal windows always hash
-    equal and the reports never expose a digest). ``tv`` must be an
+    equal and the reports never expose a digest. r15: the last md5
+    consumer, `decontaminated_train_split`, moved here and the legacy
+    `_gram_digests` wrapper is gone). ``tv`` must be an
     attribute reference to an already-projected token_hashes() alias —
     see its docstring for why inline re-hashes n-fold."""
     return F.array_distinct(rolled_window_hashes(tv, n))
-
-
-def _gram_digests(n: int):
-    """The r13 window-digest device, UNCHANGED (md5 of shingle
-    strings): kept so `decontaminated_train_split` — whose green
-    CHECKED_HASHES row is evidence about exactly this behavior —
-    keeps both its source bytes AND its runtime semantics until it
-    re-enters the sweep with the rolling upgrade in r15 (the r14
-    re-tier budget was spent on the contamination unification + the
-    subpassage/streaming edits; swapping only the helper would have
-    exploited _source_hash's documented helper blind spot). New
-    consumers: pre-project token_hashes and use
-    `_gram_digests_from`."""
-    return F.transform(shingles(n=n), lambda x: F.md5(x))
 
 
 def _contamination_report(
@@ -1309,7 +1299,7 @@ def subpassage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-word threshold.
 
     Device (suffix arrays don't distribute; this does): stride-1
-    16-word window identities per doc (rolling_window_hashes — each
+    16-word window identities per doc (rolled_window_hashes — each
     token xxhash64-ed ONCE, two 31-bit polynomial chains rolled over
     the hash arrays, packed into one long; the r14 upgrade that
     retired the per-window md5-of-concatenated-string, which
@@ -1325,7 +1315,7 @@ def subpassage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps md5-of-window-string — an INDEPENDENT implementation
     of the same window-equality semantics (equal windows always
     collide on both sides; distinct windows collide Spark-side with
-    odds ~2^-62 per pair — see rolling_window_hashes for the width
+    odds ~2^-62 per pair — see rolled_window_hashes for the width
     knob at extreme scale).
 
     Plan/scale — the one-text-shuffle discipline (plan-pinned in
@@ -2518,20 +2508,28 @@ def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: the split is a pure doc_id hash so each branch's
     predicate pushes below its explode (contamination_13gram's
-    pushdown argument); eval 13-gram digests collapse to a distinct
-    vocabulary; contaminated train doc_ids come from a LEFT SEMI join
-    on gram (only 32-char md5 digests shuffle, never text or window
-    strings) and land as a narrow distinct id set; the final LEFT join
-    marks drops against the train docs and aggregates per lang with
-    map-side partials. At 100 TB every shuffle carries ids or digests
-    — the widest row is fixed-width.
+    pushdown argument); eval 13-gram window identities are rolling-hash
+    longs (r15 — the family's last md5-of-shingle-string consumer moved
+    onto the `_gram_digests_from` device: no window string is ever
+    materialized and the inverted-index shuffle carries 8-byte longs,
+    not 32-char hex) collapsed to a distinct vocabulary; contaminated
+    train doc_ids come from a LEFT SEMI join on gram and land as a
+    narrow distinct id set; the final LEFT join marks drops against the
+    train docs and aggregates per lang with map-side partials. Both
+    branches prune to exactly the columns they touch: the gram branch
+    never computes n_tokens, the train branch never tokenizes. At
+    100 TB every shuffle carries ids or 8-byte window identities — the
+    widest row is fixed-width. The DuckDB oracle keeps md5 window
+    strings (an independent implementation of window equality — equal
+    windows always hash equal on both sides).
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     t = docs.select(
-        "doc_id", "lang", _split_expr().alias("split"), "text",
+        "doc_id", "lang", _split_expr().alias("split"),
+        token_hashes().alias("tv"),
         F.when(F.col("text").isNotNull(), F.size(tokens())).otherwise(0).alias("n_tokens"),
     )
-    sh = exploded(t, ["doc_id", "split"], _gram_digests(13), "gram")
+    sh = exploded(t, ["doc_id", "split"], _gram_digests_from(F.col("tv"), 13), "gram")
     eval_grams = sh.filter(F.col("split") != "train").select("gram").distinct()
     bad = (
         sh.filter(F.col("split") == "train")

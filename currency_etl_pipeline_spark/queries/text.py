@@ -134,15 +134,6 @@ def rolled_window_hashes(tv: Column, n: int) -> Column:
     return F.filter(packed, lambda x: x.isNotNull())
 
 
-def rolling_window_hashes(col: str = "text", n: int = 3) -> Column:
-    """Single-Column convenience form of token_hashes +
-    rolled_window_hashes, for expression-only contexts. Anywhere a
-    consumer controls its own selects, pre-project token_hashes
-    instead (see its docstring — the inline form re-hashes the text
-    once per chain reference)."""
-    return rolled_window_hashes(token_hashes(col), n)
-
-
 def exploded(df: DataFrame, keep: list, arr: Column, out: str) -> DataFrame:
     """Explode an expensive computed array without the
     InferFiltersFromGenerate trap.

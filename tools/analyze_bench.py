@@ -7,8 +7,23 @@ adjudication that consumed rounds 10-13 into arithmetic: a row is
 noise when its nearest-probe ratio is flat across records whose raw
 probes differ.
 
-Usage: python tools/analyze_bench.py OLD.json NEW.json [top_n]
-Prints medians and the top_n rows by calibrated ratio (NEW vs OLD).
+Usage: python tools/analyze_bench.py OLD.json NEW.json [top_n] [--json OUT]
+Prints ONE machine-readable verdict line (r15, VERDICT r14 task 4 —
+the round summary must be reproducible by running this tool, not
+hand-synthesized): shared-row nearest-probe median, every >=2x row
+with its HEADLINE position and an adjudication flag, totals, scalars.
+``--json OUT`` additionally writes the verdict to OUT (the per-round
+bench_results/rNN_analysis.json artifact). The human-readable top-N
+ratio lists follow on stderr-style plain lines.
+
+Adjudication flag per >=2x row (arithmetic, no narrative):
+  host_elevated — a NEW-record probe bracketing the row's position
+      read >=1.5x its OLD-record counterpart: the fixed probe itself
+      slowed, so the row's inflation is host noise by construction.
+  unresolved — both bracketing probes flat (<1.5x): the spike is NOT
+      explained by the probe series and needs an in-sequence twin
+      (the r14 streaming cluster shape). These rows are the round's
+      real follow-up list.
 """
 
 from __future__ import annotations
@@ -20,6 +35,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # noqa: E402  (position source — dicts on disk are alphabetized)
+
+
+def load_record(path: str) -> dict:
+    """Read a bench record, unwrapping the driver's envelope: the
+    BENCH_rNN.json files the driver commits wrap bench.py's stdout
+    line under "parsed"; the builder's bench_results/rNN.json files
+    are the raw object."""
+    rec = json.load(open(path))
+    if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+        rec = rec["parsed"]
+    if "queries" not in rec:
+        raise SystemExit(
+            f"{path}: no usable bench record (driver BENCH_r files with"
+            " parsed=null keep only a truncated stdout tail — use the"
+            " full bench_results/rNN.json artifact instead)"
+        )
+    return rec
 
 
 def nearest_probe(record: dict) -> dict[str, float]:
@@ -54,14 +86,64 @@ def median(xs: list[float]) -> float:
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
-def main() -> None:
+def _bracket_probes(record: dict, pos: int) -> tuple[dict | None, dict | None]:
+    """The series probes immediately before (after <= pos) and after
+    (after >= pos) a HEADLINE position; None when the record has no
+    series (r13 and older)."""
+    series = record.get("calibration_series")
+    if not series:
+        return None, None
+    before = [e for e in series if e["after"] <= pos]
+    after = [e for e in series if e["after"] >= pos]
+    return (
+        max(before, key=lambda e: e["after"]) if before else None,
+        min(after, key=lambda e: e["after"]) if after else None,
+    )
+
+
+def spike_rows(old: dict, new: dict, ratios: dict[str, float], threshold: float = 2.0):
+    """Every >=threshold calibrated-ratio row, flagged arithmetically:
+    host_elevated when a NEW bracketing probe reads >=1.5x its OLD
+    counterpart at the same bracket side, else unresolved."""
+    pos = {name: i + 1 for i, name in enumerate(HEADLINE)}
+    out = []
+    for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        if r < threshold:
+            continue
+        p = pos.get(name, -1)
+        ob, oa = _bracket_probes(old, p)
+        nb, na = _bracket_probes(new, p)
+        probe_ratios = []
+        for o, n in ((ob, nb), (oa, na)):
+            if o and n and o["sec"] > 0:
+                probe_ratios.append(round(n["sec"] / o["sec"], 2))
+        flag = (
+            "host_elevated"
+            if any(pr >= 1.5 for pr in probe_ratios)
+            else ("unresolved" if probe_ratios else "no_series")
+        )
+        row = {
+            "name": name,
+            "position": p,
+            "ratio": round(r, 2),
+            "old_sec": old["queries"][name],
+            "new_sec": new["queries"][name],
+            "bracket_probe_ratios": probe_ratios,
+            "flag": flag,
+        }
+        for key, rec in (("old_epochs_ms", old), ("new_epochs_ms", new)):
+            eps = rec.get("stream_epochs", {}).get(name)
+            if eps:
+                row[key] = eps
+        out.append(row)
+    return out
+
+
+def verdict(old_path: str, new_path: str) -> dict:
     import math
 
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
-    p_old, p_new = nearest_probe(old), nearest_probe(new)
+    old = load_record(old_path)
+    new = load_record(new_path)
     c_old, c_new = calibrated(old), calibrated(new)
     shared = sorted(set(c_old) & set(c_new))
     # math.isfinite also rejects the NaN calibrated() returns for a
@@ -72,21 +154,42 @@ def main() -> None:
         for n in shared
         if math.isfinite(c_old[n]) and math.isfinite(c_new[n]) and c_old[n] > 0
     }
-    print(
-        json.dumps(
-            {
-                "old": os.path.basename(old_path),
-                "new": os.path.basename(new_path),
-                "old_total_raw": old["value"],
-                "new_total_raw": new["value"],
-                "old_cal_scalar": old["calibration"],
-                "new_cal_scalar": new["calibration"],
-                "shared_rows": len(shared),
-                "median_calibrated_ratio": round(median(list(ratios.values())), 3),
-                "new_only": sorted(set(c_new) - set(c_old)),
-            }
-        )
-    )
+    spikes = spike_rows(old, new, ratios)
+    return {
+        "old": os.path.basename(old_path),
+        "new": os.path.basename(new_path),
+        "old_total_raw": old["value"],
+        "new_total_raw": new["value"],
+        "old_cal_scalar": old["calibration"],
+        "new_cal_scalar": new["calibration"],
+        "shared_rows": len(shared),
+        "median_calibrated_ratio": round(median(list(ratios.values())), 3),
+        "spike_rows_ge_2x": spikes,
+        "unresolved_count": sum(1 for s in spikes if s["flag"] == "unresolved"),
+        "new_only": sorted(set(c_new) - set(c_old)),
+        "_ratios": ratios,  # stripped before emission; reused by main()
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    out_path = None
+    if "--json" in sys.argv:
+        i = sys.argv.index("--json")
+        out_path = sys.argv[i + 1]
+        args = [a for a in sys.argv[1:] if a not in ("--json", out_path)]
+    old_path, new_path = args[0], args[1]
+    top_n = int(args[2]) if len(args) > 2 else 15
+    old = load_record(old_path)
+    new = load_record(new_path)
+    p_old, p_new = nearest_probe(old), nearest_probe(new)
+    v = verdict(old_path, new_path)
+    ratios = v.pop("_ratios")
+    print(json.dumps(v))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(v, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:top_n]
     for name, r in worst:
         print(
