@@ -303,6 +303,10 @@ HEADLINE = [
     # r14 addition (appended; prior rows byte-identical): the streaming
     # admission twin of the ExactSubstr sub-passage dedup.
     "streaming_subpassage_gate",
+    # r15 addition (appended; prior rows byte-identical): the
+    # production-mode (append, watermark-evicted) twin of the sliding
+    # window aggregation.
+    "streaming_sliding_counts_append",
 ]
 
 

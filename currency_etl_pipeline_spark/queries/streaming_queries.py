@@ -66,6 +66,79 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, spark, output_mode="complete")
 
 
+@query(
+    "streaming_sliding_counts_append",
+    # Finality predicate: a (2 h, 1 h slide) window is emitted in
+    # append mode iff the final watermark (max event time - 30 min,
+    # reached after the engine's no-data flush batch) has passed its
+    # END. ws + 2h vs wm never ties on this fixture (window ends are
+    # exact hours, max ts carries seconds), so the emitted set is
+    # deterministic at every sf regardless of <=-vs-< eviction
+    # strictness.
+    oracle="""
+    WITH mx AS (
+        SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events
+    ), w AS (
+        SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type, "value"
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM w, mx
+    WHERE ws + INTERVAL 2 HOUR <= mx.wm
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-mode twin of ``streaming_sliding_counts`` (r15):
+    the same sliding-window plan driven in APPEND mode, where the
+    30-minute watermark actually evicts state — each window is
+    emitted exactly once, when the watermark passes its end, and the
+    trailing not-yet-final windows are withheld. This is the mode the
+    plan runs in at stream scale (state is O(active windows ×
+    event types), independent of stream length); the complete-mode
+    sibling retains ALL window state and exists for whole-history
+    oracle parity. Pinning both modes hash-checked closes the gap the
+    r14 review flagged: the scale-correctness claim ("watermark-
+    evicted state in production") was a docstring, not a verified
+    result.
+
+    Determinism: for a static fixture the emitted set is a pure
+    function of the data — after the last data batch the watermark is
+    max(ts) - 30 min, and Structured Streaming's no-data flush batch
+    (spark.sql.streaming.noDataMicroBatches.enabled, default true)
+    finalizes every window whose end it passed; one
+    processAllAvailable covers it (verified: identical result on
+    repeated drives). The oracle applies the same finality predicate
+    in batch SQL. Late-data semantics beyond eviction are exercised
+    in tests/test_streaming.py, not here — the fixture file arrives
+    as one batch, so nothing is late relative to the final watermark.
+    """
+    from pyspark.sql import functions as F
+
+    from currency_etl_pipeline_spark.functions.scalars import dec
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="append")
+
+
 def streaming_window_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches inside STATEFUL streaming: per tumbling hour and event
     type, the HyperLogLog++ distinct-user estimate computed on a live
