@@ -1330,3 +1330,39 @@ def test_subpassage_gate_chunking_invariant_and_matches_textbook(spark, tmp_path
         v[1] == 0 for v in ref.values()
     ), "fixture must exercise both sides of the gate"
     assert drive(1) == one_shot, "per-file micro-batches changed the report"
+
+
+def test_append_mode_sliding_counts_is_finalized_prefix_of_complete(spark, sf_dir):
+    """Cross-mode engine-semantics pin for the r15 append-mode twin,
+    independent of the DuckDB oracle: the append-mode result must equal
+    the complete-mode result restricted to FINALIZED windows (end <=
+    max event time - the 30-minute watermark delay), and the withheld
+    tail must be non-empty (the fixture's last events always sit inside
+    an open window). Guards the finality predicate the oracle encodes:
+    if eviction strictness or the no-data flush batch ever changed,
+    this comparison breaks before the driver's hash does."""
+    from currency_etl_pipeline_spark.queries.streaming_queries import (
+        streaming_sliding_counts,
+        streaming_sliding_counts_append,
+    )
+
+    complete = streaming_sliding_counts(spark, sf_dir)
+    append = streaming_sliding_counts_append(spark, sf_dir)
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=30)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+
+    def finalized(row):
+        start = datetime.datetime.strptime(row["window_start"], "%Y-%m-%d %H:%M:%S")
+        return start + datetime.timedelta(hours=2) <= wm
+
+    complete_collected = complete.collect()
+    expected = sorted(
+        tuple(r[c] for c in cols) for r in complete_collected if finalized(r)
+    )
+    got = sorted(tuple(r[c] for c in cols) for r in append.collect())
+    assert got == expected
+    assert len(complete_collected) > len(expected), "append mode must withhold the open tail"
