@@ -2517,7 +2517,9 @@ def decontaminated_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow distinct id set; the final LEFT join marks drops against the
     train docs and aggregates per lang with map-side partials. Both
     branches prune to exactly the columns they touch: the gram branch
-    never computes n_tokens, the train branch never tokenizes. At
+    never computes n_tokens, and the train branch tokenizes only to
+    COUNT (Catalyst prunes the tv column, so it never hashes or rolls
+    windows). At
     100 TB every shuffle carries ids or 8-byte window identities — the
     widest row is fixed-width. The DuckDB oracle keeps md5 window
     strings (an independent implementation of window equality — equal

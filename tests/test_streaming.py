@@ -1349,10 +1349,22 @@ def test_append_mode_sliding_counts_is_finalized_prefix_of_complete(spark, sf_di
     complete = streaming_sliding_counts(spark, sf_dir)
     append = streaming_sliding_counts_append(spark, sf_dir)
 
-    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # Render the watermark under the SESSION timezone (UTC), same as
+    # the queries' date_format window_start strings: a collected
+    # TimestampType is a naive datetime in the DRIVER's local zone,
+    # which diverges from the session zone on any non-UTC host.
+    wm_str = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.date_format(
+                F.max("ts") - F.expr("INTERVAL 30 MINUTES"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("wm")
+        )
+        .collect()[0]["wm"]
+    )
     import datetime
 
-    wm = max_ts - datetime.timedelta(minutes=30)
+    wm = datetime.datetime.strptime(wm_str, "%Y-%m-%d %H:%M:%S")
     cols = ["window_start", "event_type", "n_events", "sum_value"]
 
     def finalized(row):

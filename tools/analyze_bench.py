@@ -139,11 +139,11 @@ def spike_rows(old: dict, new: dict, ratios: dict[str, float], threshold: float 
     return out
 
 
-def verdict(old_path: str, new_path: str) -> dict:
+def verdict(old: dict, new: dict, old_name: str, new_name: str) -> tuple[dict, dict]:
+    """(machine-readable verdict, per-row calibrated ratios) for two
+    already-loaded bench records."""
     import math
 
-    old = load_record(old_path)
-    new = load_record(new_path)
     c_old, c_new = calibrated(old), calibrated(new)
     shared = sorted(set(c_old) & set(c_new))
     # math.isfinite also rejects the NaN calibrated() returns for a
@@ -156,8 +156,8 @@ def verdict(old_path: str, new_path: str) -> dict:
     }
     spikes = spike_rows(old, new, ratios)
     return {
-        "old": os.path.basename(old_path),
-        "new": os.path.basename(new_path),
+        "old": old_name,
+        "new": new_name,
         "old_total_raw": old["value"],
         "new_total_raw": new["value"],
         "old_cal_scalar": old["calibration"],
@@ -167,24 +167,28 @@ def verdict(old_path: str, new_path: str) -> dict:
         "spike_rows_ge_2x": spikes,
         "unresolved_count": sum(1 for s in spikes if s["flag"] == "unresolved"),
         "new_only": sorted(set(c_new) - set(c_old)),
-        "_ratios": ratios,  # stripped before emission; reused by main()
-    }
+    }, ratios
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--json"]
+    argv = list(sys.argv[1:])
     out_path = None
-    if "--json" in sys.argv:
-        i = sys.argv.index("--json")
-        out_path = sys.argv[i + 1]
-        args = [a for a in sys.argv[1:] if a not in ("--json", out_path)]
-    old_path, new_path = args[0], args[1]
-    top_n = int(args[2]) if len(args) > 2 else 15
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output path")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]  # remove exactly the flag and ITS value
+    if len(argv) < 2:
+        raise SystemExit(__doc__)
+    old_path, new_path = argv[0], argv[1]
+    top_n = int(argv[2]) if len(argv) > 2 else 15
     old = load_record(old_path)
     new = load_record(new_path)
     p_old, p_new = nearest_probe(old), nearest_probe(new)
-    v = verdict(old_path, new_path)
-    ratios = v.pop("_ratios")
+    v, ratios = verdict(
+        old, new, os.path.basename(old_path), os.path.basename(new_path)
+    )
     print(json.dumps(v))
     if out_path:
         with open(out_path, "w") as fh:

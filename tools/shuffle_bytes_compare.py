@@ -41,13 +41,27 @@ def _stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
     return {(r["stageId"], r["attemptId"]): r for r in rows}
 
 
+def _settled_stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
+    """Snapshot the completed-stage set once it stops growing: the
+    status store is updated asynchronously, so an immediate read can
+    miss trailing stages of the PREVIOUS run (polluting the next run's
+    before/after diff) or of the run just measured."""
+    prev = _stages(ui, app_id)
+    for _ in range(20):
+        time.sleep(0.5)
+        cur = _stages(ui, app_id)
+        if len(cur) == len(prev):
+            return cur
+        prev = cur
+    return prev
+
+
 def _run_and_measure(ui: str, app_id: str, build) -> dict:
-    before = _stages(ui, app_id)
+    before = _settled_stages(ui, app_id)
     t0 = time.perf_counter()
     build().write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
-    time.sleep(1.0)  # the status store is updated asynchronously
-    after = _stages(ui, app_id)
+    after = _settled_stages(ui, app_id)
     new = [v for k, v in after.items() if k not in before]
     return {
         "sec": round(wall, 3),
