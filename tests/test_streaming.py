@@ -1378,3 +1378,56 @@ def test_append_mode_sliding_counts_is_finalized_prefix_of_complete(spark, sf_di
     got = sorted(tuple(r[c] for c in cols) for r in append.collect())
     assert got == expected
     assert len(complete_collected) > len(expected), "append mode must withhold the open tail"
+
+
+def test_append_mode_drops_late_rows_and_never_resurrects_windows(
+    spark, sf_dir, chunked_events_dir
+):
+    """Adversarial-arrival pin for the append-mode sliding counts: the
+    same aggregation driven over 3 full-time-range chunks
+    (maxFilesPerTrigger=1 — batches 1 and 2 are mostly LATE relative
+    to the watermark batch 0 established). Exactly-once emission
+    semantics under that arrival: every emitted window appeared in the
+    one-shot run's finalized set with an equal-or-smaller count (late
+    rows are dropped, never double-counted), no finalized window is
+    re-emitted, and the fixture actually exercises lateness (at least
+    one window shrank). The one-shot == oracle equality lives in the
+    registered query; this pins what happens when arrival order is
+    hostile, which the single-batch fixture cannot show."""
+    from currency_etl_pipeline_spark.queries.streaming_queries import (
+        streaming_sliding_counts_append,
+    )
+
+    one_shot = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in streaming_sliding_counts_append(spark, sf_dir).collect()
+    }
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_events_dir + "/chunk=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    rows = run_stream_to_memory(agg, spark, output_mode="append").collect()
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "a finalized window was emitted twice"
+    chunked = {k: r["n_events"] for k, r in zip(keys, rows)}
+
+    assert set(chunked) <= set(one_shot), "append emitted a never-finalized window"
+    assert all(chunked[k] <= one_shot[k] for k in chunked), "late rows double-counted"
+    assert any(chunked[k] < one_shot[k] for k in chunked), (
+        "fixture failed to exercise late-data drops"
+    )
