@@ -43,6 +43,13 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. In production the same plan runs in append/update mode,
     where the 30-min watermark does evict expired windows and state is
     O(active windows × types), independent of stream length.
+
+    Drive cost (r15 optimization): the fixture drive runs under 8
+    state partitions (the r9 interval-join trim, extended to every
+    JVM-stateful drive) — 32 state stores per micro-batch are pure
+    per-epoch commit protocol at fixture scale; interleaved min-of-3
+    at sf0.1 read 1.36 s → 1.02 s. Results are partitioning-invariant
+    (pinned catalog-wide); production sizes state partitions by rate.
     """
     from pyspark.sql import functions as F
 
@@ -63,7 +70,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -116,6 +123,10 @@ def streaming_sliding_counts_append(spark: SparkSession, sf_dir: str) -> DataFra
     in batch SQL. Late-data semantics beyond eviction are exercised
     in tests/test_streaming.py, not here — the fixture file arrives
     as one batch, so nothing is late relative to the final watermark.
+
+    Drive cost (r15 optimization): 8 state partitions for the fixture
+    drive (see the complete-mode sibling); interleaved min-of-3 at
+    sf0.1 read 2.01 s → 1.44 s, results partitioning-invariant.
     """
     from pyspark.sql import functions as F
 
@@ -136,7 +147,7 @@ def streaming_sliding_counts_append(spark: SparkSession, sf_dir: str) -> DataFra
             "sum_value",
         )
     )
-    return run_stream_to_memory(agg, spark, output_mode="append")
+    return run_stream_to_memory(agg, spark, output_mode="append", state_partitions=8)
 
 
 def streaming_window_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +181,7 @@ def streaming_window_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users",
         )
     )
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -209,7 +220,11 @@ def streaming_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame
     zone (+05:30/+05:45) the formatted keys would end :30/:45 vs :00
     and nothing would join. Null-ts rows are filtered symmetrically on
     both sides and in the oracle (a streaming event-time aggregation
-    can never observe them; the batch sides must not either)."""
+    can never observe them; the batch sides must not either).
+
+    Drive cost (r15 optimization): the sketch drive runs under 8 state
+    partitions (streaming_window_user_sketch; interleaved min-of-3 at
+    sf0.1 read 2.47 s → 2.01 s, results partitioning-invariant)."""
     from pyspark.sql import functions as F
 
     from currency_etl_pipeline_spark.tables import load_table
@@ -312,7 +327,9 @@ def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+    # r15: 8 state partitions for the fixture drive (min-of-3 at sf0.1
+    # 1.34 s -> 0.91 s; results partitioning-invariant).
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -429,7 +446,9 @@ def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", ts_str("ts").alias("ts_utc"), "value")
     )
-    return run_stream_to_memory(deduped, spark, output_mode="append")
+    # r15: 8 state partitions for the fixture drive (min-of-3 at sf0.1
+    # 1.52 s -> 1.27 s; results partitioning-invariant).
+    return run_stream_to_memory(deduped, spark, output_mode="append", state_partitions=8)
 
 
 @query(
@@ -452,7 +471,9 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (app.py:23-25) with exact-sum semantics."""
     stream = events_stream(spark, f"{sf_dir}/events.parquet")
     agg = windowed_rates(stream, window="1 hour", watermark="30 minutes")
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+    # r15: 8 state partitions for the fixture drive (min-of-3 at sf0.1
+    # 1.38 s -> 0.98 s; results partitioning-invariant).
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
 
 
 @query(
@@ -515,7 +536,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+    # r15: 8 state partitions for the fixture drive (min-of-3 at sf0.1
+    # 1.80 s -> 1.56 s; results partitioning-invariant).
+    return run_stream_to_memory(agg, spark, output_mode="complete", state_partitions=8)
 
 
 def _ingest_oracle() -> str:
@@ -621,7 +644,9 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     deduped = gated(side().unionByName(side())).dropDuplicates(["doc_id"])
-    return run_stream_to_memory(deduped, spark, output_mode="append")
+    # r15: 8 state partitions for the fixture drive (min-of-3 at sf0.1
+    # 1.56 s -> 1.23 s; results partitioning-invariant).
+    return run_stream_to_memory(deduped, spark, output_mode="append", state_partitions=8)
 
 
 def _contam13_oracle() -> str:
