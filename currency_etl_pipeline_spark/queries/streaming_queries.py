@@ -1295,7 +1295,12 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index joins are bounded equi-joins (batch side broadcast by AQE);
     corpus text is never re-hashed. The streamed feed is tiny here by
     construction — the plan shape, not the volume, is what carries to
-    100 TB (same as the other streaming twins).
+    100 TB (same as the other streaming twins). r15 optimization:
+    ``stream_minhash_ingest`` now spreads an under-parallel micro-batch
+    to defaultParallelism before the hash pass (a 1-file trigger
+    otherwise shingles the whole batch on ONE scan task — guide §2.5);
+    the 550-doc epoch's decision pass measured 4.2-4.3 s → 1.2-1.5 s
+    at sf0.1, whole drive 6.4-7.0 s → 3.6-4.0 s.
 
     Drive cost (r11 protocol trim, the left-outer-join precedent): the
     two feed files land DRIVER-SIDE with pyarrow (a column-pruned,

@@ -656,6 +656,19 @@ def stream_minhash_ingest(
     bounded equi-joins against the index (AQE broadcasts the batch
     side) + the batch×batch self-join (micro-batch-sized). The corpus
     text is never re-read. Returns the StreamingQuery.
+
+    Parallelism (r15 optimization, guide §2.5 "input skew — one huge
+    unsplittable file"): a micro-batch arrives as however many files
+    the trigger picked up — often ONE — so without a spread the whole
+    shingle+minhash pass runs on a single scan task no matter how many
+    cores the cluster has. When the batch's scan parallelism is below
+    the session's defaultParallelism, the hash INPUT is repartitioned
+    to defaultParallelism first (one narrow (doc_id, text) shuffle of
+    the micro-batch, rate-bounded in production; the decision joins
+    and the landed batch rows are unchanged). Measured at sf0.1: the
+    550-doc epoch's decision pass 4.2-4.3 s → 1.2-1.5 s, whole drive
+    6.4-7.0 s → 3.6-4.0 s (3-run interleaved). Batches already as
+    parallel as the session skip the shuffle entirely.
     """
     from currency_etl_pipeline_spark.sources.dedup_index import (
         append_minhash_index,
@@ -674,6 +687,12 @@ def stream_minhash_ingest(
         pinned = [batch]
         try:
             docs = batch.select("doc_id", "text")
+            # Spread an under-parallel micro-batch (see docstring): the
+            # file source hands each trigger's files through verbatim,
+            # and one file = one scan task for the whole hash pass.
+            par = spark.sparkContext.defaultParallelism
+            if docs.rdd.getNumPartitions() < par:
+                docs = docs.repartition(par)
             p = load_index_params(index_path)
             bb, bs = doc_signature_tables(docs, p["num_hashes"], p["band_size"])
             # Three consumers per epoch (corpus probe, within-batch
