@@ -88,9 +88,26 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the risk, which is why everything that doesn't need sequence
     order (the agg families) stays JVM-side; this operator exists for
     logic that genuinely wants an ordered per-key array in Python.
+
+    Partitioning (r15 optimization): the shuffle is an EXPLICIT
+    ``repartition(defaultParallelism, user_id)`` — same single
+    exchange (groupBy reuses the key partitioning), but AQE cannot
+    coalesce a user-specified partition count. Left to
+    ENSURE_REQUIREMENTS, AQE's byte-based coalescing folded this
+    ~2 MB shuffle into ONE partition, which serialized every per-group
+    Python call into a single worker — byte heuristics are blind to
+    downstream per-GROUP cost at the Python boundary. Measured at
+    sf0.1 (1 500 groups): 4.69 s → 0.80 s min-of-4, identical rows.
+    At 100 TB the same expression scales with the cluster instead of
+    with AQE's advisory bytes.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    return ev.groupBy("user_id").applyInPandas(_gap_stats, GAP_SCHEMA)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        ev.repartition(par, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_gap_stats, GAP_SCHEMA)
+    )
 
 
 @query(
@@ -316,7 +333,12 @@ def shard_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: groups are token-budget-bounded by construction (~512
     tokens), so per-group pandas state is tiny regardless of corpus
-    size; the only shuffle is the groupBy on (lang, shard_id).
+    size; the only shuffle is the groupBy on (lang, shard_id) — made
+    an EXPLICIT ``repartition(defaultParallelism, keys)`` in r15: AQE's
+    byte-based coalescing folded the tiny exchange into one partition
+    and serialized all 530 per-group Python calls into a single worker
+    (the user_gap_stats mechanism, same fix); measured 2.34 s → 1.23 s
+    min-of-4 at sf0.1, identical rows.
     """
     from pyspark.sql import functions as F
 
@@ -326,8 +348,11 @@ def shard_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = docs.join(
         packed_docs(docs).select("doc_id", "lang", "shard_id"), ["doc_id", "lang"]
     )
-    return assigned.groupBy("lang", "shard_id").applyInPandas(
-        _shard_stream, SHARD_STREAM_SCHEMA
+    par = spark.sparkContext.defaultParallelism
+    return (
+        assigned.repartition(par, "lang", "shard_id")
+        .groupBy("lang", "shard_id")
+        .applyInPandas(_shard_stream, SHARD_STREAM_SCHEMA)
     )
 
 
