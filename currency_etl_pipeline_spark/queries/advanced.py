@@ -93,14 +93,28 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (t-digest, mergeable partial aggregation) —
     same call shape, bounded memory; the exact form here is what makes
     the oracle check possible.
+
+    r15 optimization: the two percentiles per column are one
+    ``percentile(col, array(q1, q2))`` call — exact percentile buffers
+    EVERY group value per aggregate expression, so four scalar calls
+    built four copies of the per-group value buffer where two array
+    calls build two (same interpolation, bit-identical output; at
+    100 TB the aggregation state halves). Measured at sf0.1:
+    1.69 s → 1.01 s min-of-4, identical rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("pq"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("pp"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("pq")[0], 6).alias("median_qty"),
+        F.round(F.col("pq")[1], 6).alias("p90_qty"),
+        F.round(F.col("pp")[0], 4).alias("median_price"),
+        F.round(F.col("pp")[1], 4).alias("p99_price"),
     )
 
 
