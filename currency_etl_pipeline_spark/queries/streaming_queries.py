@@ -1163,7 +1163,6 @@ def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per micro-batch the work is |batch changes| + |rollup|
     rows; the snapshot the feed describes is never read.
     """
-    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1171,29 +1170,28 @@ def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
     from currency_etl_pipeline_spark.queries.incremental_queries import _snapshots
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
-    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_rollup
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        land_chunked_feed,
+        stream_cdc_rollup,
+    )
 
     v1, v2 = _snapshots(spark, sf_dir)
     feed = tempfile.mkdtemp(prefix="cdc_feed_")
-    batches = [snapshot_diff(v1.limit(0), v1, ["user_id"])] + [
-        snapshot_diff(v1, v2, ["user_id"]).filter(
-            # pmod, not abs(hash)%2: abs(Integer.MIN_VALUE) stays
-            # negative, silently dropping that row from every chunk.
-            F.pmod(F.hash("user_id"), F.lit(2)) == i
+    # One partitioned write lands all three chunks (r15: was one Spark
+    # write job per chunk, each re-deriving the snapshots —
+    # streaming/pipeline.land_chunked_feed). pmod, not abs(hash)%2:
+    # abs(Integer.MIN_VALUE) stays negative, silently dropping that
+    # row from every chunk.
+    feed_df = snapshot_diff(v1.limit(0), v1, ["user_id"]).withColumn(
+        "__chunk", F.lit(0)
+    ).unionByName(
+        snapshot_diff(v1, v2, ["user_id"]).withColumn(
+            "__chunk", F.pmod(F.hash("user_id"), F.lit(2)) + 1
         )
-        for i in range(2)
-    ]
-    for i, b in enumerate(batches):
-        sub = os.path.join(feed, f"d{i}")
-        b.repartition(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                os.utime(
-                    os.path.join(sub, f),
-                    (1_000_000_000 + i * 1000,) * 2,
-                )
+    )
+    land_chunked_feed(feed_df, 3, feed)
     stream = (
-        spark.readStream.schema(batches[0].schema)
+        spark.readStream.schema(feed_df.drop("__chunk").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed + "/*")
     )
@@ -1392,7 +1390,6 @@ def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per micro-batch the work is |batch changes| + |support|
     rows; the snapshot the feed describes is never read.
     """
-    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1403,29 +1400,31 @@ def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_pipeline_spark.operators.upsert import snapshot_diff
     from currency_etl_pipeline_spark.queries.incremental_queries import _snapshots
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
-    from currency_etl_pipeline_spark.streaming.pipeline import stream_cdc_distinct
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        land_chunked_feed,
+        stream_cdc_distinct,
+    )
 
     v1, v2 = _snapshots(spark, sf_dir)
     bucket = F.floor("value").cast("long").alias("value_bucket")
     v1b = v1.select("user_id", "event_type", bucket)
     v2b = v2.select("user_id", "event_type", bucket)
     feed = tempfile.mkdtemp(prefix="cdc_dist_feed_")
-    batches = [snapshot_diff(v1b.limit(0), v1b, ["user_id"])] + [
-        snapshot_diff(v1b, v2b, ["user_id"]).filter(
-            # pmod, not abs(hash)%2: abs(Integer.MIN_VALUE) stays
-            # negative, silently dropping that row from every chunk.
-            F.pmod(F.hash("user_id"), F.lit(2)) == i
+    # One partitioned write lands all three chunks (r15: was one Spark
+    # write job per chunk, each re-deriving the snapshots —
+    # streaming/pipeline.land_chunked_feed). pmod, not abs(hash)%2:
+    # abs(Integer.MIN_VALUE) stays negative, silently dropping that
+    # row from every chunk.
+    feed_df = snapshot_diff(v1b.limit(0), v1b, ["user_id"]).withColumn(
+        "__chunk", F.lit(0)
+    ).unionByName(
+        snapshot_diff(v1b, v2b, ["user_id"]).withColumn(
+            "__chunk", F.pmod(F.hash("user_id"), F.lit(2)) + 1
         )
-        for i in range(2)
-    ]
-    for i, b in enumerate(batches):
-        sub = os.path.join(feed, f"d{i}")
-        b.repartition(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
+    )
+    land_chunked_feed(feed_df, 3, feed)
     stream = (
-        spark.readStream.schema(batches[0].schema)
+        spark.readStream.schema(feed_df.drop("__chunk").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed + "/*")
     )
@@ -1475,7 +1474,6 @@ def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps' law), never corpus-sized; the midpoint is ONE 1-row
     collect (the bounded params-collect convention).
     """
-    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1485,7 +1483,10 @@ def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
     from currency_etl_pipeline_spark.sources.warehouse import SnapshotStore
-    from currency_etl_pipeline_spark.streaming.pipeline import stream_token_counts
+    from currency_etl_pipeline_spark.streaming.pipeline import (
+        land_chunked_feed,
+        stream_token_counts,
+    )
     from currency_etl_pipeline_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1500,17 +1501,19 @@ def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     second = docs.filter(F.col("doc_id") > m).select("doc_id", "text")
     feed = tempfile.mkdtemp(prefix="drift_feed_")
-    for i in range(3):
-        sub = os.path.join(feed, f"b{i}")
-        # pmod maps every hash value (incl. Integer.MIN_VALUE, where
-        # abs() stays negative) into {0,1,2} so no doc can drop from
-        # all three micro-batches (ADVICE r9).
-        second.filter(F.pmod(F.hash("doc_id"), F.lit(3)) == i).repartition(1).write.parquet(
-            sub
-        )
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(sub, f), (1_000_000_000 + i * 1000,) * 2)
+    # One partitioned write lands all three chunks (r15: was one Spark
+    # write job per chunk, each re-scanning the corpus —
+    # streaming/pipeline.land_chunked_feed; 0.65 s → 0.29 s min-of-4
+    # at sf0.1, chunk contents byte-identical). pmod maps every hash
+    # value (incl. Integer.MIN_VALUE, where abs() stays negative) into
+    # {0,1,2} so no doc can drop from all three micro-batches
+    # (ADVICE r9).
+    land_chunked_feed(
+        second.withColumn("__chunk", F.pmod(F.hash("doc_id"), F.lit(3))),
+        3,
+        feed,
+        prefix="b",
+    )
     stream = (
         spark.readStream.schema(second.schema)
         .option("maxFilesPerTrigger", 1)
