@@ -1181,3 +1181,17 @@ def test_subpassage_decisions_travel_as_digests(spark, sf_dir):
     assert any(
         kind == "BroadcastExchange" and "spans#" in cols for kind, cols in ex
     ), "span lists no longer broadcast back to the rewrite join"
+
+
+def test_grouped_map_python_stages_stay_parallel(spark, sf_dir):
+    """r15: AQE's byte-based coalescing must never fold the shuffle
+    feeding a grouped-map Python stage back to one partition (it did —
+    every per-group call then runs serially in a single worker; the
+    fix is the explicit repartition(defaultParallelism, keys), which
+    is REPARTITION_BY_NUM and exempt from coalescing). Pin the runtime
+    partition count of both fixed queries at defaultParallelism."""
+    par = spark.sparkContext.defaultParallelism
+    for name in ("user_gap_stats", "shard_token_streams"):
+        df = SPECS[name].spark(spark, sf_dir)
+        got = df.rdd.getNumPartitions()
+        assert got == par, f"{name}: python stage runs {got} partitions, want {par}"

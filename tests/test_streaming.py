@@ -1431,3 +1431,56 @@ def test_append_mode_drops_late_rows_and_never_resurrects_windows(
     assert any(chunked[k] < one_shot[k] for k in chunked), (
         "fixture failed to exercise late-data drops"
     )
+
+
+def test_land_chunked_feed_matches_per_chunk_writes(spark, sf_dir, tmp_path):
+    """r15: the one-partitioned-write feed landing must land exactly the
+    rows the per-chunk write loop landed — same chunk membership, same
+    file schema (no __chunk column in the files), mtime ladder intact —
+    and an empty chunk must still land a directory (limit(0) fallback)
+    so the drive's batch count cannot change."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from currency_etl_pipeline_spark.streaming.pipeline import land_chunked_feed
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    land_chunked_feed(
+        docs.withColumn("__chunk", F.pmod(F.hash("doc_id"), F.lit(3))), 3, feed, prefix="b"
+    )
+    seen = set()
+    mtimes = []
+    for i in range(3):
+        sub = os.path.join(feed, f"b{i}")
+        tbl = papq.read_table(sub)
+        assert tbl.column_names == ["doc_id", "text"]  # partition col dropped
+        ids = set(tbl.column("doc_id").to_pylist())
+        expect = {
+            r[0]
+            for r in docs.filter(F.pmod(F.hash("doc_id"), F.lit(3)) == i)
+            .select("doc_id")
+            .collect()
+        }
+        assert ids == expect
+        seen |= ids
+        files = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        assert files
+        mtimes.append(max(os.path.getmtime(os.path.join(sub, f)) for f in files))
+    assert seen == {r[0] for r in docs.select("doc_id").collect()}
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+    # Empty-chunk fallback: chunk 1 of 2 can never match (chunk col is 0).
+    feed2 = str(tmp_path / "feed2")
+    os.makedirs(feed2)
+    land_chunked_feed(docs.withColumn("__chunk", F.lit(0)), 2, feed2)
+    t0 = papq.read_table(os.path.join(feed2, "d0"))
+    assert set(t0.column("doc_id").to_pylist()) == seen
+    t1 = papq.read_table(os.path.join(feed2, "d1"))
+    assert t1.num_rows == 0 and t1.column_names == ["doc_id", "text"]
