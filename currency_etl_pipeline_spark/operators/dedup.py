@@ -78,12 +78,67 @@ def minhash_bands(sig: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
     the RELATION a materialized dedup index persists
     (sources/dedup_index.py): corpus membership lives here, so a new
     batch probes bands instead of re-sharding the corpus text.
+
+    Pipelines that ALSO need the per-doc signature array should derive
+    bands from it with ``bands_from_sig_array`` instead (r16): this
+    form re-aggregates the (id, pos, mh) relation — a second exchange
+    and, when the sig subtree is not reused, a second shingle+hash
+    pass over the corpus.
     """
     return sig.withColumn("band", F.expr(f"pos div {band_size}")).groupBy(id_col, "band").agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"].cast("string")),
             ",",
         ).alias("band_key")
+    )
+
+
+def minhash_sig_array(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, sig array<long>): per-doc signature vector, pos-ordered."""
+    return sig.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"]
+        ).alias("sig")
+    )
+
+
+def bands_from_sig_array(
+    sigarr: DataFrame, id_col: str, num_hashes: int, band_size: int = 2
+) -> DataFrame:
+    """(id, band, band_key) derived MAP-SIDE from the signature array —
+    relation-equal to ``minhash_bands`` (band = pos div band_size as
+    BIGINT, band_key = comma-joined mh strings in pos order; a trailing
+    short band when band_size doesn't divide num_hashes slices exactly
+    like the div grouping), but with zero additional shuffles: one
+    explode over ceil(num_hashes/band_size) per-band structs. Every
+    signature array has exactly num_hashes entries (minhash_signatures
+    emits all positions for any doc with >= 1 shingle), so the slice
+    bounds are static. r16 optimization: pipelines needing bands AND
+    sig arrays previously aggregated the (id, pos, mh) relation twice
+    on different keys — two exchanges, and a duplicated shingle+hash
+    corpus pass wherever exchange reuse didn't fire."""
+    n_bands = -(-num_hashes // band_size)
+    per_band = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("long").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice("sig", b * band_size + 1, band_size),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("band_key"),
+        ),
+    )
+    # nullif against an impossible value (bands are 0..n_bands-1)
+    # loosens band back to NULLABLE: the old aggregation form was
+    # nullable, and persisted index files (parquet + bucketed tables)
+    # must keep a byte-identical schema across the derivation change.
+    return sigarr.select(id_col, F.explode(per_band).alias("__b")).select(
+        id_col,
+        F.nullif(F.col("__b.band"), F.lit(-1).cast("long")).alias("band"),
+        F.col("__b.band_key").alias("band_key"),
     )
 
 
@@ -105,12 +160,24 @@ def minhash_band_candidates(
 def minhash_near_dup_pairs(
     shingled: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Candidate pairs + estimated Jaccard (matching signature fraction)."""
+    """Candidate pairs + estimated Jaccard (matching signature fraction).
+
+    r16: bands derive from the per-doc signature ARRAY
+    (bands_from_sig_array) rather than re-aggregating the (id, pos, mh)
+    relation — the band sides and the signature-compare sides now share
+    ONE aggregation subtree, so the shingle+hash corpus pass and its
+    exchange are planned once (ReusedExchange) instead of twice."""
     sig = minhash_signatures(shingled, id_col, shingle_col, num_hashes)
-    sigarr = sig.groupBy(id_col).agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"]).alias("sig")
+    sigarr = minhash_sig_array(sig, id_col)
+    bands = bands_from_sig_array(sigarr, id_col, num_hashes, band_size)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    cand = minhash_band_candidates(sig, id_col, band_size)
     sa = sigarr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigarr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.aggregate(

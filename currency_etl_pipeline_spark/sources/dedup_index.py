@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from currency_etl_pipeline_spark.operators.dedup import (
-    minhash_bands,
+    bands_from_sig_array,
+    minhash_sig_array,
     minhash_signatures,
 )
 from currency_etl_pipeline_spark.queries.text import exploded, shingles
@@ -73,17 +74,22 @@ def doc_signature_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """(bands, sigs) for a (doc_id, text) relation — the index's two
     persisted relations, also usable in-plan (the filesystem-free
-    catalog twin goes through this exact code path)."""
+    catalog twin goes through this exact code path).
+
+    r16: bands derive map-side from the signature array
+    (operators/dedup.bands_from_sig_array — relation-equal to the old
+    minhash_bands re-aggregation, band stays BIGINT so persisted index
+    schemas are unchanged). The two returned relations now share ONE
+    shingle+hash+aggregate subtree: plans consuming both get a
+    ReusedExchange where they previously planned the corpus pass twice
+    — per indexed side that's half the hash CPU and one fewer
+    exchange at any scale."""
     shingled = exploded(
         docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
     )
     sig = minhash_signatures(shingled, "doc_id", "shingle", num_hashes)
-    bands = minhash_bands(sig, "doc_id", band_size)
-    sigarr = sig.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mh"))), lambda x: x["mh"]
-        ).alias("sig")
-    )
+    sigarr = minhash_sig_array(sig, "doc_id")
+    bands = bands_from_sig_array(sigarr, "doc_id", num_hashes, band_size)
     return bands, sigarr
 
 
