@@ -277,21 +277,31 @@ def _jaccard_expr():
     return F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, base: DataFrame | None = None
+) -> DataFrame:
     """Shared edge set for the Jaccard near-dup family: (doc_a, doc_b,
     n_a, n_b, n_common) for every pair with exact shingle-Jaccard >=
     threshold. Both ``near_dup_jaccard_pairs`` and ``dedup_clusters``
     derive from this, so the threshold and the plan shape can never
-    silently diverge between them."""
-    return _shingle_pair_counts(spark, sf_dir).filter(_jaccard_expr() >= threshold)
+    silently diverge between them. ``base`` overrides the (doc_id, sh)
+    corpus relation (dedup_recall_report's shared-scan contract —
+    see _recall_base)."""
+    return _shingle_pair_counts(spark, sf_dir, base=base).filter(_jaccard_expr() >= threshold)
 
 
-def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_pair_counts(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """The unfiltered inverted-index pair-count device: (doc_a, doc_b,
     n_a, n_b, n_common) for every pair sharing ≥ 1 shingle. The
     Jaccard family filters it symmetrically; ``doc_containment_pairs``
-    filters it asymmetrically — one subtree, two thresholds."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    filters it asymmetrically — one subtree, two thresholds.
+    ``base``: optional pre-built (doc_id, sh) relation; the default is
+    the corpus scan + shingle projection this device has always used."""
+    docs = base if base is not None else spread(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", shingles().alias("sh"))
     # One linear pipeline: size rides along with each exploded row, so the
     # expensive shingle expression is evaluated in exactly ONE subtree (the
     # self-join sides are identical plans → ReuseExchange shares the shuffle).
@@ -424,9 +434,21 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup dedup: cost linear in corpus size vs the exact shingle
     join's hot-bucket quadratic blow-up. md5-derived hashes keep the
     DuckDB oracle bit-exact (operators/dedup.py)."""
+    return _minhash_lsh_pairs(spark, sf_dir)
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """The registered minhash_lsh_near_dup pipeline, parameterized on
+    the (doc_id, sh) corpus relation so dedup_recall_report can feed
+    the SHARED scan (see _recall_base) — the operator logic downstream
+    of the shingle projection is this one code path either way."""
     from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", shingles().alias("sh"))
+    docs = base if base is not None else spread(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", shingles().alias("sh"))
     shingled = exploded(docs, ["doc_id"], F.col("sh"), "shingle")
     return minhash_near_dup_pairs(shingled, "doc_id", "shingle", num_hashes=8, band_size=2)
 
@@ -509,18 +531,32 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(pair, shingle) explosion (jaccard_verify_pairs docstring has
     the cost comparison). Everything else is hash-partitioned
     groupBy/join — no all-pairs anywhere."""
+    return _simhash_verified_pairs(spark, sf_dir)
+
+
+def _simhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """The registered simhash_near_dup pipeline, parameterized on the
+    (doc_id, text, sh) corpus relation so dedup_recall_report can feed
+    the SHARED scan (see _recall_base); the fingerprint (tokens) and
+    the verify (shingles) both derive from the same base either way."""
     from currency_etl_pipeline_spark.operators.dedup import (
         jaccard_verify_pairs,
         simhash_near_dup_pairs,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = base if base is not None else spread(load_table(spark, sf_dir, "documents"))
     tokenized = exploded(docs, ["doc_id"], tokens(), "tok")
     cand = simhash_near_dup_pairs(
         tokenized, "doc_id", "tok", bits=32, max_hamming=2, n_blocks=4
     ).localCheckpoint(eager=True)
-    shingled = exploded(
-        docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
+    shingled = (
+        exploded(docs.select("doc_id", F.col("sh")), ["doc_id"], F.col("sh"), "shingle")
+        if base is not None and "sh" in base.columns
+        else exploded(
+            docs.select("doc_id", shingles().alias("sh")), ["doc_id"], F.col("sh"), "shingle"
+        )
     )
     return jaccard_verify_pairs(
         cand, shingled, "doc_id", "shingle", threshold=_SIMHASH_VERIFY_JACCARD
@@ -1693,10 +1729,19 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (707-LoC pandas/BigQuery ETL); this extends SURVEY §2's
     dedup-family requirement to the asymmetric case.
     """
+    return _containment_pairs(spark, sf_dir)
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """The registered doc_containment_pairs pipeline, parameterized on
+    the (doc_id, sh) corpus relation (dedup_recall_report's shared-scan
+    contract — see _recall_base)."""
     small_first = F.col("n_b") < F.col("n_a")
     contain = F.col("n_common") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        _shingle_pair_counts(spark, sf_dir)
+        _shingle_pair_counts(spark, sf_dir, base=base)
         .filter(contain >= _CONTAIN_T)
         .select(
             F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_small"),
@@ -1916,31 +1961,48 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the 0.6 truth is candidate-generation recall plus the
     deliberate 0.5-vs-0.6 threshold daylight.
 
-    Plan/scale: truth rides the shared _shingle_pair_counts inverted
-    index (the containment branch reuses the identical subtree);
-    minhash/simhash are the linear banded pipelines. Pair sets are
-    bounded by near-dup density, the per-method join key is the pair
-    itself, and the report is a 3-row aggregate — an eval harness's
-    inherent cost is one pass per graded method, exactly like
-    ann_recall_report.
+    Plan/scale (r16, VERDICT r15 task 3): the four branches used to
+    scan + re-shingle the corpus independently — three shingle
+    projections and a token pass over four parquet scans for ONE
+    report. The corpus (doc_id, text, shingles) is now materialized
+    ONCE (_recall_base: one scan, one shingle pass, localCheckpointed)
+    and fed to each graded pipeline through its base parameter. What
+    the report grades is unchanged: the "grades the registered
+    operator" property protects each method's LOGIC (the band/verify/
+    inverted-index pipelines downstream of the shingle projection,
+    which run this exact registered code path via _minhash_lsh_pairs /
+    _simhash_verified_pairs / _containment_pairs / _jaccard_pairs),
+    not its INPUT SCAN — shingles are a pure function of text, so the
+    checkpointed base is byte-identical to what each standalone query
+    derives itself (oracle-pinned). Pair sets are bounded by near-dup
+    density, the per-method join key is the pair itself, and the
+    report is a 3-row aggregate. At 100 TB the base materialization is
+    corpus-shingles-sized — an eval harness there lands it as a
+    parquet artifact (or grades a documented sample); the four-pass
+    form this replaces paid strictly more.
     """
-    truth = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    base = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text", shingles().alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sh_base = base.select("doc_id", "sh")
+    truth = _jaccard_pairs(spark, sf_dir, base=sh_base).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
     mh = (
-        _registered("minhash_lsh_near_dup")
-        .spark(spark, sf_dir)
+        _minhash_lsh_pairs(spark, sf_dir, base=sh_base)
         .filter(F.col("est_jaccard") >= _RECALL_EST_GATE)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .withColumn("method", F.lit("minhash"))
     )
     sh = (
-        _registered("simhash_near_dup")
-        .spark(spark, sf_dir)
+        _simhash_verified_pairs(spark, sf_dir, base=base)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .withColumn("method", F.lit("simhash"))
     )
     ct = (
-        _registered("doc_containment_pairs")
-        .spark(spark, sf_dir)
+        _containment_pairs(spark, sf_dir, base=sh_base)
         .select(
             F.least("doc_small", "doc_big").alias("doc_a"),
             F.greatest("doc_small", "doc_big").alias("doc_b"),
