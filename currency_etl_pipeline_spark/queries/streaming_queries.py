@@ -1002,17 +1002,21 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     LEFT JOIN over the same predicate; watermark EVICTION (late rows
     actually dropped) is pinned separately in test_streaming.py.
 
-    Drive cost (VERDICT r8 task 8): the bench row used to be ~60%
-    protocol, not engine — each sentinel landed via a full Spark write
-    job (~5 s apiece) and the stream checkpointed 32 state-store
-    partitions per side per micro-batch. The sentinels are now written
-    driver-side with pyarrow (2 rows, milliseconds), and the query
-    starts under 8 shuffle/state partitions (set before ``start()``,
-    which is when Structured Streaming pins state partitioning into
-    the checkpoint, restored after ``stop()``) — results are
-    partitioning-invariant, only the per-batch store-commit overhead
-    changes; production sizes state partitions by rate, not by this
-    fixture.
+    Drive cost (VERDICT r8 task 8; r15 task 4): the bench row used to
+    be ~60% protocol, not engine — each sentinel landed via a full
+    Spark write job (~5 s apiece) and the stream checkpointed 32
+    state-store partitions per side per micro-batch. The sentinels are
+    now written driver-side with pyarrow (2 rows, milliseconds), and
+    the query starts under 4 shuffle/state partitions (set before
+    ``start()``, which is when Structured Streaming pins state
+    partitioning into the checkpoint, restored after ``stop()``) —
+    results are partitioning-invariant, only the per-batch
+    store-commit overhead changes; production sizes state partitions
+    by rate, not by this fixture. r16 epoch telemetry at sf0.1: 8→4
+    cut per-epoch state commitMs 2.4-2.9 s → 0.6-0.8 s (summed across
+    the 2×partitions stores), epoch median 0.85 → 0.65 s, timed drive
+    5.4 → 4.3 s; 2 partitions measured within noise of 4 and was
+    rejected to keep data-batch parallelism headroom.
     """
     import datetime as dt
     import os
@@ -1099,8 +1103,13 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
     name = f"loj_{uuid.uuid4().hex[:12]}"
     # State partitioning is pinned into the checkpoint at start();
     # scope it down for the drive (see docstring), restore after.
+    # r16 (VERDICT r15 task 4): 4 partitions, not the catalog-wide 8 —
+    # this is the #2 streaming cost row (6 epochs x 2-sided state
+    # commit across 3 builds), and 4 measured better here in both r9
+    # and the r16 interleaved A/B; protocol uniformity loses to the
+    # top cost row. Results are partitioning-invariant as ever.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.outputMode("append")
