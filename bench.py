@@ -448,7 +448,27 @@ def main() -> None:
         "sf": sf,
     }
     _persist(result)
-    print(json.dumps(result))
+    print(json.dumps(stdout_contract(result)))
+
+
+def stdout_contract(result: dict) -> dict:
+    """The one-line stdout payload: contract fields ONLY.
+
+    r16 (VERDICT r15 task 5): the r14 round-over-round PERF comparison
+    was lost because the stdout line had grown to ~20 KB
+    (calibration_series + stream_epochs inline) and outran the
+    driver's tail capture (BENCH_r14.json parsed=null). The bulky
+    series/epochs telemetry lives ONLY in the persisted
+    bench_results/rNN.json (which carries the complete record); stdout
+    stays at metric/value/unit/queries/calibration/sf — a few KB that
+    no tail capture can truncate. tools/analyze_bench.py reads the
+    persisted files, never the stdout line.
+    """
+    return {
+        k: result[k]
+        for k in ("metric", "value", "unit", "queries", "calibration", "sf")
+        if k in result
+    }
 
 
 def _persist(result: dict) -> None:

@@ -123,3 +123,30 @@ def test_load_record_unwraps_driver_envelope(tmp_path):
         raise AssertionError("truncated driver record must be rejected loudly")
     except SystemExit:
         pass
+
+
+def test_stdout_contract_is_slim():
+    """r16 (VERDICT r15 task 5): the stdout one-line JSON must carry the
+    contract fields ONLY — the ~20 KB calibration_series/stream_epochs
+    payload once outran the driver's tail capture and lost an entire
+    round-over-round PERF comparison (BENCH_r14 parsed=null). The full
+    record still lands in bench_results/rNN.json via _persist."""
+    from bench import stdout_contract
+
+    def full_record(queries):
+        return {
+            "metric": "headline_queries_total_wall",
+            "value": sum(queries.values()),
+            "unit": "sec",
+            "queries": queries,
+            "calibration": 0.5,
+            "calibration_series": [{"after": i, "sec": 0.5} for i in range(40)],
+            "stream_epochs": {"streaming_x": [1000] * 50},
+            "sf": 0.1,
+        }
+
+    line = stdout_contract(full_record({HEADLINE[0]: 1.0}))
+    assert set(line) == {"metric", "value", "unit", "queries", "calibration", "sf"}
+    # the full catalog at ~193 queries serializes to a few KB, not tens
+    big = {f"query_name_{i:03d}": 1.234 for i in range(200)}
+    assert len(json.dumps(stdout_contract(full_record(big)))) < 8000
