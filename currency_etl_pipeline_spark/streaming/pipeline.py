@@ -256,6 +256,15 @@ def land_chunked_feed(
         for f in os.listdir(dst):
             if f.endswith(".parquet"):
                 os.utime(os.path.join(dst, f), (1_000_000_000 + i * 1000,) * 2)
+    # A __chunk value outside [0, n_chunks) would leave its partition
+    # dir here and be deleted below — silent data loss in the fixture
+    # feed if a caller's chunk expression ever drifts from n_chunks
+    # (ADVICE r15). Refuse instead of deleting rows.
+    leftovers = [d for d in os.listdir(stage) if d.startswith("__chunk=")]
+    if leftovers:
+        raise ValueError(
+            f"land_chunked_feed: feed rows outside [0, {n_chunks}) chunks: {sorted(leftovers)}"
+        )
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -276,6 +285,13 @@ def run_stream_to_memory(
     overhead changes. Production sizes state partitions by rate; this
     knob exists for fixture-scale drives where 32 state stores per
     stateful operator are pure protocol cost.
+
+    Single-threaded-driver assumption (ADVICE r15): the conf mutation
+    is session-global for the instant between set and restore, so a
+    query started CONCURRENTLY on the same session in that window
+    would inherit the scoped value. Every harness in this repo drives
+    streams sequentially; a concurrent driver should start the stream
+    from a cloned session (spark.newSession()) instead.
 
     (Test/driver harness path — production would writeStream to a real
     sink with a trigger.)
@@ -730,8 +746,11 @@ def stream_minhash_ingest(
             # Spread an under-parallel micro-batch (see docstring): the
             # file source hands each trigger's files through verbatim,
             # and one file = one scan task for the whole hash pass.
+            # Probe the PERSISTED batch (ADVICE r15): the trivial
+            # select shares its partitioning, and probing the derived
+            # frame re-planned the batch once per epoch.
             par = spark.sparkContext.defaultParallelism
-            if docs.rdd.getNumPartitions() < par:
+            if batch.rdd.getNumPartitions() < par:
                 docs = docs.repartition(par)
             p = load_index_params(index_path)
             bb, bs = doc_signature_tables(docs, p["num_hashes"], p["band_size"])

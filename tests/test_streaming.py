@@ -1484,3 +1484,21 @@ def test_land_chunked_feed_matches_per_chunk_writes(spark, sf_dir, tmp_path):
     assert set(t0.column("doc_id").to_pylist()) == seen
     t1 = papq.read_table(os.path.join(feed2, "d1"))
     assert t1.num_rows == 0 and t1.column_names == ["doc_id", "text"]
+
+
+def test_land_chunked_feed_rejects_out_of_range_chunks(spark, tmp_path):
+    """r16 (ADVICE r15): a __chunk value outside [0, n_chunks) used to
+    leave its partition dir in the stage area and be rmtree'd — silent
+    data loss in the fixture feed if a caller's chunk expression ever
+    drifts from n_chunks. The landing must refuse instead."""
+    import os
+
+    from currency_etl_pipeline_spark.streaming.pipeline import land_chunked_feed
+
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 3)], "v int, __chunk int"  # 3 is out of range
+    )
+    with pytest.raises(ValueError, match="outside"):
+        land_chunked_feed(df, n_chunks=2, feed_dir=feed_dir)
