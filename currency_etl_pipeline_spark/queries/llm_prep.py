@@ -953,7 +953,10 @@ def cross_split_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels are a pure doc_id hash attached by broadcast-size joins on
     the CANDIDATE pairs (tiny), and only train×test pairs survive. At
     100 TB nothing beyond the existing LSH cost is added — the split
-    filter is free relative to candidate generation.
+    filter is free relative to candidate generation. (r16: bands
+    derive map-side from the signature array in minhash_near_dup_pairs;
+    this note re-tiers the query into the driver sweep — helper edits
+    don't change its source hash.)
     """
     from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
     from currency_etl_pipeline_spark.queries.text import shingles

@@ -1171,6 +1171,11 @@ def streaming_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per micro-batch the work is |batch changes| + |rollup|
     rows; the snapshot the feed describes is never read.
+
+    (r16: land_chunked_feed now refuses out-of-range __chunk rows
+    instead of silently dropping them; landed bytes unchanged —
+    parity-test pinned. This note re-tiers the query into the driver
+    sweep, since helper edits don't change its source hash.)
     """
     import tempfile
 
@@ -1315,8 +1320,13 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition(1) write jobs for a fixture feed), and the admission
     drive runs under 8 shuffle partitions (scoped, restored after —
     every foreachBatch epoch's joins are batch-bounded, so 32-way
-    shuffles are pure per-epoch protocol). Results are
-    partitioning-invariant (pinned catalog-wide).
+    shuffles are pure per-epoch protocol; r16 measured 4 partitions
+    FLAT — the per-epoch floor is the landing protocol's job/write
+    count, OPTIMIZATION_r16.md). Results are partitioning-invariant
+    (pinned catalog-wide). (r16: the per-batch hash tables derive
+    bands from the signature array and the spread probe reads the
+    persisted batch; this note re-tiers the query into the driver
+    sweep — helper edits don't change its source hash.)
     """
     import os
     import tempfile
@@ -1398,6 +1408,10 @@ def streaming_cdc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per micro-batch the work is |batch changes| + |support|
     rows; the snapshot the feed describes is never read.
+    (r16: land_chunked_feed now refuses out-of-range __chunk rows
+    instead of silently dropping them; landed bytes unchanged —
+    parity-test pinned. This note re-tiers the query into the driver
+    sweep, since helper edits don't change its source hash.)
     """
     import tempfile
 
@@ -1482,6 +1496,10 @@ def streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per micro-batch the store shuffle is vocabulary-sized
     (Heaps' law), never corpus-sized; the midpoint is ONE 1-row
     collect (the bounded params-collect convention).
+    (r16: land_chunked_feed now refuses out-of-range __chunk rows
+    instead of silently dropping them; landed bytes unchanged —
+    parity-test pinned. This note re-tiers the query into the driver
+    sweep, since helper edits don't change its source hash.)
     """
     import tempfile
 

@@ -665,7 +665,9 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; only those few pairs ever touch embeddings (two broadcast-able
     lookups by id), so the vector math runs on candidate pairs, never
     all pairs. At 100 TB this is the whole point: LSH prunes, vectors
-    verify.
+    verify. (r16: bands derive map-side from the signature array in
+    minhash_near_dup_pairs; this note re-tiers the query into the
+    driver sweep — helper edits don't change its source hash.)
     """
     from currency_etl_pipeline_spark.operators.dedup import minhash_near_dup_pairs
     from currency_etl_pipeline_spark.queries.vectors import _vecs, cosine
@@ -1013,6 +1015,10 @@ def minhash_index_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same doc_signature_tables / minhash_cross_candidates code
     path, so the driver hash-checks the index math end to end.
     Build+append+query ≡ this twin is pinned in tests/test_incremental.py.
+    (r16: bands derive map-side from the signature array —
+    operators/dedup.bands_from_sig_array; this note re-tiers the query
+    into the driver sweep, since helper edits don't change its source
+    hash.)
 
     Plan/scale: corpus and batch are separate relations in production
     (persisted index vs new batch); here one table splits into two
@@ -1113,6 +1119,9 @@ def sequential_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin replays the identical greedy as a recursive CTE carrying the
     admitted set, so the driver hash-checks a semantics that looks
     non-SQL-expressible. Output: (doc_id, admitted) for every doc.
+    (r16: bands derive map-side from the signature array in
+    minhash_near_dup_pairs; this note re-tiers the query into the
+    driver sweep — helper edits don't change its source hash.)
     """
     from currency_etl_pipeline_spark.operators.dedup import (
         minhash_near_dup_pairs,
